@@ -1,0 +1,288 @@
+"""Packed-array polygon/linestring kernels (shapely-free).
+
+Geometry batch representation ("packed rings"): a flat ``(N, 2)``
+float64 coordinate array plus an ``offsets`` int64 array of length
+``n_geoms + 1`` (Arrow list-offset convention) — ring ``i`` is
+``coords[offsets[i]:offsets[i+1]]``.  Rings are closed implicitly
+(last vertex need not repeat the first).
+
+These kernels replace the reference's shapely scalar math
+(.area/.length/.intersection/.intersects, solaris/eval/iou.py:4-44,
+solaris/tile/vector_tile.py:227-324) with vectorized or tight-loop
+numpy over whole batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "ring_areas",
+    "ring_lengths",
+    "ring_bboxes",
+    "ring_centroids",
+    "points_in_polygon",
+    "clip_ring_to_box",
+    "convex_intersection_area",
+    "box_iou",
+    "polygon_iou",
+]
+
+
+def ring_areas(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Shoelace area per ring (absolute value), vectorized over the batch.
+
+    Replaces per-geometry ``geom.area`` loops (e.g. clip_gdf origarea,
+    solaris/tile/vector_tile.py:303-306).
+    """
+    x = coords[:, 0]
+    y = coords[:, 1]
+    # cross product of consecutive vertices, with wraparound per ring
+    nxt = np.arange(1, len(coords) + 1)
+    starts = offsets[:-1]
+    ends = offsets[1:]
+    # wrap: last vertex of ring i pairs with first vertex of ring i
+    nxt[ends - 1] = starts
+    cross = x * y[nxt] - x[nxt] * y
+    # segment-sum per ring
+    sums = np.add.reduceat(cross, starts) if len(starts) else np.empty(0)
+    # reduceat with empty rings (offsets[i]==offsets[i+1]) yields wrong
+    # values; mask them to 0
+    empty = starts == ends
+    if empty.any():
+        sums = np.where(empty, 0.0, sums)
+    return np.abs(sums) * 0.5
+
+
+def signed_ring_areas(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    x = coords[:, 0]
+    y = coords[:, 1]
+    nxt = np.arange(1, len(coords) + 1)
+    starts = offsets[:-1]
+    ends = offsets[1:]
+    nxt[ends - 1] = starts
+    cross = x * y[nxt] - x[nxt] * y
+    sums = np.add.reduceat(cross, starts) if len(starts) else np.empty(0)
+    empty = starts == ends
+    if empty.any():
+        sums = np.where(empty, 0.0, sums)
+    return sums * 0.5
+
+
+def ring_lengths(coords: np.ndarray, offsets: np.ndarray, closed: bool = True) -> np.ndarray:
+    """Perimeter (closed=True) or polyline length (closed=False) per ring.
+
+    Replaces ``geom.length`` (clip_gdf origlen,
+    solaris/tile/vector_tile.py:307-310; road graph edge weights,
+    solaris/vector/graph.py:79-88).
+    """
+    x = coords[:, 0]
+    y = coords[:, 1]
+    starts = offsets[:-1]
+    ends = offsets[1:]
+    nxt = np.arange(1, len(coords) + 1)
+    if closed:
+        nxt[ends - 1] = starts
+    else:
+        nxt[ends - 1] = ends - 1  # zero-length wrap segment
+    seg = np.hypot(x[nxt] - x, y[nxt] - y)
+    sums = np.add.reduceat(seg, starts) if len(starts) else np.empty(0)
+    empty = starts == ends
+    if empty.any():
+        sums = np.where(empty, 0.0, sums)
+    return sums
+
+
+def ring_bboxes(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(n_geoms, 4) array of (minx, miny, maxx, maxy) per ring."""
+    starts = offsets[:-1]
+    n = len(starts)
+    out = np.empty((n, 4), dtype=np.float64)
+    if len(coords) == 0:
+        return out
+    x = coords[:, 0]
+    y = coords[:, 1]
+    out[:, 0] = np.minimum.reduceat(x, starts)
+    out[:, 1] = np.minimum.reduceat(y, starts)
+    out[:, 2] = np.maximum.reduceat(x, starts)
+    out[:, 3] = np.maximum.reduceat(y, starts)
+    return out
+
+
+def ring_centroids(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(n_geoms, 2) polygon centroids (area-weighted, shoelace formula)."""
+    x = coords[:, 0]
+    y = coords[:, 1]
+    starts = offsets[:-1]
+    ends = offsets[1:]
+    nxt = np.arange(1, len(coords) + 1)
+    nxt[ends - 1] = starts
+    cross = x * y[nxt] - x[nxt] * y
+    cx = (x + x[nxt]) * cross
+    cy = (y + y[nxt]) * cross
+    a = np.add.reduceat(cross, starts) * 0.5
+    sx = np.add.reduceat(cx, starts)
+    sy = np.add.reduceat(cy, starts)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.stack([sx / (6.0 * a), sy / (6.0 * a)], axis=1)
+    # degenerate (zero-area) rings: fall back to vertex mean
+    bad = ~np.isfinite(out).all(axis=1)
+    if bad.any():
+        mx = np.add.reduceat(x, starts) / np.maximum(ends - starts, 1)
+        my = np.add.reduceat(y, starts) / np.maximum(ends - starts, 1)
+        out[bad, 0] = mx[bad]
+        out[bad, 1] = my[bad]
+    return out
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd point-in-polygon test: many points vs ONE ring.
+
+    Replaces the STRtree candidate + ``.intersects`` exact test for
+    point features (solaris/tile/vector_tile.py:198-224).  Boundary
+    points follow the even-odd crossing convention.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x0 = ring[:, 0]
+    y0 = ring[:, 1]
+    x1 = np.roll(x0, -1)
+    y1 = np.roll(y0, -1)
+    inside = np.zeros(len(px), dtype=bool)
+    for i in range(len(ring)):  # loop over edges (few), vectorized over points (many)
+        cond = (y0[i] > py) != (y1[i] > py)
+        if not cond.any():
+            continue
+        xint = (x1[i] - x0[i]) * (py - y0[i]) / (y1[i] - y0[i]) + x0[i]
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def clip_ring_to_box(ring: np.ndarray, minx: float, miny: float, maxx: float, maxy: float) -> np.ndarray:
+    """Sutherland–Hodgman clip of one ring against an axis-aligned box.
+
+    This is the tile-clip kernel of the vector tiler: the reference
+    does ``gdf.intersection(shapely.box(*tile_bounds))``
+    (solaris/tile/vector_tile.py:311-316).  A box is convex, so S-H is
+    exact for any simple subject polygon.  Returns the clipped ring
+    ((M, 2) array, possibly empty).
+    """
+    out = ring
+    for axis, bound, keep_ge in ((0, minx, True), (0, maxx, False), (1, miny, True), (1, maxy, False)):
+        if len(out) == 0:
+            return out
+        vals = out[:, axis]
+        inside = vals >= bound if keep_ge else vals <= bound
+        if inside.all():
+            continue
+        nxt = np.roll(np.arange(len(out)), -1)
+        pieces = []
+        for i in range(len(out)):
+            j = nxt[i]
+            if inside[i]:
+                pieces.append(out[i])
+                if not inside[j]:
+                    t = (bound - vals[i]) / (vals[j] - vals[i])
+                    pieces.append(out[i] + t * (out[j] - out[i]))
+            elif inside[j]:
+                t = (bound - vals[i]) / (vals[j] - vals[i])
+                pieces.append(out[i] + t * (out[j] - out[i]))
+        out = np.asarray(pieces, dtype=np.float64).reshape(-1, 2)
+    return out
+
+
+def _clip_by_halfplane(poly: np.ndarray, p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
+    """Clip ``poly`` to the left half-plane of directed edge p0->p1."""
+    if len(poly) == 0:
+        return poly
+    d = (p1[0] - p0[0]) * (poly[:, 1] - p0[1]) - (p1[1] - p0[1]) * (poly[:, 0] - p0[0])
+    inside = d >= -1e-12
+    if inside.all():
+        return poly
+    pieces = []
+    n = len(poly)
+    for i in range(n):
+        j = (i + 1) % n
+        if inside[i]:
+            pieces.append(poly[i])
+            if not inside[j]:
+                t = d[i] / (d[i] - d[j])
+                pieces.append(poly[i] + t * (poly[j] - poly[i]))
+        elif inside[j]:
+            t = d[i] / (d[i] - d[j])
+            pieces.append(poly[i] + t * (poly[j] - poly[i]))
+    return np.asarray(pieces, dtype=np.float64).reshape(-1, 2)
+
+
+def _ccw(ring: np.ndarray) -> np.ndarray:
+    """Orient a ring counter-clockwise (positive signed area)."""
+    x = ring[:, 0]
+    y = ring[:, 1]
+    a = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    return ring if a >= 0 else ring[::-1]
+
+
+def convex_intersection_area(a: np.ndarray, b: np.ndarray) -> float:
+    """Intersection area of two polygons where ``b`` is CONVEX.
+
+    Sutherland–Hodgman of a against every edge of convex b; exact for
+    convex b and simple a.  Used by the IoU matcher
+    (reference: solaris/eval/iou.py:4-44 via shapely intersection).
+    The synthetic corpus generates convex proposals/GT, so this is
+    exact there; for concave b callers must rasterize instead.
+    """
+    if len(a) < 3 or len(b) < 3:
+        return 0.0
+    b = _ccw(b)
+    out = np.asarray(a, dtype=np.float64)
+    n = len(b)
+    for i in range(n):
+        out = _clip_by_halfplane(out, b[i], b[(i + 1) % n])
+        if len(out) == 0:
+            return 0.0
+    x = out[:, 0]
+    y = out[:, 1]
+    return float(abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) * 0.5)
+
+
+def polygon_iou(a: np.ndarray, b: np.ndarray) -> float:
+    """IoU of two polygons (b convex; see convex_intersection_area).
+
+    Mirrors ``calculate_iou`` (solaris/eval/iou.py:4-44):
+    inter / (area_a + area_b - inter).
+    """
+    inter = convex_intersection_area(a, b)
+    if inter == 0.0:
+        return 0.0
+    ax = a[:, 0]
+    ay = a[:, 1]
+    bx = b[:, 0]
+    by = b[:, 1]
+    area_a = abs(np.sum(ax * np.roll(ay, -1) - np.roll(ax, -1) * ay)) * 0.5
+    area_b = abs(np.sum(bx * np.roll(by, -1) - np.roll(bx, -1) * by)) * 0.5
+    union = area_a + area_b - inter
+    return float(inter / union) if union > 0 else 0.0
+
+
+def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of two arrays of boxes (n,4) x (m,4) -> (n,m).
+
+    Fully vectorized; the eval matcher uses it as a cheap prefilter
+    before exact polygon IoU (replaces the reference's R-tree candidate
+    lookup, solaris/eval/base.py:46,268-283).
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    ix0 = np.maximum(a[:, None, 0], b[None, :, 0])
+    iy0 = np.maximum(a[:, None, 1], b[None, :, 1])
+    ix1 = np.minimum(a[:, None, 2], b[None, :, 2])
+    iy1 = np.minimum(a[:, None, 3], b[None, :, 3])
+    iw = np.clip(ix1 - ix0, 0.0, None)
+    ih = np.clip(iy1 - iy0, 0.0, None)
+    inter = iw * ih
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = np.where(union > 0, inter / union, 0.0)
+    return iou
