@@ -99,6 +99,8 @@ def cover_bboxes(minx, miny, maxx, maxy, res: int) -> tuple[np.ndarray, np.ndarr
     """
     edge = cell_edge(res)
     minx = np.asarray(minx, dtype=np.float64)
+    if len(minx) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     miny = np.asarray(miny, dtype=np.float64)
     maxx = np.asarray(maxx, dtype=np.float64)
     maxy = np.asarray(maxy, dtype=np.float64)

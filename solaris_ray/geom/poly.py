@@ -29,14 +29,29 @@ __all__ = [
 ]
 
 
+def _localize(coords: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Translate each ring to its first vertex.
+
+    Shoelace on raw UTM-magnitude coordinates (~1e6) loses ~1e-4 m²
+    absolute to cancellation (cross terms ~1e12); local coordinates
+    make areas/centroids exact to machine precision.
+    """
+    starts = offsets[:-1]
+    counts = np.diff(offsets)
+    if len(coords) == 0 or len(starts) == 0:
+        return coords[:, 0], coords[:, 1]
+    fx = np.repeat(coords[starts, 0], counts)
+    fy = np.repeat(coords[starts, 1], counts)
+    return coords[:, 0] - fx, coords[:, 1] - fy
+
+
 def ring_areas(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Shoelace area per ring (absolute value), vectorized over the batch.
 
     Replaces per-geometry ``geom.area`` loops (e.g. clip_gdf origarea,
     solaris/tile/vector_tile.py:303-306).
     """
-    x = coords[:, 0]
-    y = coords[:, 1]
+    x, y = _localize(coords, offsets)
     # cross product of consecutive vertices, with wraparound per ring
     nxt = np.arange(1, len(coords) + 1)
     starts = offsets[:-1]
@@ -55,8 +70,7 @@ def ring_areas(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
 
 def signed_ring_areas(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    x = coords[:, 0]
-    y = coords[:, 1]
+    x, y = _localize(coords, offsets)
     nxt = np.arange(1, len(coords) + 1)
     starts = offsets[:-1]
     ends = offsets[1:]
@@ -110,9 +124,9 @@ def ring_bboxes(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
 
 def ring_centroids(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """(n_geoms, 2) polygon centroids (area-weighted, shoelace formula)."""
-    x = coords[:, 0]
-    y = coords[:, 1]
+    """(n_geoms, 2) polygon centroids (area-weighted, shoelace formula,
+    localized per ring for numerical stability)."""
+    x, y = _localize(coords, offsets)
     starts = offsets[:-1]
     ends = offsets[1:]
     nxt = np.arange(1, len(coords) + 1)
@@ -132,6 +146,10 @@ def ring_centroids(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         my = np.add.reduceat(y, starts) / np.maximum(ends - starts, 1)
         out[bad, 0] = mx[bad]
         out[bad, 1] = my[bad]
+    # back to world frame (x/y were localized to each ring's first vertex)
+    if len(starts):
+        out[:, 0] += coords[starts, 0]
+        out[:, 1] += coords[starts, 1]
     return out
 
 
@@ -191,6 +209,62 @@ def clip_ring_to_box(ring: np.ndarray, minx: float, miny: float, maxx: float, ma
     return out
 
 
+def clip_line_to_box(
+    pts: np.ndarray, minx: float, miny: float, maxx: float, maxy: float
+) -> list[np.ndarray]:
+    """Clip a polyline to an axis-aligned box (Liang–Barsky per segment).
+
+    Returns a list of polyline pieces inside the box (the reference's
+    ``line.intersection(box)`` may likewise return MultiLineString;
+    vector_tile.py:311-316).  Adjacent surviving segments are merged.
+    """
+    pieces: list[list[np.ndarray]] = []
+    cur: list[np.ndarray] = []
+    for i in range(len(pts) - 1):
+        p0, p1 = pts[i], pts[i + 1]
+        d = p1 - p0
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for p, q in (
+            (-d[0], p0[0] - minx),
+            (d[0], maxx - p0[0]),
+            (-d[1], p0[1] - miny),
+            (d[1], maxy - p0[1]),
+        ):
+            if p == 0:
+                if q < 0:
+                    ok = False
+                    break
+            else:
+                r = q / p
+                if p < 0:
+                    if r > t1:
+                        ok = False
+                        break
+                    t0 = max(t0, r)
+                else:
+                    if r < t0:
+                        ok = False
+                        break
+                    t1 = min(t1, r)
+        if not ok or t0 > t1:
+            if cur:
+                pieces.append(cur)
+                cur = []
+            continue
+        a = p0 + t0 * d
+        b = p0 + t1 * d
+        if cur and np.allclose(cur[-1], a):
+            cur.append(b)
+        else:
+            if cur:
+                pieces.append(cur)
+            cur = [a, b]
+    if cur:
+        pieces.append(cur)
+    return [np.asarray(p) for p in pieces if len(p) >= 2]
+
+
 def _clip_by_halfplane(poly: np.ndarray, p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
     """Clip ``poly`` to the left half-plane of directed edge p0->p1."""
     if len(poly) == 0:
@@ -233,8 +307,12 @@ def convex_intersection_area(a: np.ndarray, b: np.ndarray) -> float:
     """
     if len(a) < 3 or len(b) < 3:
         return 0.0
+    # localize both polygons (shoelace cancellation at UTM magnitudes)
+    origin = a[0].copy()
+    a = np.asarray(a, dtype=np.float64) - origin
+    b = np.asarray(b, dtype=np.float64) - origin
     b = _ccw(b)
-    out = np.asarray(a, dtype=np.float64)
+    out = a
     n = len(b)
     for i in range(n):
         out = _clip_by_halfplane(out, b[i], b[(i + 1) % n])
@@ -254,10 +332,11 @@ def polygon_iou(a: np.ndarray, b: np.ndarray) -> float:
     inter = convex_intersection_area(a, b)
     if inter == 0.0:
         return 0.0
-    ax = a[:, 0]
-    ay = a[:, 1]
-    bx = b[:, 0]
-    by = b[:, 1]
+    origin = a[0]
+    ax = a[:, 0] - origin[0]
+    ay = a[:, 1] - origin[1]
+    bx = b[:, 0] - origin[0]
+    by = b[:, 1] - origin[1]
     area_a = abs(np.sum(ax * np.roll(ay, -1) - np.roll(ax, -1) * ay)) * 0.5
     area_b = abs(np.sum(bx * np.roll(by, -1) - np.roll(bx, -1) * by)) * 0.5
     union = area_a + area_b - inter

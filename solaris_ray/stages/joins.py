@@ -1,0 +1,471 @@
+"""Spatial joins — Solaris VectorTiler clip join, Ray-Data-first.
+
+Reference semantics (/root/reference/solaris/tile/vector_tile.py):
+``clip_gdf`` (:227-324) takes one tile's bounds, finds candidate
+features via an R-tree bbox query (``search_gdf_polygon`` :198-224),
+clips each to the tile box, and annotates:
+
+- ``origarea``   — pre-clip polygon area (:303-306)
+- ``origlen``    — pre-clip line length (:307-310)
+- ``partialDec`` — clipped/original area (or length) ratio (:303-310)
+- ``truncated``  — 1 when the clip lost any part (:313-316)
+- rows with ``partialDec < min_partial_perc`` are dropped (:296-300)
+
+Two physical strategies (SURVEY.md §2.4):
+
+1. **Broadcast join** (`BroadcastJoiner`): when the feature layer fits
+   in the object store, build one cell-bucketed index, ``ray.put`` it
+   once, and run an actor-pool ``map_batches`` over tile specs — each
+   actor deserializes the index once in ``__init__``.  No shuffle; this
+   mirrors the reference's single global ``gdf.sindex``
+   (solaris/eval/base.py:46) but distributed.
+2. **Cell-partitioned join** (`cell_partitioned_join`): both-sides
+   large.  Replicate each feature to every cell its bbox covers
+   (duplication factor logged), tag tiles with their cell, co-shuffle
+   with ``groupby(cell)`` and join inside each group.  Hot cells can be
+   pre-split one resolution finer (see ``cells.cell_children``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import cells
+from ..geom.poly import (
+    clip_line_to_box,
+    clip_ring_to_box,
+    ring_areas,
+    ring_lengths,
+)
+
+JOIN_SCHEMA = pa.schema(
+    [
+        ("tile_id", pa.string()),
+        ("image_id", pa.string()),
+        ("cell", pa.int64()),
+        ("feature_id", pa.int64()),
+        ("class", pa.string()),
+        ("xs", pa.list_(pa.float64())),
+        ("ys", pa.list_(pa.float64())),
+        ("origarea", pa.float64()),
+        ("origlen", pa.float64()),
+        ("partialDec", pa.float64()),
+        ("truncated", pa.int8()),
+    ]
+)
+
+
+class FeaturePack:
+    """Columnar feature layer: packed coords + bboxes + ids.
+
+    Built zero-copy-ish from an Arrow table with ``xs``/``ys`` list
+    columns (flattened values + offsets — the Arrow list layout IS the
+    packed-ring layout).
+    """
+
+    __slots__ = ("coords", "offsets", "bbox", "feature_id", "klass", "image_id", "is_poly", "origarea", "origlen")
+
+    def __init__(self, coords, offsets, bbox, feature_id, klass, image_id, is_poly):
+        self.coords = coords
+        self.offsets = offsets
+        self.bbox = bbox
+        self.feature_id = feature_id
+        self.klass = klass
+        self.image_id = image_id
+        self.is_poly = is_poly
+        self.origarea = np.where(is_poly, ring_areas(coords, offsets), 0.0)
+        self.origlen = np.where(
+            is_poly,
+            ring_lengths(coords, offsets, closed=True),
+            ring_lengths(coords, offsets, closed=False),
+        )
+
+    def __len__(self):
+        return len(self.feature_id)
+
+    @classmethod
+    def from_arrow(cls, tbl: pa.Table) -> "FeaturePack":
+        xs = tbl["xs"].combine_chunks()
+        ys = tbl["ys"].combine_chunks()
+        if isinstance(xs, pa.ChunkedArray):
+            xs = xs.chunk(0) if xs.num_chunks == 1 else pa.concat_arrays(xs.chunks)
+            ys = ys.chunk(0) if ys.num_chunks == 1 else pa.concat_arrays(ys.chunks)
+        offsets = xs.offsets.to_numpy().astype(np.int64)
+        coords = np.stack(
+            [xs.values.to_numpy(), ys.values.to_numpy()], axis=1
+        ).astype(np.float64)
+        klass = np.asarray(tbl["class"].to_pylist())
+        is_poly = klass != "road"
+        if "minx" in tbl.column_names:
+            bbox = np.stack(
+                [tbl[c].to_numpy() for c in ("minx", "miny", "maxx", "maxy")], axis=1
+            )
+        else:
+            starts = offsets[:-1]
+            x = coords[:, 0]
+            y = coords[:, 1]
+            bbox = np.stack(
+                [
+                    np.minimum.reduceat(x, starts),
+                    np.minimum.reduceat(y, starts),
+                    np.maximum.reduceat(x, starts),
+                    np.maximum.reduceat(y, starts),
+                ],
+                axis=1,
+            )
+        return cls(
+            coords,
+            offsets,
+            bbox,
+            tbl["feature_id"].to_numpy(),
+            klass,
+            np.asarray(tbl["image_id"].to_pylist()),
+            is_poly,
+        )
+
+    def ring(self, i: int) -> np.ndarray:
+        return self.coords[self.offsets[i] : self.offsets[i + 1]]
+
+
+def clip_features_to_tile(
+    pack: FeaturePack,
+    cand: np.ndarray,
+    tile_id: str,
+    image_id: str,
+    cell: int,
+    x0: float,
+    y0: float,
+    x1: float,
+    y1: float,
+    min_partial_perc: float,
+    out: dict,
+) -> None:
+    """Exact clip of candidate features against one tile box → rows.
+
+    The clip_gdf kernel (vector_tile.py:227-324) for one tile; appends
+    to ``out`` column lists.
+    """
+    for fi in cand:
+        ring = pack.ring(fi)
+        if pack.is_poly[fi]:
+            clipped = clip_ring_to_box(ring, x0, y0, x1, y1)
+            if len(clipped) < 3:
+                continue
+            offs = np.array([0, len(clipped)], dtype=np.int64)
+            newarea = float(ring_areas(clipped, offs)[0])
+            if newarea <= 0:
+                continue
+            partial = newarea / pack.origarea[fi] if pack.origarea[fi] > 0 else 0.0
+            partial = min(partial, 1.0)
+            if partial < min_partial_perc:
+                continue  # min_partial_perc filter (vector_tile.py:296-300)
+            xs_out = clipped[:, 0]
+            ys_out = clipped[:, 1]
+        else:
+            pieces = clip_line_to_box(ring, x0, y0, x1, y1)
+            if not pieces:
+                continue
+            newlen = sum(
+                float(ring_lengths(p, np.array([0, len(p)]), closed=False)[0])
+                for p in pieces
+            )
+            if newlen <= 0:
+                continue
+            partial = newlen / pack.origlen[fi] if pack.origlen[fi] > 0 else 0.0
+            partial = min(partial, 1.0)
+            if partial < min_partial_perc:
+                continue
+            merged = np.concatenate(pieces)
+            xs_out = merged[:, 0]
+            ys_out = merged[:, 1]
+        out["tile_id"].append(tile_id)
+        out["image_id"].append(image_id)
+        out["cell"].append(cell)
+        out["feature_id"].append(int(pack.feature_id[fi]))
+        out["class"].append(str(pack.klass[fi]))
+        out["xs"].append(xs_out.tolist())
+        out["ys"].append(ys_out.tolist())
+        out["origarea"].append(float(pack.origarea[fi]))
+        out["origlen"].append(float(pack.origlen[fi]))
+        out["partialDec"].append(float(partial))
+        out["truncated"].append(int(partial < 1.0 - 1e-12))
+
+
+def _empty_out() -> dict:
+    return {name: [] for name in JOIN_SCHEMA.names}
+
+
+def _out_to_table(out: dict) -> pa.Table:
+    return pa.table(
+        {name: pa.array(out[name], JOIN_SCHEMA.field(name).type) for name in JOIN_SCHEMA.names}
+    )
+
+
+def join_tile_batch_to_pack(
+    batch: pa.Table,
+    pack: FeaturePack,
+    buckets: dict[int, np.ndarray],
+    cell_res: int,
+    min_partial_perc: float,
+) -> pa.Table:
+    """Join a batch of tile-spec rows against a bucketed FeaturePack."""
+    out = _empty_out()
+    tid = batch["tile_id"].to_pylist()
+    iid = batch["image_id"].to_pylist()
+    cell_col = batch["cell"].to_numpy() if "cell" in batch.column_names else None
+    x0 = batch["x0"].to_numpy()
+    y0 = batch["y0"].to_numpy()
+    x1 = batch["x1"].to_numpy()
+    y1 = batch["y1"].to_numpy()
+    for i in range(batch.num_rows):
+        tcells = cells.cover_bbox(x0[i], y0[i], x1[i], y1[i], cell_res)
+        cand_lists = [buckets[c] for c in tcells.tolist() if c in buckets]
+        if not cand_lists:
+            continue
+        cand = np.unique(np.concatenate(cand_lists))
+        b = pack.bbox[cand]
+        hit = (b[:, 0] < x1[i]) & (b[:, 2] > x0[i]) & (b[:, 1] < y1[i]) & (b[:, 3] > y0[i])
+        cand = cand[hit]
+        if len(cand) == 0:
+            continue
+        cell = int(cell_col[i]) if cell_col is not None else int(
+            cells.cell_of_point(
+                np.array([(x0[i] + x1[i]) / 2]), np.array([(y0[i] + y1[i]) / 2]), cell_res
+            )[0]
+        )
+        clip_features_to_tile(
+            pack, cand, tid[i], iid[i], cell, x0[i], y0[i], x1[i], y1[i], min_partial_perc, out
+        )
+    return _out_to_table(out)
+
+
+def build_buckets(pack: FeaturePack, cell_res: int) -> dict[int, np.ndarray]:
+    """cell id -> array of feature indices whose bbox covers the cell."""
+    rows, cc = cells.cover_bboxes(
+        pack.bbox[:, 0], pack.bbox[:, 1], pack.bbox[:, 2], pack.bbox[:, 3], cell_res
+    )
+    order = np.argsort(cc, kind="stable")
+    cc = cc[order]
+    rows = rows[order]
+    uniq, starts = np.unique(cc, return_index=True)
+    ends = np.append(starts[1:], len(cc))
+    return {int(u): rows[s:e] for u, s, e in zip(uniq.tolist(), starts, ends)}
+
+
+class BroadcastJoiner:
+    """Actor-pool map_batches body: tile specs × broadcast feature layer.
+
+    ``features_ref`` is a ``ray.put`` handle to the features Arrow
+    table — fetched and indexed ONCE per actor in ``__init__`` (the
+    actor-pool analogue of the reference's per-process
+    ``Pool(initializer=...)`` broadcast, solaris/vector/graph.py:341-349).
+    """
+
+    def __init__(self, features_ref, cell_res: int = 13, min_partial_perc: float = 0.0):
+        import ray
+
+        tbl = ray.get(features_ref) if not isinstance(features_ref, pa.Table) else features_ref
+        self.pack = FeaturePack.from_arrow(tbl)
+        self.cell_res = cell_res
+        self.min_partial_perc = min_partial_perc
+        self.buckets = build_buckets(self.pack, cell_res)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return join_tile_batch_to_pack(
+            batch, self.pack, self.buckets, self.cell_res, self.min_partial_perc
+        )
+
+
+def broadcast_spatial_join(
+    tile_specs,
+    features: pa.Table,
+    cell_res: int = 13,
+    min_partial_perc: float = 0.0,
+    concurrency: int = 4,
+):
+    """tiles Dataset × in-memory features table → tile_features Dataset."""
+    import ray
+
+    ref = ray.put(features)
+    return tile_specs.map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs={
+            "features_ref": ref,
+            "cell_res": cell_res,
+            "min_partial_perc": min_partial_perc,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+
+# --- cell-partitioned (both sides large) ---------------------------------
+
+def _tag_features_with_cells(batch: pa.Table, cell_res: int) -> pa.Table:
+    """Replicate features to every covered cell (the shuffle key)."""
+    rows, cc = cells.cover_bboxes(
+        batch["minx"].to_numpy(),
+        batch["miny"].to_numpy(),
+        batch["maxx"].to_numpy(),
+        batch["maxy"].to_numpy(),
+        cell_res,
+    )
+    rep = batch.take(pa.array(rows))
+    rep = rep.append_column("cell", pa.array(cc.astype(np.int64), pa.int64()))
+    return rep
+
+
+def cell_partitioned_join(
+    tile_specs,
+    features,
+    cell_res: int = 13,
+    min_partial_perc: float = 0.0,
+):
+    """Both-sides-large spatial join via groupby(cell) co-shuffle.
+
+    Features are replicated to covered cells (measured duplication
+    factor is cheap: count(replicated)/count(features)); tiles carry
+    their center cell.  Tiles never span a cell at sane resolutions
+    (tile 64 m « cell 2 km), so the center cell is sufficient — the
+    rare boundary-straddling tile is also replicated via its bbox
+    cover to stay exact.
+    """
+    feats_tagged = features.map_batches(
+        lambda b: _tag_features_with_cells(b, cell_res),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+
+    def _tag_tiles(batch: pa.Table) -> pa.Table:
+        rows, cc = cells.cover_bboxes(
+            batch["x0"].to_numpy(),
+            batch["y0"].to_numpy(),
+            batch["x1"].to_numpy(),
+            batch["y1"].to_numpy(),
+            cell_res,
+        )
+        rep = batch.take(pa.array(rows))
+        return rep.set_column(
+            rep.schema.get_field_index("cell"), "cell", pa.array(cc.astype(np.int64), pa.int64())
+        )
+
+    tiles_tagged = tile_specs.map_batches(_tag_tiles, batch_format="pyarrow", batch_size=8192)
+
+    # co-group: union with a side tag; schemas aligned with nulls
+    t_side = tiles_tagged.map_batches(
+        lambda b: _pad_side(b, 0), batch_format="pyarrow", batch_size=8192
+    )
+    f_side = feats_tagged.map_batches(
+        lambda b: _pad_side(b, 1), batch_format="pyarrow", batch_size=8192
+    )
+    both = t_side.union(f_side)
+
+    def _join_group(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        tiles = group.filter(pa.array(side == 0))
+        feats = group.filter(pa.array(side == 1))
+        if tiles.num_rows == 0 or feats.num_rows == 0:
+            return _out_to_table(_empty_out())
+        ftbl = pa.table(
+            {
+                "feature_id": feats["feature_id"],
+                "image_id": feats["f_image_id"],
+                "class": feats["class"],
+                "xs": feats["xs"],
+                "ys": feats["ys"],
+                "minx": feats["minx"],
+                "miny": feats["miny"],
+                "maxx": feats["maxx"],
+                "maxy": feats["maxy"],
+            }
+        )
+        pack = FeaturePack.from_arrow(ftbl)
+        # within one cell: bbox all-pairs prefilter (groups are small;
+        # hot cells are split upstream)
+        out = _empty_out()
+        tid = tiles["tile_id"].to_pylist()
+        iid = tiles["t_image_id"].to_pylist()
+        cellv = tiles["cell"].to_numpy()
+        x0 = tiles["x0"].to_numpy()
+        y0 = tiles["y0"].to_numpy()
+        x1 = tiles["x1"].to_numpy()
+        y1 = tiles["y1"].to_numpy()
+        this_cell = int(cellv[0])
+        for i in range(tiles.num_rows):
+            b = pack.bbox
+            hit = (b[:, 0] < x1[i]) & (b[:, 2] > x0[i]) & (b[:, 1] < y1[i]) & (b[:, 3] > y0[i])
+            # dedup guard: emit a (tile, feature) pair only in the cell
+            # that owns the intersection's min corner, so replicated
+            # copies on both sides can't double-count
+            cand = np.nonzero(hit)[0]
+            if len(cand) == 0:
+                continue
+            ix0 = np.maximum(b[cand, 0], x0[i])
+            iy0 = np.maximum(b[cand, 1], y0[i])
+            owner = cells.cell_of_point(ix0, iy0, _cell_res_of(this_cell)).astype(np.int64)
+            cand = cand[owner == this_cell]
+            if len(cand) == 0:
+                continue
+            clip_features_to_tile(
+                pack, cand, tid[i], iid[i], this_cell,
+                x0[i], y0[i], x1[i], y1[i], min_partial_perc, out,
+            )
+        return _out_to_table(out)
+
+    return both.groupby("cell").map_groups(_join_group, batch_format="pyarrow")
+
+
+def _cell_res_of(cell: int) -> int:
+    return int(np.uint64(cell) >> np.uint64(58))
+
+
+def _pad_side(batch: pa.Table, side: int) -> pa.Table:
+    """Align tile-spec and feature schemas for union (null-padded)."""
+    n = batch.num_rows
+    nulls_f64 = pa.nulls(n, pa.float64())
+    nulls_str = pa.nulls(n, pa.string())
+    nulls_i64 = pa.nulls(n, pa.int64())
+    nulls_list = pa.nulls(n, pa.list_(pa.float64()))
+    if side == 0:
+        cols = {
+            "cell": batch["cell"],
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "tile_id": batch["tile_id"],
+            "t_image_id": batch["image_id"],
+            "x0": batch["x0"],
+            "y0": batch["y0"],
+            "x1": batch["x1"],
+            "y1": batch["y1"],
+            "feature_id": nulls_i64,
+            "f_image_id": nulls_str,
+            "class": nulls_str,
+            "xs": nulls_list,
+            "ys": nulls_list,
+            "minx": nulls_f64,
+            "miny": nulls_f64,
+            "maxx": nulls_f64,
+            "maxy": nulls_f64,
+        }
+    else:
+        cols = {
+            "cell": batch["cell"],
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "tile_id": nulls_str,
+            "t_image_id": nulls_str,
+            "x0": nulls_f64,
+            "y0": nulls_f64,
+            "x1": nulls_f64,
+            "y1": nulls_f64,
+            "feature_id": batch["feature_id"],
+            "f_image_id": batch["image_id"],
+            "class": batch["class"],
+            "xs": batch["xs"],
+            "ys": batch["ys"],
+            "minx": batch["minx"],
+            "miny": batch["miny"],
+            "maxx": batch["maxx"],
+            "maxy": batch["maxy"],
+        }
+    return pa.table(cols)

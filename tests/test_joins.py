@@ -1,0 +1,149 @@
+"""Spatial-join (vector tiler) tests.
+
+Parity targets (BASELINE.json north_rule): join output ROW COUNTS and
+tile assignments must match reference semantics exactly.  The oracle
+here is a brute-force single-process clip over all (tile, feature)
+pairs — the same quadratic loop the reference effectively runs
+(vector_tile.py: per-tile R-tree search + clip).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from solaris_ray.geom.poly import clip_ring_to_box, clip_line_to_box, ring_areas, ring_lengths
+from solaris_ray.sources.synth import gen_shard
+from solaris_ray.stages.joins import (
+    BroadcastJoiner,
+    FeaturePack,
+    build_buckets,
+    join_tile_batch_to_pack,
+)
+from solaris_ray.stages.tiler import plan_tiles
+
+
+def brute_force_join(plan: pa.Table, feats: pa.Table, min_partial_perc: float = 0.0):
+    """O(T*F) oracle: (tile_id, feature_id, partialDec) triples."""
+    rows = []
+    pack = FeaturePack.from_arrow(feats)
+    for t in plan.to_pylist():
+        for fi in range(len(pack)):
+            ring = pack.ring(fi)
+            b = pack.bbox[fi]
+            if not (b[0] < t["x1"] and b[2] > t["x0"] and b[1] < t["y1"] and b[3] > t["y0"]):
+                continue
+            if pack.is_poly[fi]:
+                clipped = clip_ring_to_box(ring, t["x0"], t["y0"], t["x1"], t["y1"])
+                if len(clipped) < 3:
+                    continue
+                area = float(ring_areas(clipped, np.array([0, len(clipped)]))[0])
+                if area <= 0:
+                    continue
+                partial = min(area / pack.origarea[fi], 1.0)
+            else:
+                pieces = clip_line_to_box(ring, t["x0"], t["y0"], t["x1"], t["y1"])
+                if not pieces:
+                    continue
+                ln = sum(
+                    float(ring_lengths(p, np.array([0, len(p)]), closed=False)[0])
+                    for p in pieces
+                )
+                if ln <= 0:
+                    continue
+                partial = min(ln / pack.origlen[fi], 1.0)
+            if partial < min_partial_perc:
+                continue
+            rows.append((t["tile_id"], int(pack.feature_id[fi]), partial))
+    return sorted(rows)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    imgs, feats = gen_shard(np.arange(12), 12, seed=42, size=256)
+    plan = plan_tiles(imgs, tile_size=128)
+    return imgs, feats, plan
+
+
+class TestLocalJoin:
+    def test_broadcast_kernel_matches_brute_force(self, corpus):
+        imgs, feats, plan = corpus
+        pack = FeaturePack.from_arrow(feats)
+        buckets = build_buckets(pack, cell_res=13)
+        got = join_tile_batch_to_pack(plan, pack, buckets, 13, 0.0)
+        got_rows = sorted(
+            zip(
+                got["tile_id"].to_pylist(),
+                got["feature_id"].to_pylist(),
+                got["partialDec"].to_pylist(),
+            )
+        )
+        want = brute_force_join(plan, feats)
+        assert [(a, b) for a, b, _ in got_rows] == [(a, b) for a, b, _ in want]
+        np.testing.assert_allclose(
+            [p for *_, p in got_rows], [p for *_, p in want], rtol=1e-12
+        )
+
+    def test_min_partial_perc_filter(self, corpus):
+        imgs, feats, plan = corpus
+        pack = FeaturePack.from_arrow(feats)
+        buckets = build_buckets(pack, cell_res=13)
+        all_rows = join_tile_batch_to_pack(plan, pack, buckets, 13, 0.0)
+        kept = join_tile_batch_to_pack(plan, pack, buckets, 13, 0.5)
+        n_expected = sum(1 for p in all_rows["partialDec"].to_pylist() if p >= 0.5)
+        assert kept.num_rows == n_expected < all_rows.num_rows
+
+    def test_straddling_features_split_and_truncated(self, corpus):
+        """A feature crossing a tile boundary appears in >1 tile with
+        partialDec < 1 and truncated=1 (clip_gdf semantics)."""
+        imgs, feats, plan = corpus
+        pack = FeaturePack.from_arrow(feats)
+        buckets = build_buckets(pack, cell_res=13)
+        got = join_tile_batch_to_pack(plan, pack, buckets, 13, 0.0)
+        fid = np.asarray(got["feature_id"].to_pylist())
+        partial = np.asarray(got["partialDec"].to_pylist())
+        trunc = np.asarray(got["truncated"].to_pylist())
+        multi = [f for f in np.unique(fid) if (fid == f).sum() > 1]
+        assert multi, "corpus must contain boundary-straddling features"
+        for f in multi[:5]:
+            m = fid == f
+            assert (partial[m] < 1.0).all()
+            assert trunc[m].all()
+        # partialDec of polygon pieces sums to ~1 across the OWNING
+        # image's tiles (images overlap spatially, so other images'
+        # tiles may add extra pieces — exclude them)
+        polys = np.asarray(got["class"].to_pylist()) == "building"
+        tile_img = np.asarray(got["image_id"].to_pylist())
+        feat_img = dict(
+            zip(feats["feature_id"].to_pylist(), feats["image_id"].to_pylist())
+        )
+        for f in multi[:5]:
+            m = (fid == f) & polys & (tile_img == feat_img[int(f)])
+            if m.any():
+                assert abs(partial[m].sum() - 1.0) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoinOnRay:
+    def test_broadcast_join_dataset(self, corpus):
+        import ray.data as rd
+
+        from solaris_ray.stages.joins import broadcast_spatial_join
+
+        imgs, feats, plan = corpus
+        ds = broadcast_spatial_join(rd.from_arrow(plan), feats, concurrency=2)
+        got = ds.to_pandas()
+        want = brute_force_join(plan, feats)
+        got_pairs = sorted(zip(got["tile_id"], got["feature_id"]))
+        assert got_pairs == [(a, b) for a, b, _ in want]
+
+    def test_cell_partitioned_equals_broadcast(self, corpus):
+        import ray.data as rd
+
+        from solaris_ray.stages.joins import cell_partitioned_join
+
+        imgs, feats, plan = corpus
+        ds = cell_partitioned_join(rd.from_arrow(plan), rd.from_arrow(feats))
+        got = ds.to_pandas()
+        want = brute_force_join(plan, feats)
+        got_pairs = sorted(zip(got["tile_id"], got["feature_id"]))
+        assert got_pairs == [(a, b) for a, b, _ in want]
