@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init()`` / ``ray.shutdown()`` happens here or in the library.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``     — flagship pipeline over /root/testdata/sf0.001.
+- ``queries()``   — one callable per implemented operator/pipeline
+                    (SURVEY.md §2 coverage; solaris_ray.pipelines.queries).
+- ``oracle_sql()``— DuckDB-runnable ANSI SQL twins for the
+                    SQL-expressible subset (same column names; integer
+                    outputs or bit-identical float derivations).
 """
 
 from __future__ import annotations
@@ -18,27 +16,48 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from solaris_ray.runtime import ensure_importable, ensure_shippable
+
+ensure_importable()
+ensure_shippable()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: tile-grid plan over part-derived
+    imagery, clip spatial join against customer-derived footprints,
+    per-cell rollup of join rows (the tiles+join-rows headline path)."""
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from solaris_ray.pipelines import queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    joined = Q.q_clip_join(sf_dir)
+    agg = (
+        joined.map_batches(
+            lambda b: pa.table(
+                {
+                    "tile_id": b["tile_id"],
+                    "truncated": pc.cast(b["truncated"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("tile_id")
+        .aggregate(Count(), Sum("truncated"))
+    )
+    return agg
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from solaris_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from solaris_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,74 @@
+"""Flagship pipeline: synthetic image corpus -> tiles -> spatial join.
+
+This is the headline tiles+join-rows/sec path from BASELINE.json:
+decode + tile + encode every image (RasterTiler semantics), then clip
+spatial join of tile bounds against the building/road feature layer
+(VectorTiler semantics).  The corpus is generated distributed — a
+trillion-image table is just index ranges fanned out (sources.synth is
+a pure function of (i, seed)).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources import synth
+from ..stages import tiler
+from ..stages.joins import broadcast_spatial_join
+
+
+def synthetic_images_ds(n_images: int, seed: int = 42, size: int = 256,
+                        blocks: int | None = None):
+    """Distributed corpus generation: range(n) -> map_batches(gen)."""
+    import ray
+
+    ds = ray.data.range(n_images, override_num_blocks=blocks or max(8, n_images // 32))
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy()
+        images, _ = synth.gen_shard(idx, n_images, seed, size)
+        return images
+
+    return ds.map_batches(_gen, batch_format="pyarrow", batch_size=16)
+
+
+def synthetic_features_table(n_images: int, seed: int = 42, size: int = 256) -> pa.Table:
+    """Feature layer for the same corpus (no pixel cost, driver-side)."""
+    return synth.gen_features_shard(np.arange(n_images), n_images, seed, size)
+
+
+def flagship(n_images: int = 400, seed: int = 42, size: int = 256,
+             tile_size: int = 128, concurrency: int | None = None) -> dict:
+    """Run generate -> tile -> join; return counts + timings.
+
+    Tiles are materialized once (bytes stay in the object store); the
+    join streams over the bounds columns only — pixels never enter the
+    shuffle (SURVEY.md §7: prune at the stage boundary).
+    """
+    t0 = time.time()
+    images = synthetic_images_ds(n_images, seed, size)
+    tiles = tiler.cut_tiles(images, tile_size=tile_size, batch_size=8).materialize()
+    n_tiles = tiles.count()
+    t_tiles = time.time() - t0
+
+    feats = synthetic_features_table(n_images, seed, size)
+    t1 = time.time()
+    specs = tiles.select_columns(["tile_id", "image_id", "cell", "x0", "y0", "x1", "y1"])
+    joined = broadcast_spatial_join(
+        specs, feats, cell_res=13, concurrency=concurrency or 4
+    )
+    n_join = joined.count()
+    t_join = time.time() - t1
+    total = time.time() - t0
+    return {
+        "n_images": n_images,
+        "n_tiles": n_tiles,
+        "n_join_rows": n_join,
+        "tiles_sec": round(t_tiles, 3),
+        "join_sec": round(t_join, 3),
+        "total_sec": round(total, 3),
+        "tiles_join_rows_per_sec": round((n_tiles + n_join) / total, 1),
+    }

@@ -1,0 +1,680 @@
+"""Driver-gate query pipelines over the testdata parquet tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Ray Dataset (or
+pyarrow Table); ``ORACLES`` carries the ANSI-SQL equivalent DuckDB runs
+on the same parquet for the row-count/schema/value-hash comparison.
+
+Spatial inputs are derived *deterministically* from the TPC-H-ish
+tables with pure integer arithmetic (exact in float64), so the Ray
+engine and the SQL oracle compute bit-identical geometry:
+
+- tiles:    part row p -> 64x64 box at ((p%50)*64, ((p//50)%50)*64)
+- points:   events row e -> ((e*7919) % 3200, (e*104729) % 3200)
+- features: customer row c -> rectangle centered at
+            ((c*97) % 3200, (c*71) % 3200), half-extent
+            (10 + c%40, 10 + c%23)
+
+Floats appearing in outputs are either exact integer-valued doubles or
+divisions/roundings of the same operands on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..geom import cells
+from ..stages import ann, dedup, knn, pip, text, tiler
+from ..stages.joins import broadcast_spatial_join
+
+GRID = 50
+TILE = 64.0
+MODW = 3200  # world is a 3200x3200 box at cell res 13 (edge 2048)
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _i64(tbl: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index(c), c, pc.cast(tbl[c], pa.int64())
+        )
+    return tbl
+
+
+# --- derived inputs ------------------------------------------------------
+
+def _part_images(batch: pa.Table) -> pa.Table:
+    """part rows -> image-metadata rows for the tile-grid planner."""
+    p = batch["p_partkey"].to_numpy()
+    return pa.table(
+        {
+            "image_id": pa.array(["img_" + str(int(k)) for k in p], pa.string()),
+            "w": pa.array((128 * (1 + p % 3)).astype(np.int32)),
+            "h": pa.array((128 * (1 + p % 2)).astype(np.int32)),
+            "gt_a": pa.array(np.full(len(p), 0.5)),
+            "gt_b": pa.array(np.zeros(len(p))),
+            "gt_c": pa.array(((p % GRID) * TILE).astype(np.float64)),
+            "gt_d": pa.array(np.zeros(len(p))),
+            "gt_e": pa.array(np.full(len(p), -0.5)),
+            "gt_f": pa.array(((p // GRID % GRID) * TILE).astype(np.float64)),
+        }
+    )
+
+
+def _part_boxes(sf_dir: str) -> pa.Table:
+    """part rows -> box features (feature_id = p_partkey)."""
+    p = _pq(sf_dir, "part", ["p_partkey"])["p_partkey"].to_numpy()
+    x0 = ((p % GRID) * TILE).astype(np.float64)
+    y0 = ((p // GRID % GRID) * TILE).astype(np.float64)
+    return pa.table(
+        {
+            "feature_id": pa.array(p.astype(np.int64)),
+            "minx": pa.array(x0),
+            "miny": pa.array(y0),
+            "maxx": pa.array(x0 + TILE),
+            "maxy": pa.array(y0 + TILE),
+        }
+    )
+
+
+def _event_points(sf_dir: str, limit_ids: int | None = None):
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy()
+        if limit_ids is not None:
+            e = e[e < limit_ids]
+        return pa.table(
+            {
+                "point_id": pa.array(e.astype(np.int64)),
+                "x": pa.array(((e * 7919) % MODW).astype(np.float64)),
+                "y": pa.array(((e * 104729) % MODW).astype(np.float64)),
+            }
+        )
+
+    return ds.map_batches(_derive, batch_format="pyarrow", batch_size=8192)
+
+
+def _customer_rects(sf_dir: str) -> pa.Table:
+    """customer rows -> rectangle ring features (the clip-join layer)."""
+    c = _pq(sf_dir, "customer", ["c_custkey"])["c_custkey"].to_numpy()
+    cx = ((c * 97) % MODW).astype(np.float64)
+    cy = ((c * 71) % MODW).astype(np.float64)
+    hw = (10 + c % 40).astype(np.float64)
+    hh = (10 + c % 23).astype(np.float64)
+    n = len(c)
+    xs = np.stack([cx - hw, cx + hw, cx + hw, cx - hw], axis=1)
+    ys = np.stack([cy - hh, cy - hh, cy + hh, cy + hh], axis=1)
+    return pa.table(
+        {
+            "feature_id": pa.array(c.astype(np.int64)),
+            "image_id": pa.array([""] * n, pa.string()),
+            "class": pa.array(["building"] * n, pa.string()),
+            "xs": pa.array(xs.tolist(), pa.list_(pa.float64())),
+            "ys": pa.array(ys.tolist(), pa.list_(pa.float64())),
+            "minx": pa.array(cx - hw),
+            "miny": pa.array(cy - hh),
+            "maxx": pa.array(cx + hw),
+            "maxy": pa.array(cy + hh),
+        }
+    )
+
+
+def _customer_centroids(sf_dir: str) -> pa.Table:
+    c = _pq(sf_dir, "customer", ["c_custkey"])["c_custkey"].to_numpy()
+    return pa.table(
+        {
+            "feature_id": pa.array(c.astype(np.int64)),
+            "cx": pa.array(((c * 97) % MODW).astype(np.float64)),
+            "cy": pa.array(((c * 71) % MODW).astype(np.float64)),
+        }
+    )
+
+
+# --- spatial queries -----------------------------------------------------
+
+def q_tile_plan(sf_dir: str):
+    """Tile-grid fan-out (RasterTiler.tile_generator grid, no pixels)."""
+    images = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        _part_images, batch_format="pyarrow", batch_size=4096
+    )
+    tiles = tiler.plan_tiles_ds(images, tile_size=128, cell_res=13)
+    return tiles.map_batches(
+        lambda b: _i64(b, ["col", "row"]), batch_format="pyarrow"
+    )
+
+
+def q_pip_count(sf_dir: str):
+    """Point-in-box join + per-tile count (vectorized PIP)."""
+    from ray.data.aggregate import Count
+
+    pts = _event_points(sf_dir)
+    matches = pip.broadcast_pip_join(pts, _part_boxes(sf_dir), cell_res=13, exact=False)
+    agg = matches.groupby("feature_id").aggregate(Count())
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"tile_id": pc.cast(b["feature_id"], pa.int64()), "n_points": pc.cast(b["count()"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_clip_join(sf_dir: str):
+    """Tile x rectangle clip join with origarea/partialDec/truncated
+    (clip_gdf semantics, /root/reference/solaris/tile/vector_tile.py:227-324)."""
+    p = _read(sf_dir, "part", ["p_partkey"])
+
+    def _tiles(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy()
+        x0 = ((k % GRID) * TILE).astype(np.float64)
+        y0 = ((k // GRID % GRID) * TILE).astype(np.float64)
+        return pa.table(
+            {
+                "tile_id": pa.array([str(int(v)) for v in k], pa.string()),
+                "image_id": pa.array([""] * len(k), pa.string()),
+                "x0": pa.array(x0),
+                "y0": pa.array(y0),
+                "x1": pa.array(x0 + TILE),
+                "y1": pa.array(y0 + TILE),
+            }
+        )
+
+    tiles = p.map_batches(_tiles, batch_format="pyarrow", batch_size=4096)
+    joined = broadcast_spatial_join(tiles, _customer_rects(sf_dir), cell_res=13)
+    return joined.map_batches(
+        lambda b: _i64(
+            b.select(["tile_id", "feature_id", "origarea", "origlen", "partialDec", "truncated"]),
+            ["truncated"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_knn_join(sf_dir: str):
+    """k=3 nearest feature centroids per point (ring-expansion kNN)."""
+    pts = _event_points(sf_dir, limit_ids=2000)
+    out = knn.broadcast_knn_join(pts, _customer_centroids(sf_dir), k=3, cell_res=13)
+    return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
+
+
+def q_cell_assign(sf_dir: str):
+    """H3-style cell assignment at res 16 (edge 256) + parent at res 13."""
+    pts = _event_points(sf_dir)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        c16 = cells.cell_of_point(x, y, 16)
+        c13 = cells.cell_parent(c16, 13)
+        return pa.table(
+            {
+                "point_id": batch["point_id"],
+                "cell16": pa.array(c16.astype(np.int64)),
+                "cell13": pa.array(c13.astype(np.int64)),
+            }
+        )
+
+    return pts.map_batches(_assign, batch_format="pyarrow", batch_size=8192)
+
+
+def q_cell_hist(sf_dir: str):
+    """Cell-occupancy histogram (the skew diagnostic)."""
+    from ray.data.aggregate import Count
+
+    agg = q_cell_assign(sf_dir).groupby("cell16").aggregate(Count())
+    return agg.map_batches(
+        lambda b: pa.table({"cell16": b["cell16"], "n": pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+# --- relational / rollup -------------------------------------------------
+
+def q_f1_rollup(sf_dir: str):
+    """Challenge-style rollup: sum counts per bucket THEN recompute
+    P/R/F1 (not mean-of-F1s — /root/reference/solaris/eval/challenges.py:62-87).
+    Partial counts are pre-aggregated inside map_batches (combiner)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        bucket = (batch["user_id"].to_numpy() % 10).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        out = {}
+        uniq = np.unique(bucket)
+        tp = np.array([(et[bucket == b] == "click").sum() for b in uniq], dtype=np.int64)
+        fp = np.array([(et[bucket == b] == "view").sum() for b in uniq], dtype=np.int64)
+        fn = np.array([(et[bucket == b] == "error").sum() for b in uniq], dtype=np.int64)
+        return pa.table({"bucket": uniq, "tp": tp, "fp": fp, "fn": fn})
+
+    partial = ev.map_batches(_partial, batch_format="pyarrow", batch_size=8192)
+    summed = partial.groupby("bucket").aggregate(Sum("tp"), Sum("fp"), Sum("fn"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        tp = pc.cast(b["sum(tp)"], pa.int64()).to_numpy().astype(np.float64)
+        fp = pc.cast(b["sum(fp)"], pa.int64()).to_numpy().astype(np.float64)
+        fn = pc.cast(b["sum(fn)"], pa.int64()).to_numpy().astype(np.float64)
+        prec = np.where(tp + fp == 0, 0.0, tp / (tp + fp))
+        rec = np.where(tp + fn == 0, 0.0, tp / (tp + fn))
+        f1 = np.where(prec + rec == 0, 0.0, 2 * prec * rec / (prec + rec))
+        return pa.table(
+            {
+                "bucket": b["bucket"],
+                "tp": pa.array(tp.astype(np.int64)),
+                "fp": pa.array(fp.astype(np.int64)),
+                "fn": pa.array(fn.astype(np.int64)),
+                "precision": pa.array(prec),
+                "recall": pa.array(rec),
+                "f1": pa.array(f1),
+            }
+        )
+
+    return summed.map_batches(_final, batch_format="pyarrow")
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window per event_type (count + exact cent sum)."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        hour_us = pc.cast(pc.cast(hour, pa.int64()), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return pa.table(
+            {"hour_us": hour_us, "event_type": batch["event_type"], "cents": cents}
+        )
+
+    agg = (
+        ev.map_batches(_derive, batch_format="pyarrow", batch_size=8192)
+        .groupby(["hour_us", "event_type"])
+        .aggregate(Count(), Sum("cents"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "hour_us": b["hour_us"],
+                "event_type": b["event_type"],
+                "n": pc.cast(b["count()"], pa.int64()),
+                "sum_cents": pc.cast(b["sum(cents)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_lineitem_agg(sf_dir: str):
+    """Pricing-summary style partial+final aggregate over lineitem."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(zero_copy_only=False),
+                "l_linestatus": batch["l_linestatus"].to_numpy(zero_copy_only=False),
+                "qty": np.round(batch["l_quantity"].to_numpy()).astype(np.int64),
+                "cents": np.round(batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(n_rows=("qty", "size"), sum_qty=("qty", "sum"), sum_price_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = li.map_batches(_partial, batch_format="pyarrow", batch_size=16384)
+    agg = partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("n_rows"), Sum("sum_qty"), Sum("sum_price_cents")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "n_rows": pc.cast(b["sum(n_rows)"], pa.int64()),
+                "sum_qty": pc.cast(b["sum(sum_qty)"], pa.int64()),
+                "sum_price_cents": pc.cast(b["sum(sum_price_cents)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_top_docs(sf_dir: str):
+    """Global sort + limit (longest documents)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return docs.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+# --- text / dedup --------------------------------------------------------
+
+def q_token_count(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text.token_counts, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def q_quality(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text.quality_scores, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def q_lang_id(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text.lang_id, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text.md5_fingerprint, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    return dedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_jaccard_adjacent(sf_dir: str):
+    return dedup.jaccard_adjacent(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_embed_neardup(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup.embedding_neardup_pairs(ds, _pq(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.4)
+
+
+def q_ann_topk(sf_dir: str):
+    tbl = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mask = pc.less(tbl["vec_id"], 10)
+    q = tbl.filter(mask)
+    qids = q["vec_id"].to_numpy().astype(np.int64)
+    qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann.brute_topk(ds, qids, qmat, k=5)
+    return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
+
+
+# --- engine-only (no SQL oracle; driver records rows-only) ---------------
+
+def q_minhash_pairs(sf_dir: str):
+    return dedup.minhash_candidate_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_simhash(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        dedup.simhash64, batch_format="pyarrow", batch_size=1024
+    )
+
+
+def q_winnow(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text.winnow_fingerprints, batch_format="pyarrow", batch_size=1024
+    )
+
+
+def q_lsh_ann(sf_dir: str):
+    tbl = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = tbl.filter(pc.less(tbl["vec_id"], 10))
+    qids = q["vec_id"].to_numpy().astype(np.int64)
+    qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.lsh_topk(ds, qids, qmat, k=5)
+
+
+def q_tiles_pipeline(sf_dir: str):
+    """Flagship raster tiler on the synthetic image corpus (input_hint
+    schema) — decode + slice + encode; bytes dropped from the result."""
+    import ray
+
+    from ..sources import synth
+
+    n = 16
+    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    ds = ray.data.from_arrow(images)
+    tiles = tiler.cut_tiles(ds, tile_size=128, batch_size=4)
+    return tiles.drop_columns(["bytes"])
+
+
+def q_tile_feature_join(sf_dir: str):
+    """Flagship spatial join on the synthetic corpus: planned tile grid
+    x building/road features, clip semantics."""
+    import ray
+
+    from ..sources import synth
+
+    n = 24
+    images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
+    specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
+    joined = broadcast_spatial_join(specs, features, cell_res=13)
+    return joined.drop_columns(["xs", "ys"])
+
+
+# --- registry ------------------------------------------------------------
+
+QUERIES = {
+    "tile_plan": q_tile_plan,
+    "pip_count": q_pip_count,
+    "clip_join": q_clip_join,
+    "knn_join": q_knn_join,
+    "cell_assign": q_cell_assign,
+    "cell_hist": q_cell_hist,
+    "f1_rollup": q_f1_rollup,
+    "events_window": q_events_window,
+    "lineitem_agg": q_lineitem_agg,
+    "top_docs": q_top_docs,
+    "token_count": q_token_count,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "jaccard_adjacent": q_jaccard_adjacent,
+    "embed_neardup": q_embed_neardup,
+    "ann_topk": q_ann_topk,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "winnow": q_winnow,
+    "lsh_ann": q_lsh_ann,
+    "tiles_pipeline": q_tiles_pipeline,
+    "tile_feature_join": q_tile_feature_join,
+}
+
+_PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_STOP_EN = "\\b(the|and|of|to|is)\\b"
+
+ORACLES: dict[str, str] = {
+    "tile_plan": f"""
+WITH img AS (
+  SELECT 'img_' || CAST(p_partkey AS VARCHAR) AS image_id,
+         1 + p_partkey % 3 AS nx, 1 + p_partkey % 2 AS ny,
+         CAST((p_partkey % {GRID}) * 64 AS DOUBLE) AS cx,
+         CAST(((p_partkey // {GRID}) % {GRID}) * 64 AS DOUBLE) AS cy
+  FROM part),
+t AS (
+  SELECT image_id, col, row,
+         cx + 64*col AS x0, cy - 64*(row+1) AS y0,
+         cx + 64*(col+1) AS x1, cy - 64*row AS y1
+  FROM img, range(0,3) rc(col), range(0,2) rr(row)
+  WHERE col < nx AND row < ny)
+SELECT image_id || '_' || CAST(CAST(round(x0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(round(y0) AS BIGINT) AS VARCHAR) AS tile_id,
+       image_id,
+       (CAST(13 AS BIGINT) << 58)
+         | (CAST(floor(((x0+x1)/2 + 8388608)/2048) AS BIGINT) << 29)
+         | CAST(floor(((y0+y1)/2 + 8388608)/2048) AS BIGINT) AS cell,
+       col, row, x0, y0, x1, y1
+FROM t
+""",
+    "pip_count": f"""
+WITH pts AS ({_PTS}),
+tl AS (SELECT p_partkey AS tile_id,
+              CAST((p_partkey % {GRID})*64 AS DOUBLE) AS x0,
+              CAST(((p_partkey // {GRID}) % {GRID})*64 AS DOUBLE) AS y0
+       FROM part)
+SELECT tl.tile_id, count(*) AS n_points
+FROM tl JOIN pts ON pts.x >= tl.x0 AND pts.x < tl.x0+64 AND pts.y >= tl.y0 AND pts.y < tl.y0+64
+GROUP BY tl.tile_id
+""",
+    "clip_join": f"""
+WITH tl AS (SELECT p_partkey AS tid,
+              CAST((p_partkey % {GRID})*64 AS DOUBLE) AS x0,
+              CAST(((p_partkey // {GRID}) % {GRID})*64 AS DOUBLE) AS y0
+       FROM part),
+f AS (SELECT c_custkey AS feature_id,
+             CAST((c_custkey*97) % 3200 AS DOUBLE) AS fcx,
+             CAST((c_custkey*71) % 3200 AS DOUBLE) AS fcy,
+             CAST(10 + c_custkey % 40 AS DOUBLE) AS hw,
+             CAST(10 + c_custkey % 23 AS DOUBLE) AS hh
+      FROM customer),
+j AS (SELECT CAST(tid AS VARCHAR) AS tile_id, feature_id,
+             (2*hw)*(2*hh) AS origarea,
+             2*((2*hw)+(2*hh)) AS origlen,
+             least(fcx+hw, x0+64) - greatest(fcx-hw, x0) AS iw,
+             least(fcy+hh, y0+64) - greatest(fcy-hh, y0) AS ih
+      FROM tl JOIN f ON fcx-hw < x0+64 AND fcx+hw > x0 AND fcy-hh < y0+64 AND fcy+hh > y0)
+SELECT tile_id, feature_id, origarea, origlen,
+       (iw*ih)/origarea AS "partialDec",
+       CAST(CASE WHEN iw*ih < origarea THEN 1 ELSE 0 END AS BIGINT) AS truncated
+FROM j WHERE iw > 0 AND ih > 0
+""",
+    "knn_join": f"""
+WITH pts AS (SELECT * FROM ({_PTS}) WHERE point_id < 2000),
+f AS (SELECT c_custkey AS feature_id,
+             CAST((c_custkey*97) % 3200 AS DOUBLE) AS fcx,
+             CAST((c_custkey*71) % 3200 AS DOUBLE) AS fcy
+      FROM customer),
+d AS (SELECT point_id, feature_id,
+             (x-fcx)*(x-fcx) + (y-fcy)*(y-fcy) AS d2,
+             row_number() OVER (PARTITION BY point_id ORDER BY (x-fcx)*(x-fcx) + (y-fcy)*(y-fcy), feature_id) AS rk
+      FROM pts CROSS JOIN f)
+SELECT point_id, feature_id, CAST(rk AS BIGINT) AS "rank", d2 FROM d WHERE rk <= 3
+""",
+    "cell_assign": f"""
+WITH pts AS ({_PTS})
+SELECT point_id,
+       (CAST(16 AS BIGINT) << 58) | (CAST(floor((x + 8388608)/256) AS BIGINT) << 29) | CAST(floor((y + 8388608)/256) AS BIGINT) AS cell16,
+       (CAST(13 AS BIGINT) << 58) | ((CAST(floor((x + 8388608)/256) AS BIGINT) // 8) << 29) | (CAST(floor((y + 8388608)/256) AS BIGINT) // 8) AS cell13
+FROM pts
+""",
+    "cell_hist": f"""
+WITH pts AS ({_PTS})
+SELECT (CAST(16 AS BIGINT) << 58) | (CAST(floor((x + 8388608)/256) AS BIGINT) << 29) | CAST(floor((y + 8388608)/256) AS BIGINT) AS cell16,
+       count(*) AS n
+FROM pts GROUP BY 1
+""",
+    "f1_rollup": """
+WITH c AS (SELECT user_id % 10 AS bucket,
+                  count(*) FILTER (event_type = 'click') AS tp,
+                  count(*) FILTER (event_type = 'view') AS fp,
+                  count(*) FILTER (event_type = 'error') AS fn
+           FROM events GROUP BY 1),
+pr AS (SELECT bucket, tp, fp, fn,
+              CASE WHEN tp+fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/CAST(tp+fp AS DOUBLE) END AS p,
+              CASE WHEN tp+fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/CAST(tp+fn AS DOUBLE) END AS r
+       FROM c)
+SELECT bucket, tp, fp, fn, p AS "precision", r AS recall,
+       CASE WHEN p+r = 0 THEN 0.0 ELSE 2*p*r/(p+r) END AS f1
+FROM pr
+""",
+    "events_window": """
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us, event_type,
+       count(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+""",
+    "lineitem_agg": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM lineitem GROUP BY 1, 2
+""",
+    "top_docs": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
+    "token_count": f"""
+SELECT doc_id, len({_TOKS}) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+FROM documents
+""",
+    "quality": f"""
+SELECT doc_id, length(text) AS n_chars,
+       len({_TOKS}) AS n_tokens,
+       length(replace(text, ' ', '')) AS n_nonspace,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) AS avg_token_len,
+       CAST(len(regexp_extract_all(text, '{_STOP_EN}')) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) AS stop_ratio
+FROM documents
+""",
+    "lang_id": """
+WITH h AS (SELECT doc_id,
+       len(regexp_extract_all(text, '\\b(der|die|das|und|nicht)\\b')) AS hits_de,
+       len(regexp_extract_all(text, '\\b(the|and|of|to|is)\\b')) AS hits_en,
+       len(regexp_extract_all(text, '\\b(el|los|las|que|y)\\b')) AS hits_es,
+       len(regexp_extract_all(text, '\\b(le|la|les|et|est)\\b')) AS hits_fr,
+       len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS hits_zh
+FROM documents)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, hits_zh,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0 THEN 'und'
+            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'de'
+            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'en'
+            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'es'
+            WHEN hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'fr'
+            ELSE 'zh' END AS pred_lang
+FROM h
+""",
+    "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "dedup_exact": "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
+    "jaccard_adjacent": f"""
+WITH l AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       FROM l, range(1, 1000) r(i) WHERE i + 2 <= len(toks)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+i AS (SELECT sa.doc_id AS da, count(*) AS ni
+      FROM sh sa JOIN sh sb ON sb.doc_id = sa.doc_id + 1 AND sa.s = sb.s
+      GROUP BY 1)
+SELECT p.doc_a, p.doc_b,
+       COALESCE(i.ni, 0) AS inter,
+       COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - COALESCE(i.ni, 0) AS uni
+FROM pairs p
+LEFT JOIN i ON i.da = p.doc_a
+LEFT JOIN cnt ca ON ca.doc_id = p.doc_a
+LEFT JOIN cnt cb ON cb.doc_id = p.doc_b
+""",
+    "embed_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim6
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+""",
+    "ann_topk": """
+SELECT q.vec_id AS query_id,
+       CAST(row_number() OVER w AS BIGINT) AS "rank",
+       v.vec_id,
+       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) AS sim6
+FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+CROSS JOIN embeddings v
+WHERE v.vec_id <> q.vec_id
+WINDOW w AS (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id)
+QUALIFY row_number() OVER w <= 5
+""",
+}

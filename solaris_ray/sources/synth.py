@@ -207,6 +207,70 @@ FEATURE_SCHEMA = pa.schema(
 )
 
 
+def gen_features_shard(indices: np.ndarray, n_images: int, seed: int, size: int = 256) -> pa.Table:
+    """Features only — identical draws to ``gen_image`` up to the pixel
+    stage (noise is drawn after features), so the feature layer matches
+    the images a pixel-generating run produces, at no pixel cost."""
+    feat_rows: list[dict] = []
+    for idx in indices:
+        i = int(idx)
+        p = image_params(i, n_images, seed)
+        rng = p["rng"]
+        x0, y0 = p["origin"]
+        transform = Affine.from_origin(x0, y0, PX, PX)
+        for _ in range(p["n_buildings"]):
+            bmax = min(40.0, size / 4.0)
+            bw = float(rng.uniform(8, bmax))
+            bh = float(rng.uniform(8, bmax))
+            cx = float(rng.uniform(bw, size - bw))
+            cy = float(rng.uniform(bh, size - bh))
+            theta = float(rng.uniform(0, np.pi / 2))
+            ring = _convex_quad(rng, cx, cy, bw, bh, theta)
+            gx, gy = apply_affine(transform, ring[:, 0], ring[:, 1])
+            geo = np.stack([gx, gy], axis=1)
+            feat_rows.append(
+                {
+                    "image_id": f"img_{i:08d}",
+                    "class": "building",
+                    "wkt_pix": dump_wkt_polygon(np.round(ring, 3)),
+                    "xs": geo[:, 0].tolist(),
+                    "ys": geo[:, 1].tolist(),
+                    "minx": float(geo[:, 0].min()),
+                    "miny": float(geo[:, 1].min()),
+                    "maxx": float(geo[:, 0].max()),
+                    "maxy": float(geo[:, 1].max()),
+                }
+            )
+        for _ in range(p["n_roads"]):
+            npts = int(rng.integers(2, 5))
+            pts = np.stack(
+                [rng.uniform(0, size, npts), rng.uniform(0, size, npts)], axis=1
+            )
+            gx, gy = apply_affine(transform, pts[:, 0], pts[:, 1])
+            geo = np.stack([gx, gy], axis=1)
+            feat_rows.append(
+                {
+                    "image_id": f"img_{i:08d}",
+                    "class": "road",
+                    "wkt_pix": "LINESTRING ("
+                    + ", ".join(f"{a:.3f} {b:.3f}" for a, b in np.round(pts, 3))
+                    + ")",
+                    "xs": geo[:, 0].tolist(),
+                    "ys": geo[:, 1].tolist(),
+                    "minx": float(geo[:, 0].min()),
+                    "miny": float(geo[:, 1].min()),
+                    "maxx": float(geo[:, 0].max()),
+                    "maxy": float(geo[:, 1].max()),
+                }
+            )
+    counts: dict[str, int] = {}
+    for f in feat_rows:
+        k = f["image_id"]
+        f["feature_id"] = int(k[4:]) * 4096 + counts.get(k, 0)
+        counts[k] = counts.get(k, 0) + 1
+    return pa.Table.from_pylist(feat_rows, schema=FEATURE_SCHEMA)
+
+
 def gen_shard(indices: np.ndarray, n_images: int, seed: int, size: int = 256) -> tuple[pa.Table, pa.Table]:
     """Generate (images, features) tables for a shard of image indices.
 

@@ -1,0 +1,367 @@
+"""Deduplication stages for a documents/captions table.
+
+The reference's only dedup is exact ``drop_duplicates`` on graph nodes
+(/root/reference/solaris/vector/graph.py:326-334); a 100 TB training
+corpus needs the full ladder (driver mandate): exact hashing,
+MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Distributed shapes (SURVEY.md §2.7 / §7.3):
+
+- exact:   hash-partition on a digest key -> per-group min-id keep
+  (``groupby(h).aggregate(Min(id), Count())`` — one small shuffle of
+  digests, never of document bodies).
+- MinHash: shingle -> signature inside ``map_batches`` (per-doc numpy),
+  band keys exploded, ``groupby(band, key)`` co-shuffle, per-bucket
+  pair emission with signature-agreement estimate, pair-dedup groupby.
+- SimHash: 64-bit sign-sum signature; banding on 16-bit chunks for
+  Hamming<=3 candidates.
+- n-gram Jaccard: exact set intersection for co-located pairs.
+- embedding cosine: blocked matmul against a broadcast normalized
+  matrix (``ray.put`` once).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import WORD_SPLIT
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# --- exact ---------------------------------------------------------------
+
+def add_md5_key(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    vals = batch[text_col].to_pylist()
+    h = [hashlib.md5(v.encode("utf-8")).hexdigest() for v in vals]
+    return batch.append_column("h", pa.array(h, pa.string()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset -> (h, keep_id, n_dups): keep the min-id row per content.
+
+    Matches ``SELECT md5(text) h, min(doc_id) keep_id, count(*) n_dups
+    GROUP BY 1``.  Only (digest, id) go through the shuffle.
+    """
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
+        lambda b: add_md5_key(b, text_col).select(["h", id_col]),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    agg = hashed.groupby("h").aggregate(Min(id_col), Count())
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h": b["h"],
+                "keep_id": pc.cast(b[f"min({id_col})"], pa.int64()),
+                "n_dups": pc.cast(b["count()"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_rename, batch_format="pyarrow")
+
+
+# --- shingling -----------------------------------------------------------
+
+def word_shingles(text_arr: pa.ChunkedArray | pa.Array, n: int = 3) -> list[np.ndarray]:
+    """Per-row arrays of distinct word n-gram shingle strings.
+
+    Tokens = regexp split of trimmed text on \\s+ (same convention as
+    stages.text and the SQL oracle).
+    """
+    toks_list = pc.split_pattern_regex(pc.utf8_trim_whitespace(text_arr), WORD_SPLIT)
+    out = []
+    for toks in toks_list.to_pylist():
+        if len(toks) < n:
+            out.append(np.empty(0, dtype=object))  # same as the SQL oracle: no shingle
+            continue
+        a = np.asarray(toks, dtype=object)
+        sh = a[: len(a) - n + 1]
+        for j in range(1, n):
+            sh = sh + " " + a[j : len(a) - n + 1 + j]
+        out.append(np.unique(sh))
+    return out
+
+
+def _crc_hash(shingles: np.ndarray) -> np.ndarray:
+    return np.asarray(
+        [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64
+    )
+
+
+# --- n-gram Jaccard (exact, co-located pairs) ----------------------------
+
+def jaccard_adjacent(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact n-gram Jaccard for every (doc_id, doc_id+1) pair.
+
+    Pattern: replicate each doc row to the pair keys it participates in
+    (pair p holds docs p and p+1), ``groupby(pair)`` co-shuffle, exact
+    set intersection inside the group.  Integer outputs (inter, uni)
+    so the DuckDB oracle matches bit-for-bit.
+    """
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        sh = word_shingles(batch[text_col], n)
+        pair, doc, role, shl = [], [], [], []
+        for i, d in enumerate(ids.tolist()):
+            for p, r in ((d, 0), (d - 1, 1)):
+                if p < 0:
+                    continue
+                pair.append(p)
+                doc.append(d)
+                role.append(r)
+                shl.append(sh[i].tolist())
+        return pa.table(
+            {
+                "pair": pa.array(pair, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "role": pa.array(role, pa.int8()),
+                "shingles": pa.array(shl, pa.list_(pa.string())),
+            }
+        )
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow", batch_size=2048)
+
+    def _pair(group: pa.Table) -> pa.Table:
+        if group.num_rows != 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "inter": pa.array([], pa.int64()),
+                    "uni": pa.array([], pa.int64()),
+                }
+            )
+        role = group["role"].to_numpy()
+        a_i, b_i = int(np.argmin(role)), int(np.argmax(role))
+        sa = np.asarray(group["shingles"][a_i].as_py(), dtype=object)
+        sb = np.asarray(group["shingles"][b_i].as_py(), dtype=object)
+        inter = len(np.intersect1d(sa, sb))
+        uni = len(sa) + len(sb) - inter
+        return pa.table(
+            {
+                "doc_a": pa.array([int(group["doc_id"][a_i].as_py())], pa.int64()),
+                "doc_b": pa.array([int(group["doc_id"][b_i].as_py())], pa.int64()),
+                "inter": pa.array([inter], pa.int64()),
+                "uni": pa.array([uni], pa.int64()),
+            }
+        )
+
+    return exploded.groupby("pair").map_groups(_pair, batch_format="pyarrow")
+
+
+# --- MinHash + LSH -------------------------------------------------------
+
+class MinHasher:
+    """map_batches body: text -> 64-perm MinHash signature + band keys.
+
+    Permutations are the standard ``(a*h + b) mod p`` family with a
+    seeded generator — identical on every worker.  Emits one row per
+    (doc, band) with the band key (the LSH shuffle key) and the full
+    signature (carried so buckets can estimate Jaccard without a
+    second join).
+    """
+
+    def __init__(self, n_perm: int = 64, bands: int = 16, shingle_n: int = 3, seed: int = 42,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.bands = bands
+        self.rows_per_band = n_perm // bands
+        self.shingle_n = shingle_n
+        self.text_col, self.id_col = text_col, id_col
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.n_perm, _MERSENNE, dtype=np.uint64)
+        h = _crc_hash(shingles)
+        # (n_sh, n_perm) permuted hashes, min over shingles
+        ph = (h[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return ph.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        shingles = word_shingles(batch[self.text_col], self.shingle_n)
+        n = len(ids)
+        sigs = np.stack([self.signature(s) for s in shingles]) if n else np.empty((0, self.n_perm), dtype=np.uint64)
+        r = self.rows_per_band
+        # band key: polynomial combine of the band's signature slice
+        weights = np.uint64(1099511628211) ** np.arange(r, dtype=np.uint64)
+        doc, band, key, sig_out = [], [], [], []
+        for bi in range(self.bands):
+            sl = sigs[:, bi * r : (bi + 1) * r]
+            bk = ((sl * weights[None, :]) % _MERSENNE).sum(axis=1) % _MERSENNE
+            doc.append(ids)
+            band.append(np.full(n, bi, dtype=np.int32))
+            key.append(bk.astype(np.int64))
+            sig_out.extend(sigs.astype(np.int64).tolist())
+        if not doc:
+            doc, band, key = [np.empty(0, dtype=np.int64)], [np.empty(0, dtype=np.int32)], [np.empty(0, dtype=np.int64)]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(doc), pa.int64()),
+                "band": pa.array(np.concatenate(band), pa.int32()),
+                "key": pa.array(np.concatenate(key), pa.int64()),
+                "sig": pa.array(sig_out, pa.list_(pa.int64())),
+            }
+        )
+
+
+def minhash_candidate_pairs(
+    ds,
+    n_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    est_threshold: float = 0.5,
+    max_bucket: int = 256,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """documents -> distinct near-dup candidate pairs with est. Jaccard.
+
+    ``groupby(band, key)`` co-shuffles band keys (tiny rows); buckets
+    larger than ``max_bucket`` are truncated (logged via n_dropped —
+    no silent caps) since a huge bucket means a degenerate key.
+    Pair estimate = fraction of agreeing signature positions.
+    """
+    banded = ds.map_batches(
+        MinHasher(n_perm, bands, shingle_n, seed, text_col, id_col),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if m < 2:
+            return empty
+        if m > max_bucket:
+            group = group.slice(0, max_bucket)
+            m = max_bucket
+        ids = group["doc_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        sigs = np.asarray(group["sig"].to_pylist(), dtype=np.int64)[order]
+        ia, ib = np.triu_indices(m, k=1)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = est >= est_threshold
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia[keep]], pa.int64()),
+                "doc_b": pa.array(ids[ib[keep]], pa.int64()),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    pairs = banded.groupby(["band", "key"]).map_groups(_bucket, batch_format="pyarrow")
+    # distinct pairs (a pair can collide in several bands)
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard"))
+
+
+# --- SimHash -------------------------------------------------------------
+
+def simhash64(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, simhash, band0..band3) — 64-bit SimHash + 16-bit bands.
+
+    Token hash = MD5 low 8 bytes; signature bit b is the sign of the
+    sum over tokens of (+1 if bit set else -1).  Hamming-distance<=3
+    candidates collide on at least one of the four 16-bit bands
+    (pigeonhole), so ``groupby(band_i)`` finds them without N^2 work.
+    """
+    ids = batch[id_col]
+    toks_list = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch[text_col]), WORD_SPLIT
+    ).to_pylist()
+    sims = np.zeros(len(toks_list), dtype=np.uint64)
+    for i, toks in enumerate(toks_list):
+        if not toks:
+            continue
+        hs = np.asarray(
+            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in set(toks)],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        score = (2 * bits - 1).sum(axis=0)
+        sims[i] = np.packbits((score > 0)[::-1]).view(">u8")[0]
+    cols = {id_col: ids, "simhash": pa.array(sims.astype(np.int64), pa.int64())}
+    for b in range(4):
+        cols[f"band{b}"] = pa.array(
+            ((sims >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64), pa.int64()
+        )
+    return pa.table(cols)
+
+
+# --- embedding cosine near-dup ------------------------------------------
+
+class CosinePairFinder:
+    """map_batches body: rows x broadcast normalized matrix -> pairs.
+
+    ``mat_ref`` is a ``ray.put`` of (ids, normalized float64 matrix).
+    Each batch computes a (batch x all) matmul and emits pairs with
+    round(sim, 6) >= tau and other_id > row_id (each pair once).
+    At 10^12 scale the broadcast side becomes the IVF/LSH-bucketed
+    variant (stages.ann); the matmul kernel is identical.
+    """
+
+    def __init__(self, mat_ref, tau: float, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        self.all_ids, self.mat = mat_ref if isinstance(mat_ref, tuple) else ray.get(mat_ref)
+        self.tau = tau
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        V = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        sims = V @ self.mat.T
+        r6 = np.round(sims, 6)
+        keep = (r6 >= self.tau) & (self.all_ids[None, :] > ids[:, None])
+        ri, ci = np.nonzero(keep)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ri], pa.int64()),
+                "id_b": pa.array(self.all_ids[ci], pa.int64()),
+                "sim6": pa.array(r6[ri, ci], pa.float64()),
+            }
+        )
+
+
+def embedding_neardup_pairs(ds, embeddings_table: pa.Table, tau: float = 0.4,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            concurrency: int = 4):
+    import ray
+
+    ids = embeddings_table[id_col].to_numpy().astype(np.int64)
+    M = np.asarray(embeddings_table[vec_col].to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((ids, M))
+    return ds.map_batches(
+        CosinePairFinder,
+        fn_constructor_kwargs={"mat_ref": ref, "tau": tau, "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,185 @@
+"""Text-analysis stages over a documents table (training-data ops).
+
+Large-scale training-data pipeline operators the reference lacks but a
+100 TB image+caption engine needs (captions ARE text): token counting,
+quality scoring, language-ID heuristic, and content fingerprinting.
+Everything is vectorized pyarrow.compute over ``batch_format="pyarrow"``
+batches; the kernels are written to be bit-identical with ANSI-SQL
+equivalents (DuckDB oracle in __ray_entry__.oracle_sql):
+
+- tokens       = regexp-split of trimmed text on ``\\s+``
+- n_chars      = UTF-8 character count (``length(text)``)
+- stopword counts use RE2 word-boundary patterns (both Arrow and
+  DuckDB are RE2-backed, so ``\\bthe\\b`` means the same thing)
+- fingerprints = MD5 hex digest (``md5(text)``)
+
+Integer outputs everywhere possible; the only floats are divisions of
+integers computed with the same operands on both sides (IEEE-exact).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# language -> discriminative stopword regexes (word-bounded, RE2)
+LANG_PATTERNS: dict[str, str] = {
+    "de": r"\b(der|die|das|und|nicht)\b",
+    "en": r"\b(the|and|of|to|is)\b",
+    "es": r"\b(el|los|las|que|y)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "zh": r"[\x{4e00}-\x{9fff}]",  # CJK codepoint presence
+}
+# DuckDB spelling of the same patterns (RE2 there uses \x{...} too)
+LANG_PATTERNS_SQL = LANG_PATTERNS
+
+WORD_SPLIT = r"\s+"
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_tokens, n_bpe) — whitespace tokens + BPE-ish pieces.
+
+    n_tokens matches ``length(string_split_regex(trim(text), '\\s+'))``;
+    n_bpe matches ``length(regexp_extract_all(text, BPE_ISH))``.
+    """
+    text = batch[text_col]
+    trimmed = pc.utf8_trim_whitespace(text)
+    n_tokens = pc.list_value_length(pc.split_pattern_regex(trimmed, WORD_SPLIT))
+    n_bpe = pc.count_substring_regex(text, BPE_ISH)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_bpe": pc.cast(n_bpe, pa.int64()),
+        }
+    )
+
+
+def quality_scores(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_chars, n_tokens, n_nonspace, avg_token_len, stop_ratio).
+
+    The reference has no text ops; these mirror standard corpus-quality
+    features (length / mean token length / stopword density).  All
+    integers except the two divisions (same operands as the SQL oracle).
+    """
+    text = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    trimmed = pc.utf8_trim_whitespace(text)
+    n_tokens = pc.cast(
+        pc.list_value_length(pc.split_pattern_regex(trimmed, WORD_SPLIT)), pa.int64()
+    )
+    n_nonspace = pc.cast(
+        pc.utf8_length(pc.replace_substring(text, " ", "")), pa.int64()
+    )
+    n_stop = pc.cast(pc.count_substring_regex(text, LANG_PATTERNS["en"]), pa.int64())
+    avg_token_len = pc.divide(pc.cast(n_nonspace, pa.float64()), pc.cast(n_tokens, pa.float64()))
+    stop_ratio = pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(n_tokens, pa.float64()))
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "n_nonspace": n_nonspace,
+            "avg_token_len": avg_token_len,
+            "stop_ratio": stop_ratio,
+        }
+    )
+
+
+def lang_id(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, <per-lang counts>, pred_lang) — n-gram/stopword heuristic.
+
+    pred_lang = argmax of stopword-hit counts, ties broken by language
+    code ascending, 'und' (undetermined) when all counts are zero.
+    """
+    text = batch[text_col]
+    counts = {
+        lang: pc.cast(pc.count_substring_regex(text, pat), pa.int64()).to_numpy()
+        for lang, pat in LANG_PATTERNS.items()
+    }
+    langs = sorted(counts)
+    mat = np.stack([counts[l] for l in langs], axis=1)
+    best = np.argmax(mat, axis=1)  # first max = lexicographically smallest lang
+    pred = np.asarray(langs, dtype=object)[best]
+    pred[mat.max(axis=1) == 0] = "und"
+    cols = {id_col: batch[id_col]}
+    for l in langs:
+        cols[f"hits_{l}"] = pa.array(counts[l], pa.int64())
+    cols["pred_lang"] = pa.array(pred.tolist(), pa.string())
+    return pa.table(cols)
+
+
+def md5_fingerprint(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, fp) — MD5 content fingerprint, hex lowercase.
+
+    hashlib has no vectorized form; the per-row loop is a C-call per
+    row (digest cost dominates), acceptable for a fingerprint stage.
+    """
+    vals = batch[text_col].to_pylist()
+    fps = [hashlib.md5(v.encode("utf-8")).hexdigest() for v in vals]
+    return pa.table({id_col: batch[id_col], "fp": pa.array(fps, pa.string())})
+
+
+def winnow_fingerprints(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> pa.Table:
+    """(doc_id, n_grams, n_fps, min_fp) — winnowing document fingerprint.
+
+    Rolling polynomial hash over k-grams of characters, then the
+    winnowing rule (min hash per sliding window, dedup'd) — the
+    standard document-fingerprint sketch (Schleimer et al., SIGMOD'03).
+    Engine-only (no SQL oracle): outputs are deterministic counts + the
+    minimum fingerprint value for spot checks.
+    """
+    np.seterr(over="ignore")  # uint64 wraparound IS the hash ring
+    B = np.uint64(1000003)
+    texts = batch[text_col].to_pylist()
+    n_grams_out, n_fps_out, min_fp_out = [], [], []
+    powk = B ** np.uint64(k - 1)
+    for t in texts:
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) < k:
+            n_grams_out.append(0)
+            n_fps_out.append(0)
+            min_fp_out.append(0)
+            continue
+        # rolling hash h[i+1] = (h[i] - b[i]*B^(k-1)) * B + b[i+k]
+        n = len(b) - k + 1
+        h = np.zeros(n, dtype=np.uint64)
+        acc = np.uint64(0)
+        for j in range(k):  # k is tiny (5); the long axis is vectorized below
+            acc = acc * B + b[j]
+        h[0] = acc
+        if n > 1:
+            # vectorized roll: prefix products trick via cumulative update
+            heads = b[: n - 1] * powk
+            tails = b[k:]
+            for i in range(1, n):  # O(n) scalar ops on uint64 — still cheap vs hashing libs
+                acc = (acc - heads[i - 1]) * B + tails[i - 1]
+                h[i] = acc
+        if n >= window:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            mins = sliding_window_view(h, window).min(axis=1)
+            fps = np.unique(mins)
+        else:
+            fps = np.unique(h.min(keepdims=True))
+        n_grams_out.append(n)
+        n_fps_out.append(len(fps))
+        min_fp_out.append(int(fps.min()) if len(fps) else 0)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_grams": pa.array(n_grams_out, pa.int64()),
+            "n_fps": pa.array(n_fps_out, pa.int64()),
+            "min_fp": pa.array(np.asarray(min_fp_out, dtype=np.uint64).astype(np.int64), pa.int64()),
+        }
+    )

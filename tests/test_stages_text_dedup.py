@@ -1,0 +1,193 @@
+"""Unit tests for text-analysis, dedup, and ANN stages.
+
+Oracle strategy mirrors the repo's convention: slow scalar
+re-implementations (pure Python sets / brute force numpy) verify the
+vectorized / distributed versions on small deterministic inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from solaris_ray.stages import ann, dedup, text
+
+DOCS = pa.table(
+    {
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",
+                "der hund und die katze und der vogel",
+                "one two",
+                "  padded   text  with   gaps  ",
+                "le chat est sur la table et le chien est la",
+            ]
+        ),
+    }
+)
+
+
+def test_token_counts_matches_python():
+    out = text.token_counts(DOCS)
+    expected = [len(t.strip().split()) for t in DOCS["text"].to_pylist()]
+    assert out["n_tokens"].to_pylist() == expected
+
+
+def test_quality_scores_integer_fields():
+    out = text.quality_scores(DOCS)
+    t0 = DOCS["text"][0].as_py()
+    assert out["n_chars"][0].as_py() == len(t0)
+    assert out["n_nonspace"][0].as_py() == len(t0.replace(" ", ""))
+    row = out.to_pylist()[0]
+    assert row["avg_token_len"] == row["n_nonspace"] / row["n_tokens"]
+
+
+def test_lang_id_picks_stopword_language():
+    out = text.lang_id(DOCS)
+    preds = dict(zip(out["doc_id"].to_pylist(), out["pred_lang"].to_pylist()))
+    assert preds[0] == "en"
+    assert preds[2] == "de"
+    assert preds[5] == "fr"
+    assert preds[3] == "und"  # no stopword hits
+
+
+def test_md5_fingerprint():
+    import hashlib
+
+    out = text.md5_fingerprint(DOCS)
+    assert out["fp"][0].as_py() == hashlib.md5(DOCS["text"][0].as_py().encode()).hexdigest()
+
+
+def test_winnow_deterministic_and_dup_sensitive():
+    a = text.winnow_fingerprints(DOCS)
+    b = text.winnow_fingerprints(DOCS)
+    assert a.equals(b)
+    # identical prefix docs share most fingerprints: sanity via n_grams
+    assert a["n_grams"][0].as_py() == len(DOCS["text"][0].as_py()) - 4
+
+
+def test_word_shingles_match_reference_sets():
+    sh = dedup.word_shingles(DOCS["text"], 3)
+    t0 = DOCS["text"][0].as_py().split()
+    expected = {" ".join(t0[i : i + 3]) for i in range(len(t0) - 2)}
+    assert set(sh[0].tolist()) == expected
+    assert len(sh[3]) == 0  # fewer than 3 tokens -> empty set
+
+
+def test_minhash_estimates_jaccard():
+    mh = dedup.MinHasher(n_perm=128, bands=32)
+    sh = dedup.word_shingles(DOCS["text"], 3)
+    s0, s1 = mh.signature(sh[0]), mh.signature(sh[1])
+    est = (s0 == s1).mean()
+    a, b = set(sh[0]), set(sh[1])
+    true_j = len(a & b) / len(a | b)
+    assert abs(est - true_j) < 0.2
+
+
+def test_simhash_near_for_near_texts():
+    out = dedup.simhash64(DOCS)
+    h = out["simhash"].to_pylist()
+    d01 = bin(h[0] ^ h[1]).count("1")
+    d02 = bin(h[0] ^ h[2]).count("1")
+    assert d01 < d02  # near-dup pair closer than unrelated pair
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    import ray
+
+    return ray.data.from_arrow(DOCS)
+
+
+def test_exact_dedup_groups(ray_session, docs_ds):
+    dup = pa.table(
+        {
+            "doc_id": pa.array([10, 11], pa.int64()),
+            "text": pa.array([DOCS["text"][0].as_py()] * 2),
+        }
+    )
+    import ray
+
+    ds = ray.data.from_arrow(pa.concat_tables([DOCS, dup]))
+    out = dedup.exact_dedup(ds).to_pandas().set_index("keep_id")
+    assert out.loc[0, "n_dups"] == 3  # doc 0 + the two planted copies
+    assert len(out) == 6
+
+
+def test_jaccard_adjacent_matches_sets(ray_session, docs_ds):
+    out = dedup.jaccard_adjacent(docs_ds).to_pandas().set_index("doc_a")
+    sh = dedup.word_shingles(DOCS["text"], 3)
+    for a in range(5):
+        sa, sb = set(sh[a]), set(sh[a + 1])
+        assert out.loc[a, "inter"] == len(sa & sb)
+        assert out.loc[a, "uni"] == len(sa | sb)
+
+
+def test_minhash_candidate_pairs_find_planted_dup(ray_session):
+    import ray
+
+    near = pa.table(
+        {
+            "doc_id": pa.array([100], pa.int64()),
+            "text": pa.array(["the quick brown fox jumps over the lazy dog today"]),
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([DOCS, near]))
+    pairs = dedup.minhash_candidate_pairs(ds, est_threshold=0.5).to_pandas()
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].values.tolist()))
+    assert (0, 100) in found
+
+
+def _rand_embeddings(n=64, d=16, seed=7):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, d))
+    M[1] = M[0] + 0.01 * rng.standard_normal(d)  # planted near-dup
+    ids = np.arange(n, dtype=np.int64)
+    return pa.table(
+        {"vec_id": pa.array(ids), "embedding": pa.array(M.tolist(), pa.list_(pa.float64()))}
+    ), ids, M
+
+
+def test_embedding_neardup_finds_planted_pair(ray_session):
+    import ray
+
+    tbl, ids, M = _rand_embeddings()
+    ds = ray.data.from_arrow(tbl)
+    pairs = dedup.embedding_neardup_pairs(ds, tbl, tau=0.95).to_pandas()
+    assert (0, 1) in set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+
+
+def test_brute_topk_matches_numpy(ray_session):
+    import ray
+
+    tbl, ids, M = _rand_embeddings()
+    ds = ray.data.from_arrow(tbl)
+    q = M[:3]
+    out = ann.brute_topk(ds, ids[:3], q, k=5).to_pandas()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = np.round(Qn @ Mn.T, 6)
+    for qi in range(3):
+        s = sims[qi].copy()
+        s[qi] = -np.inf
+        order = np.lexsort((ids, -s))[:5]
+        got = out[out.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == ids[order].tolist()
+
+
+def test_lsh_topk_recall(ray_session):
+    import ray
+
+    tbl, ids, M = _rand_embeddings(n=256, d=16)
+    ds = ray.data.from_arrow(tbl)
+    exact = ann.brute_topk(ds, ids[:5], M[:5], k=5).to_pandas()
+    approx = ann.lsh_topk(ray.data.from_arrow(tbl), ids[:5], M[:5], k=5, n_planes=8).to_pandas()
+    hits = 0
+    for qi in range(5):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        hits += len(e & a)
+    assert hits / 25 >= 0.5  # multi-probe LSH recall sanity floor
