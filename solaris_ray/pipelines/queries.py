@@ -471,6 +471,60 @@ def q_tile_feature_join(sf_dir: str):
     return joined.drop_columns(["xs", "ys"])
 
 
+def q_masks_pipeline(sf_dir: str):
+    """Synthetic corpus end-to-end: plan -> clip join -> per-tile
+    footprint/boundary/contact/road masks (mask bytes dropped)."""
+    import ray
+
+    from ..sources import synth
+    from ..stages import masks as masks_stage
+
+    n = 16
+    images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
+    specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
+    joined = broadcast_spatial_join(specs, features, cell_res=13)
+    mk = masks_stage.masks_from_join(joined, tile_size=128)
+    return mk.drop_columns(["footprint", "boundary", "contact", "road"])
+
+
+def q_instance_masks(sf_dir: str):
+    import ray
+
+    from ..sources import synth
+    from ..stages import masks as masks_stage
+
+    n = 8
+    images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
+    specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
+    joined = broadcast_spatial_join(specs, features, cell_res=13)
+    return masks_stage.instance_masks(joined, tile_size=128).drop_columns(["mask"])
+
+
+def q_eval_scores(sf_dir: str):
+    """Greedy IoU matching eval on the synthetic proposals corpus."""
+    import ray
+
+    from ..sources import synth
+    from ..stages import evaluate
+
+    n = 24
+    _, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    buildings = features.filter(pc.equal(features["class"], "building"))
+    proposals = synth.gen_proposals(features, seed=42)
+    return evaluate.eval_scores(
+        ray.data.from_arrow(proposals), ray.data.from_arrow(buildings)
+    )
+
+
+def q_eval_rollup(sf_dir: str):
+    from ..stages import evaluate
+
+    scores = q_eval_scores(sf_dir)
+    return evaluate.rollup_scores(scores, key_fn=lambda s: f"aoi{int(s[4:]) % 4}")
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES = {
@@ -498,6 +552,10 @@ QUERIES = {
     "lsh_ann": q_lsh_ann,
     "tiles_pipeline": q_tiles_pipeline,
     "tile_feature_join": q_tile_feature_join,
+    "masks_pipeline": q_masks_pipeline,
+    "instance_masks": q_instance_masks,
+    "eval_scores": q_eval_scores,
+    "eval_rollup": q_eval_rollup,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"

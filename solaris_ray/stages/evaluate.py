@@ -1,0 +1,341 @@
+"""Proposal-vs-ground-truth evaluation — Solaris eval.base re-expressed
+as grouped Ray Data stages.
+
+Reference semantics (/root/reference/solaris/eval/base.py):
+
+- greedy 1:1 matching per image: proposals sorted conf-desc (ties by
+  input order — base.py:532-533), each takes its max-IoU ground truth
+  if IoU > miniou and removes it from the pool (base.py:123-153).
+- per-image TP/FP/FN -> precision/recall/F1 (base.py:157-206).
+- challenge roll-up: groupby(AOI).sum() then RECOMPUTE P/R/F1 from the
+  summed counts — never mean-of-F1s (challenges.py:62-87).
+- mAP: per-class conf-desc scan, 101-point interpolated AP
+  (eval/vector.py:400-513).
+- pixel scores: mask-pair TP/FP/FN counts -> global ratios
+  (eval/pixel.py:8-201).
+
+Distribution: groups (image_id, or image_id x class) are independent;
+matching is sequential only *within* a group (SURVEY.md §2.4), so
+``groupby(image_id).map_groups`` preserves reference results exactly
+provided the within-group total order is pinned: (-conf, proposal_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.poly import polygon_iou
+
+SCORE_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("tp", pa.int64()),
+        ("fp", pa.int64()),
+        ("fn", pa.int64()),
+        ("precision", pa.float64()),
+        ("recall", pa.float64()),
+        ("f1", pa.float64()),
+    ]
+)
+
+MATCH_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("proposal_id", pa.int64()),
+        ("matched_feature_id", pa.int64()),
+        ("iou", pa.float64()),
+        ("is_tp", pa.int8()),
+    ]
+)
+
+
+def greedy_match_group(
+    prop_ids: np.ndarray,
+    prop_conf: np.ndarray,
+    prop_rings: list[np.ndarray],
+    gt_ids: np.ndarray,
+    gt_rings: list[np.ndarray],
+    miniou: float = 0.5,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The eval_iou kernel for one image group.
+
+    Returns (matched_gt_id_or_-1, iou, is_tp) aligned to the pinned
+    proposal order (-conf, proposal_id).
+    """
+    order = np.lexsort((prop_ids, -prop_conf))
+    n = len(order)
+    matched = np.full(n, -1, dtype=np.int64)
+    ious = np.zeros(n, dtype=np.float64)
+    is_tp = np.zeros(n, dtype=np.int8)
+    if len(gt_ids) == 0:
+        return matched[np.argsort(order)], ious[np.argsort(order)], is_tp[np.argsort(order)]
+    gt_bbox = np.stack(
+        [
+            np.asarray([r[:, 0].min() for r in gt_rings]),
+            np.asarray([r[:, 1].min() for r in gt_rings]),
+            np.asarray([r[:, 0].max() for r in gt_rings]),
+            np.asarray([r[:, 1].max() for r in gt_rings]),
+        ],
+        axis=1,
+    )
+    alive = np.ones(len(gt_ids), dtype=bool)
+    for oi, pi in enumerate(order.tolist()):
+        ring = prop_rings[pi]
+        bx0, by0 = ring[:, 0].min(), ring[:, 1].min()
+        bx1, by1 = ring[:, 0].max(), ring[:, 1].max()
+        cand = np.nonzero(
+            alive
+            & (gt_bbox[:, 0] < bx1)
+            & (gt_bbox[:, 2] > bx0)
+            & (gt_bbox[:, 1] < by1)
+            & (gt_bbox[:, 3] > by0)
+        )[0]
+        best_iou, best_j = 0.0, -1
+        for j in cand.tolist():
+            v = polygon_iou(ring, gt_rings[j])
+            # max-IoU GT, ties by gt id order (idxmax semantics,
+            # base.py:132-134 takes the first maximum)
+            if v > best_iou + 1e-15:
+                best_iou, best_j = v, j
+        if best_j >= 0 and best_iou > miniou:
+            alive[best_j] = False
+            matched[oi] = gt_ids[best_j]
+            ious[oi] = best_iou
+            is_tp[oi] = 1
+        elif best_j >= 0:
+            ious[oi] = best_iou
+    inv = np.argsort(order)
+    return matched[inv], ious[inv], is_tp[inv]
+
+
+def _pad_eval_side(batch: pa.Table, side: int) -> pa.Table:
+    n = batch.num_rows
+    if side == 0:  # proposals
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "pid": batch["proposal_id"],
+                "conf": batch["conf"],
+                "xs": batch["xs"],
+                "ys": batch["ys"],
+            }
+        )
+    return pa.table(
+        {
+            "image_id": batch["image_id"],
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "pid": batch["feature_id"],
+            "conf": pa.nulls(n, pa.float64()),
+            "xs": batch["xs"],
+            "ys": batch["ys"],
+        }
+    )
+
+
+def _rings_of(tbl: pa.Table, rows: np.ndarray) -> list[np.ndarray]:
+    xs = tbl["xs"].to_pylist()
+    ys = tbl["ys"].to_pylist()
+    return [np.stack([np.asarray(xs[i]), np.asarray(ys[i])], axis=1) for i in rows.tolist()]
+
+
+def _score_row(image_id: str, tp: int, fp: int, fn: int) -> pa.Table:
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return pa.table(
+        {
+            "image_id": pa.array([image_id], pa.string()),
+            "tp": pa.array([tp], pa.int64()),
+            "fp": pa.array([fp], pa.int64()),
+            "fn": pa.array([fn], pa.int64()),
+            "precision": pa.array([prec], pa.float64()),
+            "recall": pa.array([rec], pa.float64()),
+            "f1": pa.array([f1], pa.float64()),
+        }
+    )
+
+
+def eval_scores(proposals, ground_truth, miniou: float = 0.5):
+    """proposals x GT Datasets -> per-image TP/FP/FN/P/R/F1 rows.
+
+    Both sides are tagged, unioned and co-shuffled by image_id (the
+    eval shuffle of SURVEY.md §7.3); the greedy matcher runs per group.
+    Images present on only one side still score (fp-only / fn-only),
+    matching the GT ∪ proposals id-union of base.py:97-102.
+    """
+    p = proposals.map_batches(lambda b: _pad_eval_side(b, 0), batch_format="pyarrow")
+    g = ground_truth.map_batches(lambda b: _pad_eval_side(b, 1), batch_format="pyarrow")
+    both = p.union(g)
+
+    def _group(group: pa.Table) -> pa.Table:
+        image_id = group["image_id"][0].as_py()
+        side = group["side"].to_numpy()
+        prows = np.nonzero(side == 0)[0]
+        grows = np.nonzero(side == 1)[0]
+        if len(prows) == 0:
+            return _score_row(image_id, 0, 0, len(grows))
+        if len(grows) == 0:
+            return _score_row(image_id, 0, len(prows), 0)
+        pid = group["pid"].to_numpy(zero_copy_only=False)[prows].astype(np.int64)
+        conf = group["conf"].to_numpy(zero_copy_only=False)[prows].astype(np.float64)
+        _, _, is_tp = greedy_match_group(
+            pid, conf, _rings_of(group, prows),
+            group["pid"].to_numpy(zero_copy_only=False)[grows].astype(np.int64),
+            _rings_of(group, grows), miniou,
+        )
+        tp = int(is_tp.sum())
+        return _score_row(image_id, tp, len(prows) - tp, len(grows) - tp)
+
+    return both.groupby("image_id").map_groups(_group, batch_format="pyarrow")
+
+
+def eval_matches(proposals, ground_truth, miniou: float = 0.5):
+    """Per-proposal match detail (matched GT id, IoU, is_tp)."""
+    p = proposals.map_batches(lambda b: _pad_eval_side(b, 0), batch_format="pyarrow")
+    g = ground_truth.map_batches(lambda b: _pad_eval_side(b, 1), batch_format="pyarrow")
+    both = p.union(g)
+
+    def _group(group: pa.Table) -> pa.Table:
+        image_id = group["image_id"][0].as_py()
+        side = group["side"].to_numpy()
+        prows = np.nonzero(side == 0)[0]
+        grows = np.nonzero(side == 1)[0]
+        if len(prows) == 0:
+            return MATCH_SCHEMA.empty_table()
+        pid = group["pid"].to_numpy(zero_copy_only=False)[prows].astype(np.int64)
+        conf = group["conf"].to_numpy(zero_copy_only=False)[prows].astype(np.float64)
+        gid = group["pid"].to_numpy(zero_copy_only=False)[grows].astype(np.int64)
+        matched, ious, is_tp = greedy_match_group(
+            pid, conf, _rings_of(group, prows), gid, _rings_of(group, grows), miniou
+        )
+        return pa.table(
+            {
+                "image_id": pa.array([image_id] * len(pid), pa.string()),
+                "proposal_id": pa.array(pid, pa.int64()),
+                "matched_feature_id": pa.array(matched, pa.int64()),
+                "iou": pa.array(ious, pa.float64()),
+                "is_tp": pa.array(is_tp, pa.int8()),
+            }
+        )
+
+    return both.groupby("image_id").map_groups(_group, batch_format="pyarrow")
+
+
+def rollup_scores(scores, key_fn=None, key_col: str = "aoi"):
+    """Sum counts per roll-up key, then RECOMPUTE P/R/F1
+    (challenges.py:62-87 — the not-mean-of-F1s rule)."""
+    from ray.data.aggregate import Sum
+
+    def _key(batch: pa.Table) -> pa.Table:
+        if key_fn is not None:
+            keys = pa.array([key_fn(v) for v in batch["image_id"].to_pylist()], pa.string())
+            batch = batch.append_column(key_col, keys)
+        return batch.select([key_col, "tp", "fp", "fn"])
+
+    summed = (
+        scores.map_batches(_key, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("tp"), Sum("fp"), Sum("fn"))
+    )
+
+    def _final(b: pa.Table) -> pa.Table:
+        tp = b["sum(tp)"].to_numpy().astype(np.float64)
+        fp = b["sum(fp)"].to_numpy().astype(np.float64)
+        fn = b["sum(fn)"].to_numpy().astype(np.float64)
+        prec = np.where(tp + fp == 0, 0.0, tp / np.where(tp + fp == 0, 1, tp + fp))
+        rec = np.where(tp + fn == 0, 0.0, tp / np.where(tp + fn == 0, 1, tp + fn))
+        f1 = np.where(prec + rec == 0, 0.0, 2 * prec * rec / np.where(prec + rec == 0, 1, prec + rec))
+        return pa.table(
+            {
+                key_col: b[key_col],
+                "tp": pa.array(tp.astype(np.int64)),
+                "fp": pa.array(fp.astype(np.int64)),
+                "fn": pa.array(fn.astype(np.int64)),
+                "precision": pa.array(prec),
+                "recall": pa.array(rec),
+                "f1": pa.array(f1),
+            }
+        )
+
+    return summed.map_batches(_final, batch_format="pyarrow")
+
+
+def average_precision_101(is_tp: np.ndarray, n_gt: int) -> float:
+    """101-point interpolated AP over a conf-desc ordered TP flag array
+    (eval/vector.py:473-513)."""
+    if n_gt == 0 or len(is_tp) == 0:
+        return 0.0
+    cum_tp = np.cumsum(is_tp)
+    cum_fp = np.cumsum(1 - is_tp)
+    recall = cum_tp / n_gt
+    precision = cum_tp / (cum_tp + cum_fp)
+    ap = 0.0
+    for r in np.linspace(0, 1, 101):
+        mask = recall >= r
+        ap += precision[mask].max() if mask.any() else 0.0
+    return ap / 101.0
+
+
+def mean_average_precision(matches, gt_counts: dict[str, int], class_of_image=None):
+    """mAP from eval_matches output: per-class conf-desc scan + AP,
+    classes are the groups; final mean on the driver (small)."""
+    df = matches.to_pandas()
+    if class_of_image is None:
+        df["klass"] = "all"
+    else:
+        df["klass"] = df["image_id"].map(class_of_image)
+    aps = {}
+    for k, sub in df.groupby("klass"):
+        sub = sub.sort_values(["proposal_id"]).reset_index(drop=True)
+        aps[k] = average_precision_101(
+            sub["is_tp"].to_numpy(), gt_counts.get(k, 0)
+        )
+    return float(np.mean(list(aps.values()))), aps
+
+
+# --- pixel metrics (eval/pixel.py) ---------------------------------------
+
+def pixel_score_batch(batch: pa.Table, truth_col: str = "truth", pred_col: str = "pred",
+                      fmt: str = "png") -> pa.Table:
+    """Per-row mask-pair confusion counts (the partial aggregate)."""
+    from ..raster import codec
+
+    tps, fps, fns, tns = [], [], [], []
+    for i in range(batch.num_rows):
+        t = codec.decode(batch[truth_col][i].as_py(), fmt) > 0
+        p = codec.decode(batch[pred_col][i].as_py(), fmt) > 0
+        tps.append(int((t & p).sum()))
+        fps.append(int((~t & p).sum()))
+        fns.append(int((t & ~p).sum()))
+        tns.append(int((~t & ~p).sum()))
+    return pa.table(
+        {
+            "tp": pa.array(tps, pa.int64()),
+            "fp": pa.array(fps, pa.int64()),
+            "fn": pa.array(fns, pa.int64()),
+            "tn": pa.array(tns, pa.int64()),
+        }
+    )
+
+
+def pixel_scores(mask_pairs, truth_col: str = "truth", pred_col: str = "pred", fmt: str = "png") -> dict:
+    """Dataset of (truth, pred) mask rows -> global pixel IoU/F1
+    (partial counts per batch, global Sum, final ratios)."""
+    from ray.data.aggregate import Sum
+
+    partial = mask_pairs.map_batches(
+        lambda b: pixel_score_batch(b, truth_col, pred_col, fmt),
+        batch_format="pyarrow", batch_size=64,
+    )
+    agg = partial.aggregate(Sum("tp"), Sum("fp"), Sum("fn"), Sum("tn"))
+    tp, fp, fn = agg["sum(tp)"], agg["sum(fp)"], agg["sum(fn)"]
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "tn": agg["sum(tn)"],
+        "precision": prec, "recall": rec,
+        "f1": 2 * prec * rec / (prec + rec) if prec + rec else 0.0,
+        "iou": tp / (tp + fp + fn) if tp + fp + fn else 0.0,
+    }

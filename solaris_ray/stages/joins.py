@@ -52,6 +52,10 @@ JOIN_SCHEMA = pa.schema(
         ("origlen", pa.float64()),
         ("partialDec", pa.float64()),
         ("truncated", pa.int8()),
+        ("x0", pa.float64()),
+        ("y0", pa.float64()),
+        ("x1", pa.float64()),
+        ("y1", pa.float64()),
     ]
 )
 
@@ -190,6 +194,10 @@ def clip_features_to_tile(
         out["origlen"].append(float(pack.origlen[fi]))
         out["partialDec"].append(float(partial))
         out["truncated"].append(int(partial < 1.0 - 1e-12))
+        out["x0"].append(float(x0))
+        out["y0"].append(float(y0))
+        out["x1"].append(float(x1))
+        out["y1"].append(float(y1))
 
 
 def _empty_out() -> dict:
