@@ -16,10 +16,11 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from solaris_ray.runtime import ensure_importable, ensure_shippable
+from solaris_ray.runtime import ensure_importable, ensure_shippable, tune_data_context
 
 ensure_importable()
 ensure_shippable()
+tune_data_context()
 
 
 def entry() -> Any:

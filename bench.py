@@ -76,31 +76,35 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--n-images", type=int, default=int(os.environ.get("GRAFT_BENCH_IMAGES", "400")))
+    ap.add_argument("--scaling-images", type=int, default=int(os.environ.get("GRAFT_SCALING_IMAGES", "12800")))
+    ap.add_argument("--scaling-cpus", default=os.environ.get("GRAFT_SCALING_CPUS", "8,32"),
+                    help="comma pair N,4N (both must fit the box's physical cores for a fair reading)")
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--flagship-only", action="store_true", help="internal: one flagship run, JSON out")
     args = ap.parse_args()
 
     if args.scaling:
+        lo, hi = (int(v) for v in args.scaling_cpus.split(","))
         results = {}
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             out = subprocess.run(
                 [sys.executable, __file__, "--flagship-only",
-                 "--num-cpus", str(cpus), "--n-images", str(args.n_images)],
+                 "--num-cpus", str(cpus), "--n-images", str(args.scaling_images)],
                 capture_output=True, text=True, timeout=1800,
                 env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
             )
             line = out.stdout.strip().splitlines()[-1]
             results[cpus] = json.loads(line)
-        r8, r32 = results[8], results[32]
-        eff = (r32["tiles_join_rows_per_sec"] / r8["tiles_join_rows_per_sec"]) / (32 / 8)
+        r_lo, r_hi = results[lo], results[hi]
+        eff = (r_hi["tiles_join_rows_per_sec"] / r_lo["tiles_join_rows_per_sec"]) / (hi / lo)
         print(json.dumps({
-            "metric": "scaling_efficiency_8_to_32_cpus",
+            "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
             "value": round(eff, 3),
             "unit": "ratio",
-            "rows_per_sec_8cpu": r8["tiles_join_rows_per_sec"],
-            "rows_per_sec_32cpu": r32["tiles_join_rows_per_sec"],
-            "n_images": args.n_images,
-            "detail": {"8": r8, "32": r32},
+            f"rows_per_sec_{lo}cpu": r_lo["tiles_join_rows_per_sec"],
+            f"rows_per_sec_{hi}cpu": r_hi["tiles_join_rows_per_sec"],
+            "n_images": args.scaling_images,
+            "detail": {str(lo): r_lo, str(hi): r_hi},
         }))
         return
 
@@ -111,9 +115,14 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from solaris_ray.runtime import tune_data_context
+
+    tune_data_context()
 
     if args.flagship_only:
-        res = run_flagship(args.n_images)
+        from solaris_ray.pipelines.flagship import flagship
+
+        res = flagship(n_images=args.n_images, warmup=True)
         print(json.dumps(res))
         ray.shutdown()
         return

@@ -265,6 +265,92 @@ def clip_line_to_box(
     return [np.asarray(p) for p in pieces if len(p) >= 2]
 
 
+def clip_polys_to_boxes_batch(
+    P: np.ndarray,
+    nv: np.ndarray,
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized Sutherland–Hodgman: K polygons vs K boxes at once.
+
+    ``P`` is (K, M, 2) vertex-padded rings, ``nv`` the true vertex
+    counts, boxes given per row.  Returns (P_out, nv_out) padded the
+    same way; rows clipped away have ``nv_out < 3``.
+
+    Emission rule and interpolation formula are IDENTICAL to the
+    scalar ``clip_ring_to_box`` (t = (bound-v_i)/(v_j-v_i)), so results
+    are bit-for-bit equal — the clip-join parity gate depends on that.
+    This is the hot kernel of the spatial join: one pass handles every
+    (tile, candidate) pair in a batch with no per-pair Python.
+    """
+    K, M, _ = P.shape
+    if K == 0:
+        return P, nv
+    bounds = (
+        (0, x0, True),
+        (0, x1, False),
+        (1, y0, True),
+        (1, y1, False),
+    )
+    for axis, bound, keep_ge in bounds:
+        M = P.shape[1]
+        vals = P[:, :, axis]
+        edge_mask = np.arange(M)[None, :] < nv[:, None]
+        if keep_ge:
+            inside = vals >= bound[:, None]
+        else:
+            inside = vals <= bound[:, None]
+        inside &= edge_mask
+        # next-vertex index with per-row wraparound
+        nxt_idx = np.arange(1, M + 1)[None, :] % np.maximum(nv, 1)[:, None]
+        rows = np.arange(K)[:, None]
+        vals_j = vals[rows, nxt_idx]
+        P_j = P[rows, nxt_idx]
+        inside_j = np.take_along_axis(inside, nxt_idx, axis=1)
+        cross = (inside != inside_j) & edge_mask
+        emit_cur = inside  # emit current vertex when inside
+        counts = emit_cur.astype(np.int64) + cross.astype(np.int64)
+        nv_out = counts.sum(axis=1)
+        M_out = int(nv_out.max()) if K else 0
+        if M_out == 0:
+            return np.zeros((K, 0, 2)), nv_out
+        out = np.zeros((K, M_out, 2), dtype=np.float64)
+        start = np.cumsum(counts, axis=1) - counts  # exclusive prefix sum
+        # scatter current vertices
+        r, c = np.nonzero(emit_cur)
+        out[r, start[r, c]] = P[r, c]
+        # scatter intersections (placed after the current vertex if any)
+        r2, c2 = np.nonzero(cross)
+        vi = vals[r2, c2]
+        vj = vals_j[r2, c2]
+        t = (bound[r2] - vi) / (vj - vi)
+        pt = P[r2, c2] + t[:, None] * (P_j[r2, c2] - P[r2, c2])
+        out[r2, start[r2, c2] + emit_cur[r2, c2]] = pt
+        P, nv = out, nv_out
+    return P, nv
+
+
+def padded_ring_areas(P: np.ndarray, nv: np.ndarray) -> np.ndarray:
+    """|shoelace| area of padded rings, summed in the same vertex order
+    as the scalar ``ring_areas`` (bit-parity with the packed path)."""
+    K, M, _ = P.shape
+    if K == 0 or M == 0:
+        return np.zeros(K)
+    rows = np.arange(K)[:, None]
+    nxt_idx = np.arange(1, M + 1)[None, :] % np.maximum(nv, 1)[:, None]
+    # localize to the first vertex (same trick as ring_areas: UTM-scale
+    # raw coords lose precision to cancellation)
+    x = P[:, :, 0] - P[:, :1, 0]
+    y = P[:, :, 1] - P[:, :1, 1]
+    xj = x[rows, nxt_idx]
+    yj = y[rows, nxt_idx]
+    term = x * yj - xj * y
+    term[np.arange(M)[None, :] >= nv[:, None]] = 0.0
+    return np.abs(term.sum(axis=1)) * 0.5
+
+
 def _clip_by_halfplane(poly: np.ndarray, p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
     """Clip ``poly`` to the left half-plane of directed edge p0->p1."""
     if len(poly) == 0:

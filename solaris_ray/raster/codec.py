@@ -36,7 +36,7 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
+def png_encode(arr: np.ndarray, level: int = 4) -> bytes:
     """[Y,X] or [Y,X,C] uint8 -> PNG bytes (C in {1,3,4})."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
@@ -116,7 +116,7 @@ def png_decode(buf: bytes) -> np.ndarray:
 QNT_BITS = 5  # 5-bit quantization → PSNR ≈ 41 dB (just above the 40 dB gate)
 
 
-def qnt_encode(arr: np.ndarray, level: int = 6) -> bytes:
+def qnt_encode(arr: np.ndarray, level: int = 4) -> bytes:
     """Lossy encode: quantize to QNT_BITS bits/channel, then PNG."""
     arr = np.asarray(arr, dtype=np.uint8)
     shift = 8 - QNT_BITS

@@ -41,6 +41,48 @@ def ensure_shippable() -> None:
         pass
 
 
+def auto_concurrency(cap: int = 64) -> int:
+    """Actor-pool sizing that follows the session's CPU budget.
+
+    Fixed pool sizes are a scaling bug: the same code must saturate an
+    8-cpu and a 32-cpu session (the N vs 4N criterion).  A FIXED pool
+    of size ~num_cpus beats a (1, N) autoscaling pool here: autoscale
+    ramps up too slowly for short bursts (measured 2x wall), and
+    broadcast-index actors are cheap to start once the index is
+    prebuilt and ``ray.put`` (see the joiner stages).
+    """
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    # leave >=2 slots free: with op resource reservation disabled
+    # (tune_data_context) a pool pinning EVERY cpu deadlocks the
+    # upstream task operators feeding it
+    return max(2, min(cap, cpus - 2))
+
+
+def tune_data_context() -> None:
+    """Per-process Ray Data executor tuning (safe without ray.init).
+
+    ``op_resource_reservation_enabled=False``: the streaming executor's
+    default 50% per-operator CPU reservation starves the heavy map
+    operator in short 2-3 op pipelines (measured 2.5x wall-time on the
+    tiler: 12.4s -> 5.0s for 1600 images at num_cpus=32).  Our
+    pipelines are shallow and CPU-bound; global sharing wins.  On a
+    multi-node cluster with deep pipelines the reservation default
+    should be reconsidered per job.
+    """
+    try:
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        ctx.op_resource_reservation_enabled = False
+    except Exception:
+        pass
+
+
 def ensure_importable() -> None:
     """Driver-side: make ``import solaris_ray`` work from any cwd."""
     root = repo_root()

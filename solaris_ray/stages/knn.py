@@ -149,8 +149,8 @@ class BroadcastKNNJoiner:
                  fx_col: str = "cx", fy_col: str = "cy"):
         import ray
 
-        tbl = features_ref if isinstance(features_ref, pa.Table) else ray.get(features_ref)
-        self.index = CentroidIndex(tbl, cell_res, fx_col, fy_col)
+        obj = features_ref if isinstance(features_ref, (pa.Table, CentroidIndex)) else ray.get(features_ref)
+        self.index = obj if isinstance(obj, CentroidIndex) else CentroidIndex(obj, cell_res, fx_col, fy_col)
         self.k = k
         self.max_ring = max_ring
         self.id_col, self.x_col, self.y_col = id_col, x_col, y_col
@@ -190,14 +190,19 @@ def broadcast_knn_join(
     features: pa.Table,
     k: int = 3,
     cell_res: int = 13,
-    concurrency: int = 4,
-    batch_size: int = 8192,
+    concurrency=None,
+    batch_size: int = 2048,
     **col_kwargs,
 ):
     """points Dataset × in-memory centroid table → kNN rows Dataset."""
     import ray
 
-    ref = ray.put(features)
+    from ..runtime import auto_concurrency
+
+    if concurrency is None:
+        concurrency = auto_concurrency()
+    ref = ray.put(CentroidIndex(features, cell_res,
+                                col_kwargs.get("fx_col", "cx"), col_kwargs.get("fy_col", "cy")))
     return points.map_batches(
         BroadcastKNNJoiner,
         fn_constructor_kwargs={"features_ref": ref, "k": k, "cell_res": cell_res, **col_kwargs},

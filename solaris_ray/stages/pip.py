@@ -158,8 +158,8 @@ class BroadcastPIPJoiner:
                  id_col: str = "point_id", x_col: str = "x", y_col: str = "y"):
         import ray
 
-        tbl = features_ref if isinstance(features_ref, pa.Table) else ray.get(features_ref)
-        self.index = BoxIndex(tbl, cell_res, with_rings=exact)
+        obj = features_ref if isinstance(features_ref, (pa.Table, BoxIndex)) else ray.get(features_ref)
+        self.index = obj if isinstance(obj, BoxIndex) else BoxIndex(obj, cell_res, with_rings=exact)
         self.exact = exact
         self.id_col, self.x_col, self.y_col = id_col, x_col, y_col
 
@@ -178,8 +178,8 @@ def broadcast_pip_join(
     features: pa.Table,
     cell_res: int = 13,
     exact: bool = False,
-    concurrency: int = 4,
-    batch_size: int = 8192,
+    concurrency=None,
+    batch_size: int = 2048,
     id_col: str = "point_id",
     x_col: str = "x",
     y_col: str = "y",
@@ -192,7 +192,11 @@ def broadcast_pip_join(
     """
     import ray
 
-    ref = ray.put(features)
+    from ..runtime import auto_concurrency
+
+    if concurrency is None:
+        concurrency = auto_concurrency()
+    ref = ray.put(BoxIndex(features, cell_res, with_rings=exact))
     return points.map_batches(
         BroadcastPIPJoiner,
         fn_constructor_kwargs={

@@ -252,7 +252,7 @@ def cut_tiles(
     images,
     tile_size: int = DEFAULT_TILE_SIZE,
     nodata_threshold: float | None = None,
-    batch_size: int = 8,
+    batch_size: int | None = None,
     cell_res: int = DEFAULT_CELL_RES,
 ):
     """images Dataset -> tiles Dataset (the flagship fan-out).
