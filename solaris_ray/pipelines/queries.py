@@ -525,6 +525,108 @@ def q_eval_rollup(sf_dir: str):
     return evaluate.rollup_scores(scores, key_fn=lambda s: f"aoi{int(s[4:]) % 4}")
 
 
+def q_image_stats(sf_dir: str):
+    """Per-image pixel stats over the synthetic corpus (decode stage)."""
+    import ray
+
+    from ..sources import synth
+    from ..stages import multimodal
+
+    n = 16
+    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    return ray.data.from_arrow(images).map_batches(
+        multimodal.ImageStats(), batch_format="pyarrow", batch_size=4
+    )
+
+
+def q_image_resize(sf_dir: str):
+    import ray
+
+    from ..sources import synth
+    from ..stages import multimodal
+
+    n = 8
+    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    out = ray.data.from_arrow(images).map_batches(
+        multimodal.ImageResizer(64, 64), batch_format="pyarrow", batch_size=4
+    )
+    return out.drop_columns(["bytes"])
+
+
+def q_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing (decode stubbed, fan-out real)."""
+    import ray
+
+    from ..stages import multimodal
+
+    vids = pa.Table.from_pylist(
+        [
+            {"media_id": f"v{i}", "bytes": b"video" + bytes([i]), "fmt": "mp4",
+             "n_frames": 30 + i * 7, "w": 32, "h": 32}
+            for i in range(6)
+        ]
+    )
+    out = ray.data.from_arrow(vids).map_batches(
+        multimodal.FrameSampler(every_k=10), batch_format="pyarrow"
+    )
+    return out.drop_columns(["bytes"])
+
+
+def q_embed_extract_ann(sf_dir: str):
+    """Composition: image corpus -> actor-pool embedding extractor ->
+    brute-force cosine top-k (the scorer + ANN pipeline)."""
+    import ray
+
+    from ..sources import synth
+    from ..stages import ann as ann_stage
+    from ..stages import multimodal
+
+    n = 32
+    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    emb = multimodal.extract_embeddings(ray.data.from_arrow(images), dim=32, concurrency=2)
+    tbl = pa.concat_tables(
+        [b for b in __import__("ray").get(emb.to_arrow_refs()) if b.num_rows]
+    )
+    ids = np.arange(len(tbl), dtype=np.int64)
+    tbl = tbl.append_column("vec_id", pa.array(ids))
+    q = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[:4]
+    out = ann_stage.brute_topk(ray.data.from_arrow(tbl), ids[:4], q, k=3)
+    return out
+
+
+def q_resume_manifest(sf_dir: str):
+    """Checkpoint/resume evidence: run a partitioned write twice; the
+    second pass must skip every partition (manifest hit)."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..state.manifest import run_partitioned
+
+    out_dir = tempfile.mkdtemp(prefix="solaris_ray_resume_", dir="/tmp")
+
+    def make_ds(pid):
+        tiles = q_tiles_pipeline(sf_dir)
+        return tiles.filter(lambda r: r["col"] % 4 == pid)
+
+    try:
+        r1 = run_partitioned(out_dir, [0, 1], make_ds)
+        r2 = run_partitioned(out_dir, [0, 1], make_ds)
+        return pa.table(
+            {
+                "run": pa.array([1, 2], pa.int64()),
+                "n_processed": pa.array([len(r1["processed"]), len(r2["processed"])], pa.int64()),
+                "n_skipped": pa.array([len(r1["skipped"]), len(r2["skipped"])], pa.int64()),
+                "rows_written": pa.array(
+                    [sum(m["rows"] for m in r1["metrics"].values()), 0], pa.int64()
+                ),
+            }
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES = {
@@ -556,6 +658,11 @@ QUERIES = {
     "instance_masks": q_instance_masks,
     "eval_scores": q_eval_scores,
     "eval_rollup": q_eval_rollup,
+    "image_stats": q_image_stats,
+    "image_resize": q_image_resize,
+    "frame_sample": q_frame_sample,
+    "embed_extract_ann": q_embed_extract_ann,
+    "resume_manifest": q_resume_manifest,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"

