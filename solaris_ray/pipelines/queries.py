@@ -627,6 +627,90 @@ def q_resume_manifest(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_affine_transform(sf_dir: str):
+    """convert_poly_coords / affine_transform_gdf: px->geo transform of
+    every ring vertex, flattened to scalar rows for the oracle."""
+    import ray
+
+    from ..geom.affine import Affine
+    from ..stages import transforms as tf
+
+    rects = _customer_rects(sf_dir).select(["feature_id", "xs", "ys"])
+    ds = ray.data.from_arrow(rects)
+    T = Affine(0.5, 0.0, 733601.0, 0.0, -0.5, 3725139.0)
+
+    def _tx_flat(batch: pa.Table) -> pa.Table:
+        out = tf.affine_transform_batch(batch, T)
+        xs = out["xs"].combine_chunks() if isinstance(out["xs"], pa.ChunkedArray) else out["xs"]
+        ys = out["ys"].combine_chunks() if isinstance(out["ys"], pa.ChunkedArray) else out["ys"]
+        if isinstance(xs, pa.ChunkedArray):
+            xs = pa.concat_arrays(xs.chunks)
+            ys = pa.concat_arrays(ys.chunks)
+        counts = np.diff(xs.offsets.to_numpy())
+        fid = np.repeat(out["feature_id"].to_numpy(), counts)
+        vi = np.concatenate([np.arange(1, c + 1) for c in counts]) if len(counts) else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "feature_id": pa.array(fid.astype(np.int64)),
+                "vi": pa.array(vi.astype(np.int64)),
+                "out_x": pa.array(xs.values.to_numpy()),
+                "out_y": pa.array(ys.values.to_numpy()),
+            }
+        )
+
+    return ds.map_batches(_tx_flat, batch_format="pyarrow", batch_size=4096)
+
+
+def q_quantiles(sf_dir: str):
+    """Exact distributed quantiles (3-pass histogram selection)."""
+    from ..stages.quantiles import exact_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cents": pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64())}
+        )
+
+    ds = li.map_batches(_cents, batch_format="pyarrow", batch_size=65536)
+    return exact_quantiles(ds, "cents", [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def q_tdigest(sf_dir: str):
+    """One-pass t-digest sketch quantiles (engine-only; accuracy is
+    pytest-gated against numpy percentiles)."""
+    from ..stages.quantiles import tdigest_aggregate
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cents": pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64())}
+        )
+
+    ds = li.map_batches(_cents, batch_format="pyarrow", batch_size=65536)
+    return tdigest_aggregate(ds, "cents", [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def q_polygonize(sf_dir: str):
+    """masks -> polygons roundtrip over the synthetic corpus."""
+    from ..stages import polygonize as pz
+
+    import ray
+
+    from ..sources import synth
+    from ..stages import masks as masks_stage
+
+    n = 8
+    images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
+    specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
+    joined = broadcast_spatial_join(specs, features, cell_res=13)
+    mk = masks_stage.masks_from_join(joined, tile_size=128)
+    polys = pz.masks_to_polygons(mk, mask_col="footprint", min_area=4.0)
+    return polys.drop_columns(["xs", "ys"])
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES = {
@@ -663,6 +747,10 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "embed_extract_ann": q_embed_extract_ann,
     "resume_manifest": q_resume_manifest,
+    "affine_transform": q_affine_transform,
+    "quantiles": q_quantiles,
+    "tdigest": q_tdigest,
+    "polygonize": q_polygonize,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -805,6 +893,26 @@ SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, hits_zh,
 FROM h
 """,
     "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "affine_transform": """
+WITH f AS (SELECT c_custkey AS feature_id,
+             CAST((c_custkey*97) % 3200 AS DOUBLE) AS fcx,
+             CAST((c_custkey*71) % 3200 AS DOUBLE) AS fcy,
+             CAST(10 + c_custkey % 40 AS DOUBLE) AS hw,
+             CAST(10 + c_custkey % 23 AS DOUBLE) AS hh
+      FROM customer),
+v AS (SELECT feature_id, i AS vi,
+             CASE i WHEN 1 THEN fcx-hw WHEN 2 THEN fcx+hw WHEN 3 THEN fcx+hw ELSE fcx-hw END AS x,
+             CASE i WHEN 1 THEN fcy-hh WHEN 2 THEN fcy-hh WHEN 3 THEN fcy+hh ELSE fcy+hh END AS y
+      FROM f, range(1, 5) r(i))
+SELECT feature_id, vi, 0.5*x + 733601.0 AS out_x, -0.5*y + 3725139.0 AS out_y FROM v
+""",
+    "quantiles": """
+WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem),
+s AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS rk, count(*) OVER () AS n FROM v)
+SELECT q, CAST(cents AS DOUBLE) AS value
+FROM s, (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) qs(q)
+WHERE rk = CAST(floor(q*(n-1)) AS BIGINT)
+""",
     "dedup_exact": "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     "jaccard_adjacent": f"""
 WITH l AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -1,0 +1,185 @@
+"""Quantiles: exact distributed selection + t-digest sketch aggregate.
+
+The reference ships a *stub* t-digest (empty
+/root/reference/solaris/utils/tdigest.py, partial driver in
+solaris/raster/image.py:213-306 ``get_intensity_quantiles`` — "Not yet
+implemented") used for intensity normalization.  Here both paths are
+real:
+
+- ``exact_quantiles``: 3-pass exact selection — (1) count + min/max
+  aggregate, (2) fixed-width histogram via per-batch partial counts
+  (one small groupby), (3) sort only the single bucket containing each
+  target rank.  Work on the full data is map-only; the sort touches
+  1/n_buckets of the rows.  Rank semantics: element at 0-based rank
+  ``floor(q * (n-1))`` in ascending order.
+- ``TDigest``: mergeable centroid sketch (Dunning-style size bound
+  sqrt scale), usable as a Ray ``AggregateFn`` — the streaming/one-pass
+  scale path when 3 passes are too expensive.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def exact_quantiles(ds, col: str, qs: list[float], n_buckets: int = 1024) -> pa.Table:
+    """Exact quantiles of a numeric column, distributed.
+
+    Returns (q, value) rows; deterministic for any block layout.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = ds.aggregate(Count(), Min(col), Max(col))
+    n, lo, hi = agg["count()"], float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    if n == 0:
+        return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.nulls(len(qs), pa.float64())})
+    width = (hi - lo) / n_buckets or 1.0
+    ranks = [int(np.floor(q * (n - 1))) for q in qs]
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy().astype(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_buckets - 1)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq), "n": pa.array(cnt)})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(_hist, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .aggregate(Sum("n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    buckets = hist["bucket"].to_numpy()
+    counts = hist["sum(n)"].to_numpy()
+    cum = np.cumsum(counts)
+    starts = cum - counts
+
+    values = []
+    for r in ranks:
+        bi = int(np.searchsorted(cum, r + 1))
+        b = int(buckets[bi])
+        offset = r - int(starts[bi])  # rank within this bucket
+        blo, bhi = lo + b * width, lo + (b + 1) * width
+        # pull just this bucket's values (1/n_buckets of the data)
+        def _filt(batch: pa.Table, blo=blo, bhi=bhi, b=b) -> pa.Table:
+            v = batch[col].to_numpy().astype(np.float64)
+            m = np.clip(((v - lo) / width).astype(np.int64), 0, n_buckets - 1) == b
+            return pa.table({col: pa.array(v[m])})
+
+        import ray
+
+        vals = np.concatenate(
+            [
+                t[col].to_numpy()
+                for t in ray.get(
+                    ds.map_batches(_filt, batch_format="pyarrow", batch_size=65536).to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+        )
+        vals.sort(kind="stable")
+        values.append(float(vals[offset]))
+    return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(values, pa.float64())})
+
+
+class TDigest:
+    """Mergeable quantile sketch: centroids bounded by a sqrt scale.
+
+    Not bit-compatible with any reference output (the reference's is a
+    stub); accuracy is tested against numpy percentiles in pytest.
+    """
+
+    __slots__ = ("means", "weights", "delta", "_buf")
+
+    def __init__(self, delta: int = 100):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf: list[np.ndarray] = []
+
+    def add(self, values: np.ndarray) -> None:
+        self._buf.append(np.asarray(values, dtype=np.float64))
+        if sum(len(b) for b in self._buf) > 8 * self.delta:
+            self.compress()
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(self.delta)
+        self.compress()
+        other.compress()
+        out._buf = []
+        allm = np.concatenate([self.means, other.means])
+        allw = np.concatenate([self.weights, other.weights])
+        out.means, out.weights = allm, allw
+        out.compress()
+        return out
+
+    def compress(self) -> None:
+        if self._buf:
+            vals = np.concatenate(self._buf)
+            self._buf = []
+            self.means = np.concatenate([self.means, vals])
+            self.weights = np.concatenate([self.weights, np.ones(len(vals))])
+        if len(self.means) == 0:
+            return
+        order = np.argsort(self.means, kind="stable")
+        m, w = self.means[order], self.weights[order]
+        total = w.sum()
+        # sqrt scale: centroid capacity ~ 4*total*q(1-q)/delta
+        out_m, out_w = [], []
+        cur_m, cur_w, cum = m[0], w[0], 0.0
+        for i in range(1, len(m)):
+            q = (cum + cur_w / 2) / total
+            cap = max(1.0, 4.0 * total * q * (1 - q) / self.delta)
+            if cur_w + w[i] <= cap:
+                cur_m = (cur_m * cur_w + m[i] * w[i]) / (cur_w + w[i])
+                cur_w += w[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                cum += cur_w
+                cur_m, cur_w = m[i], w[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    def quantile(self, q: float) -> float:
+        self.compress()
+        if len(self.means) == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+
+def tdigest_aggregate(ds, col: str, qs: list[float], delta: int = 200) -> pa.Table:
+    """One-pass sketch quantiles via partial digests + driver merge.
+
+    Each batch builds/merges a digest (map-only, streaming); the tiny
+    per-block digests are merged on the driver — the classic
+    partial+final sketch aggregate (SURVEY.md §2.5 t-digest row).
+    """
+    import pickle
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        d = TDigest(delta)
+        d.add(batch[col].to_numpy().astype(np.float64))
+        d.compress()
+        return pa.table({"digest": pa.array([pickle.dumps((d.means, d.weights))], pa.binary())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536).take_all()
+    final = TDigest(delta)
+    for row in parts:
+        means, weights = pickle.loads(row["digest"])
+        d = TDigest(delta)
+        d.means, d.weights = means, weights
+        final = final.merge(d)
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array([final.quantile(q) for q in qs], pa.float64()),
+        }
+    )

@@ -1,0 +1,123 @@
+"""Polygonize + coordinate-transform stages vs scalar oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from solaris_ray.geom.affine import Affine, apply_affine
+from solaris_ray.raster import codec
+from solaris_ray.raster.kernels import rasterize_rings
+from solaris_ray.stages import polygonize as pz
+from solaris_ray.stages import transforms as tf
+
+
+def _mask_row(rects, size=64, tid="t0"):
+    m = np.zeros((size, size), dtype=np.uint8)
+    for (x0, y0, x1, y1) in rects:
+        m[y0:y1, x0:x1] = 255
+    return pa.table(
+        {"tile_id": pa.array([tid]), "mask": pa.array([codec.encode(m, "png")], pa.binary())}
+    )
+
+
+def test_polygonizer_rect_roundtrip(ray_session):
+    import ray
+
+    tbl = _mask_row([(4, 6, 20, 18), (30, 30, 50, 55)])
+    out = pz.masks_to_polygons(ray.data.from_arrow(tbl), mask_col="mask").to_pandas()
+    assert len(out) == 2
+    areas = sorted(out["area_px"].tolist())
+    assert areas == [16 * 12, 20 * 25]
+    assert (out["n_verts"] == 4).all()  # axis-aligned rects trace to quads
+
+
+def test_polygonizer_min_area_filter(ray_session):
+    import ray
+
+    tbl = _mask_row([(0, 0, 2, 2), (10, 10, 30, 30)])
+    out = pz.masks_to_polygons(
+        ray.data.from_arrow(tbl), mask_col="mask", min_area=10
+    ).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["area_px"] == 400
+
+
+def test_preds_to_binary_weighted():
+    pred = np.zeros((8, 8, 3), dtype=np.uint8)
+    pred[:4, :, 0] = 200
+    pred[4:, :, 2] = 200
+    batch = pa.table({"pred": pa.array([codec.encode(pred, "png")], pa.binary())})
+    out = pz.preds_to_binary_batch(batch, channel_scaling=[1.0, 0.0, 0.0], bg_threshold=100)
+    m = codec.decode(out["pred"][0].as_py(), "png")
+    assert (m[:4] == 255).all() and (m[4:] == 0).all()
+
+
+RECTS = pa.table(
+    {
+        "feature_id": pa.array([0, 1], pa.int64()),
+        "image_id": pa.array(["a", "a"]),
+        "xs": pa.array([[0.0, 10.0, 10.0, 0.0], [5.0, 8.0, 8.0, 5.0]], pa.list_(pa.float64())),
+        "ys": pa.array([[0.0, 0.0, 6.0, 6.0], [1.0, 1.0, 9.0, 9.0]], pa.list_(pa.float64())),
+    }
+)
+
+T = Affine(0.5, 0.0, 733601.0, 0.0, -0.5, 3725139.0)
+
+
+def test_affine_transform_batch_matches_apply_affine():
+    out = tf.affine_transform_batch(RECTS, T)
+    for i in range(2):
+        gx, gy = apply_affine(T, np.asarray(RECTS["xs"][i].as_py()), np.asarray(RECTS["ys"][i].as_py()))
+        assert np.array_equal(out["xs"][i].as_py(), gx)
+        assert np.array_equal(out["ys"][i].as_py(), gy)
+
+
+def test_affine_inverse_roundtrip():
+    geo = tf.affine_transform_batch(RECTS, T)
+    back = tf.affine_transform_batch(geo, T, inverse=True)
+    for i in range(2):
+        assert np.allclose(back["xs"][i].as_py(), RECTS["xs"][i].as_py())
+        assert np.allclose(back["ys"][i].as_py(), RECTS["ys"][i].as_py())
+
+
+def test_georegister_per_row_affines():
+    batch = RECTS.append_column("gt_a", pa.array([1.0, 2.0])) \
+        .append_column("gt_b", pa.array([0.0, 0.0])) \
+        .append_column("gt_c", pa.array([100.0, 200.0])) \
+        .append_column("gt_d", pa.array([0.0, 0.0])) \
+        .append_column("gt_e", pa.array([-1.0, -2.0])) \
+        .append_column("gt_f", pa.array([50.0, 70.0]))
+    out = tf.georegister_batch(batch)
+    assert out["xs"][0].as_py()[1] == 100.0 + 10.0  # a=1, c=100
+    assert out["xs"][1].as_py()[1] == 200.0 + 2 * 8.0  # a=2, c=200
+    assert out["ys"][0].as_py()[2] == 50.0 - 6.0
+    # px roundtrip via the inverse kernel
+    back = tf.geo_to_px_batch(out)
+    for i in range(2):
+        assert np.allclose(back["xs"][i].as_py(), RECTS["xs"][i].as_py())
+        assert np.allclose(back["ys"][i].as_py(), RECTS["ys"][i].as_py())
+
+
+def test_reduce_precision():
+    t = pa.table(
+        {
+            "xs": pa.array([[1.23456789]], pa.list_(pa.float64())),
+            "ys": pa.array([[9.87654321]], pa.list_(pa.float64())),
+        }
+    )
+    out = tf.reduce_precision_batch(t, 3)
+    assert out["xs"][0].as_py() == [1.235] and out["ys"][0].as_py() == [9.877]
+
+
+def test_masks_pipeline_polygonize_roundtrip(ray_session):
+    """End-to-end: rasterize rects -> polygonize -> identical rect set."""
+    import ray
+
+    ring = np.array([[10.0, 10.0], [40.0, 10.0], [40.0, 30.0], [10.0, 30.0]])
+    m = rasterize_rings(ring, np.array([0, 4]), (64, 64))
+    tbl = pa.table(
+        {"tile_id": pa.array(["r0"]), "mask": pa.array([codec.encode(m, "png")], pa.binary())}
+    )
+    out = pz.masks_to_polygons(ray.data.from_arrow(tbl), mask_col="mask").to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["area_px"] == 30 * 20

@@ -1,0 +1,58 @@
+"""Exact distributed quantiles + t-digest sketch accuracy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from solaris_ray.stages.quantiles import TDigest, exact_quantiles, tdigest_aggregate
+
+
+def test_exact_quantiles_match_numpy(ray_session):
+    import ray
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 100000, 20000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(8)
+    qs = [0.1, 0.5, 0.9]
+    out = exact_quantiles(ds, "v", qs).to_pandas()
+    s = np.sort(vals, kind="stable")
+    for q, got in zip(out["q"], out["value"]):
+        assert got == float(s[int(np.floor(q * (len(s) - 1)))])
+
+
+def test_exact_quantiles_skewed(ray_session):
+    import ray
+
+    # heavy duplication: one bucket holds most mass
+    vals = np.concatenate([np.zeros(5000, dtype=np.int64), np.arange(100, dtype=np.int64)])
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(4)
+    out = exact_quantiles(ds, "v", [0.5, 0.99]).to_pandas()
+    s = np.sort(vals)
+    assert out.iloc[0]["value"] == float(s[int(np.floor(0.5 * (len(s) - 1)))])
+    assert out.iloc[1]["value"] == float(s[int(np.floor(0.99 * (len(s) - 1)))])
+
+
+def test_tdigest_merge_accuracy():
+    rng = np.random.default_rng(9)
+    vals = rng.lognormal(3, 1, 50000)
+    # shard into 10 digests and merge — simulates the map-side partials
+    final = TDigest(200)
+    for shard in np.array_split(vals, 10):
+        d = TDigest(200)
+        d.add(shard)
+        final = final.merge(d)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = final.quantile(q)
+        true = np.quantile(vals, q)
+        assert abs(est - true) / true < 0.05, (q, est, true)
+
+
+def test_tdigest_aggregate_pipeline(ray_session):
+    import ray
+
+    rng = np.random.default_rng(13)
+    vals = rng.normal(1000, 100, 30000)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(6)
+    out = tdigest_aggregate(ds, "v", [0.5]).to_pandas()
+    assert abs(out.iloc[0]["value"] - np.quantile(vals, 0.5)) < 10
