@@ -711,6 +711,107 @@ def q_polygonize(sf_dir: str):
     return polys.drop_columns(["xs", "ys"])
 
 
+def q_chip_stitch(sf_dir: str):
+    """InferenceTiler + stitch_images roundtrip: chip fan-out ->
+    groupby(image_id) reassembly; PSNR vs source gated in pytest."""
+    import ray
+
+    from ..sources import synth
+    from ..stages import chips as chips_stage
+
+    n = 6
+    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    chipped = chips_stage.cut_chips(ray.data.from_arrow(images), chip=96, step=64)
+    out = chips_stage.stitch(chipped, method="average")
+    return out.drop_columns(["bytes"])
+
+
+def q_graph_build(sf_dir: str):
+    """Road-network graph: vertex dedup + edges with lengths."""
+    import ray
+
+    from ..sources import synth
+    from ..stages import graph as graph_stage
+
+    n = 48
+    _, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    roads = features.filter(pc.equal(features["class"], "road")).select(
+        ["feature_id", "xs", "ys"]
+    )
+    _, edges = graph_stage.build_graph(ray.data.from_arrow(roads))
+    return edges
+
+
+def q_preproc_ops(sf_dir: str):
+    """Band select/swap + HSV roundtrip as a composed decode stage."""
+    import ray
+
+    from ..sources import synth
+    from ..stages import preproc as pp
+
+    n = 6
+    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    out = pp.apply_image_ops(
+        ray.data.from_arrow(images),
+        [(pp.rgb_to_hsv, {}), (pp.hsv_to_rgb, {}), (pp.select_bands, {"bands": [0, 1]})],
+    )
+    return out.drop_columns(["bytes"])
+
+
+def q_coco_export(sf_dir: str):
+    """geojson2coco analogue: annotations table (pixel-space bboxes)."""
+    import ray
+
+    from ..geom.wkt import parse_wkt_batch
+    from ..sources import synth
+    from ..stages import export as export_stage
+
+    n = 12
+    _, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    buildings = features.filter(pc.equal(features["class"], "building"))
+    coords, offsets, kinds = parse_wkt_batch(buildings["wkt_pix"].to_pylist())
+    px_feats = pa.table(
+        {
+            "feature_id": buildings["feature_id"],
+            "image_id": buildings["image_id"],
+            "class": buildings["class"],
+            "xs": pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32)), pa.array(coords[:, 0])
+            ),
+            "ys": pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32)), pa.array(coords[:, 1])
+            ),
+        }
+    )
+    cats = {"building": 1}
+    return export_stage.coco_annotations(ray.data.from_arrow(px_feats), cats)
+
+
+def q_yolo_export(sf_dir: str):
+    import ray
+
+    from ..geom.wkt import parse_wkt_batch
+    from ..sources import synth
+    from ..stages import export as export_stage
+
+    n = 12
+    _, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    buildings = features.filter(pc.equal(features["class"], "building"))
+    coords, offsets, _ = parse_wkt_batch(buildings["wkt_pix"].to_pylist())
+    px_feats = pa.table(
+        {
+            "feature_id": buildings["feature_id"],
+            "image_id": buildings["image_id"],
+            "class": buildings["class"],
+            "xs": pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32)), pa.array(coords[:, 0])),
+            "ys": pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32)), pa.array(coords[:, 1])),
+        }
+    )
+    return export_stage.yolo_rows(
+        ray.data.from_arrow(px_feats), img_w=256, img_h=256, categories={"building": 0}
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES = {
@@ -751,6 +852,11 @@ QUERIES = {
     "quantiles": q_quantiles,
     "tdigest": q_tdigest,
     "polygonize": q_polygonize,
+    "chip_stitch": q_chip_stitch,
+    "graph_build": q_graph_build,
+    "preproc_ops": q_preproc_ops,
+    "coco_export": q_coco_export,
+    "yolo_export": q_yolo_export,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"

@@ -42,7 +42,7 @@ def png_encode(arr: np.ndarray, level: int = 4) -> bytes:
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
-    color_type = {1: 0, 3: 2, 4: 6}[c]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]  # 2 = gray+alpha
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     # filter byte 0 per scanline
     raw = np.empty((h, w * c + 1), dtype=np.uint8)
@@ -106,7 +106,7 @@ def png_decode(buf: bytes) -> np.ndarray:
             idat += payload
         elif tag == b"IEND":
             break
-    c = {0: 1, 2: 3, 6: 4}[color_type]
+    c = {0: 1, 4: 2, 2: 3, 6: 4}[color_type]
     stride = w * c
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, stride + 1)
     out = _unfilter(raw, h, stride, c).reshape(h, w, c)

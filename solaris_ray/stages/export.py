@@ -1,0 +1,153 @@
+"""Exporters — COCO and YOLO label formats from the features table.
+
+Reference:
+
+- ``geojson2coco`` (/root/reference/solaris/data/coco.py:15-302 with
+  ``df_to_coco_annos`` :305-461, category registry :462-495,
+  ``make_coco_image_dict`` :498-541): dir-of-geojsons + images ->
+  COCO JSON with per-image annotations in pixel coords.
+- ``gdf_to_yolo`` (/root/reference/solaris/vector/polygon.py:329-417):
+  normalized center/size bbox rows per feature, ``min_overlap``
+  filter against the image frame.
+
+Ray mapping (SURVEY.md §2.1 coco row): category registry = distinct +
+zip-with-index on the driver (tiny); annotation building =
+vectorized ``map_batches`` over feature rows; the final COCO dict is
+assembled driver-side from the small annotation table (the reference
+also ends in one JSON file).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+ANNO_SCHEMA = pa.schema(
+    [
+        ("annotation_id", pa.int64()),
+        ("image_id", pa.string()),
+        ("category_id", pa.int64()),
+        ("bbox_x", pa.float64()),
+        ("bbox_y", pa.float64()),
+        ("bbox_w", pa.float64()),
+        ("bbox_h", pa.float64()),
+        ("area", pa.float64()),
+    ]
+)
+
+
+def category_registry(features) -> dict[str, int]:
+    """Distinct class -> contiguous ids (coco.py:462-495)."""
+    classes = sorted({r["class"] for r in features.select_columns(["class"]).take_all()})
+    return {c: i + 1 for i, c in enumerate(classes)}
+
+
+def coco_annotations(features, categories: dict[str, int]):
+    """feature rows (pixel-space xs/ys) -> COCO annotation rows."""
+
+    def _annos(batch: pa.Table) -> pa.Table:
+        xs_l = batch["xs"].to_pylist()
+        ys_l = batch["ys"].to_pylist()
+        n = batch.num_rows
+        bx = np.asarray([min(v) for v in xs_l])
+        by = np.asarray([min(v) for v in ys_l])
+        bw = np.asarray([max(v) for v in xs_l]) - bx
+        bh = np.asarray([max(v) for v in ys_l]) - by
+        # polygon area via shoelace per row
+        areas = np.asarray(
+            [
+                abs(
+                    float(
+                        np.dot(np.asarray(x), np.roll(np.asarray(y), -1))
+                        - np.dot(np.roll(np.asarray(x), -1), np.asarray(y))
+                    )
+                )
+                / 2.0
+                for x, y in zip(xs_l, ys_l)
+            ]
+        )
+        cid = np.asarray([categories[c] for c in batch["class"].to_pylist()], dtype=np.int64)
+        return pa.table(
+            {
+                "annotation_id": pc_cast_i64(batch["feature_id"]),
+                "image_id": batch["image_id"],
+                "category_id": pa.array(cid),
+                "bbox_x": pa.array(bx),
+                "bbox_y": pa.array(by),
+                "bbox_w": pa.array(bw),
+                "bbox_h": pa.array(bh),
+                "area": pa.array(areas),
+            }
+        )
+
+    return features.map_batches(_annos, batch_format="pyarrow", batch_size=4096)
+
+
+def pc_cast_i64(arr):
+    import pyarrow.compute as pc
+
+    return pc.cast(arr, pa.int64())
+
+
+def build_coco_dict(features, images_meta) -> dict:
+    """Full COCO document (driver-side final assembly, like the
+    reference's single-JSON sink)."""
+    cats = category_registry(features)
+    annos = coco_annotations(features, cats).to_pandas()
+    imgs = images_meta.select_columns(["image_id", "w", "h"]).take_all()
+    id_map = {r["image_id"]: i + 1 for i, r in enumerate(sorted(imgs, key=lambda r: r["image_id"]))}
+    return {
+        "images": [
+            {"id": id_map[r["image_id"]], "file_name": r["image_id"], "width": int(r["w"]), "height": int(r["h"])}
+            for r in sorted(imgs, key=lambda r: r["image_id"])
+        ],
+        "annotations": [
+            {
+                "id": int(a.annotation_id),
+                "image_id": id_map[a.image_id],
+                "category_id": int(a.category_id),
+                "bbox": [a.bbox_x, a.bbox_y, a.bbox_w, a.bbox_h],
+                "area": a.area,
+                "iscrowd": 0,
+            }
+            for a in annos.itertuples()
+        ],
+        "categories": [{"id": i, "name": c} for c, i in cats.items()],
+    }
+
+
+def yolo_rows(features, img_w: int, img_h: int, categories: dict[str, int],
+              min_overlap: float = 0.66):
+    """feature rows -> YOLO label rows (class cx cy w h, normalized).
+
+    ``min_overlap``: drop features whose in-frame bbox fraction is
+    below the threshold (polygon.py:383-401 truncation rule).
+    """
+
+    def _yolo(batch: pa.Table) -> pa.Table:
+        xs_l = batch["xs"].to_pylist()
+        ys_l = batch["ys"].to_pylist()
+        bx0 = np.asarray([min(v) for v in xs_l])
+        by0 = np.asarray([min(v) for v in ys_l])
+        bx1 = np.asarray([max(v) for v in xs_l])
+        by1 = np.asarray([max(v) for v in ys_l])
+        cx0 = np.clip(bx0, 0, img_w)
+        cy0 = np.clip(by0, 0, img_h)
+        cx1 = np.clip(bx1, 0, img_w)
+        cy1 = np.clip(by1, 0, img_h)
+        full = (bx1 - bx0) * (by1 - by0)
+        inside = (cx1 - cx0) * (cy1 - cy0)
+        keep = np.nonzero(np.where(full > 0, inside / np.where(full > 0, full, 1), 0.0) >= min_overlap)[0]
+        cid = np.asarray([categories[c] for c in batch["class"].to_pylist()], dtype=np.int64)
+        return pa.table(
+            {
+                "image_id": batch["image_id"].take(pa.array(keep)),
+                "class_id": pa.array(cid[keep]),
+                "cx": pa.array(((cx0 + cx1) / 2 / img_w)[keep]),
+                "cy": pa.array(((cy0 + cy1) / 2 / img_h)[keep]),
+                "w": pa.array(((cx1 - cx0) / img_w)[keep]),
+                "h": pa.array(((cy1 - cy0) / img_h)[keep]),
+            }
+        )
+
+    return features.map_batches(_yolo, batch_format="pyarrow", batch_size=4096)
