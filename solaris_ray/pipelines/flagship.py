@@ -85,7 +85,7 @@ def flagship(n_images: int = 400, seed: int = 42, size: int = 256,
     t1 = time.time()
     specs = tiles.select_columns(["tile_id", "image_id", "cell", "x0", "y0", "x1", "y1"])
     joined = broadcast_spatial_join(
-        specs, feats, cell_res=13, concurrency=concurrency
+        specs, feats, concurrency=concurrency
     )
     n_join = joined.count()
     t_join = time.time() - t1

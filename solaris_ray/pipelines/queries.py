@@ -161,7 +161,7 @@ def q_pip_count(sf_dir: str):
     from ray.data.aggregate import Count
 
     pts = _event_points(sf_dir)
-    matches = pip.broadcast_pip_join(pts, _part_boxes(sf_dir), cell_res=13, exact=False)
+    matches = pip.broadcast_pip_join(pts, _part_boxes(sf_dir), exact=False)
     agg = matches.groupby("feature_id").aggregate(Count())
     return agg.map_batches(
         lambda b: pa.table(
@@ -192,7 +192,7 @@ def q_clip_join(sf_dir: str):
         )
 
     tiles = p.map_batches(_tiles, batch_format="pyarrow", batch_size=4096)
-    joined = broadcast_spatial_join(tiles, _customer_rects(sf_dir), cell_res=13)
+    joined = broadcast_spatial_join(tiles, _customer_rects(sf_dir))
     return joined.map_batches(
         lambda b: _i64(
             b.select(["tile_id", "feature_id", "origarea", "origlen", "partialDec", "truncated"]),
@@ -205,7 +205,7 @@ def q_clip_join(sf_dir: str):
 def q_knn_join(sf_dir: str):
     """k=3 nearest feature centroids per point (ring-expansion kNN)."""
     pts = _event_points(sf_dir, limit_ids=2000)
-    out = knn.broadcast_knn_join(pts, _customer_centroids(sf_dir), k=3, cell_res=13)
+    out = knn.broadcast_knn_join(pts, _customer_centroids(sf_dir), k=3)
     return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
 
 
@@ -467,7 +467,7 @@ def q_tile_feature_join(sf_dir: str):
     images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
     meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
     specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
-    joined = broadcast_spatial_join(specs, features, cell_res=13)
+    joined = broadcast_spatial_join(specs, features)
     return joined.drop_columns(["xs", "ys"])
 
 
@@ -483,7 +483,7 @@ def q_masks_pipeline(sf_dir: str):
     images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
     meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
     specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
-    joined = broadcast_spatial_join(specs, features, cell_res=13)
+    joined = broadcast_spatial_join(specs, features)
     mk = masks_stage.masks_from_join(joined, tile_size=128)
     return mk.drop_columns(["footprint", "boundary", "contact", "road"])
 
@@ -498,7 +498,7 @@ def q_instance_masks(sf_dir: str):
     images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
     meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
     specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
-    joined = broadcast_spatial_join(specs, features, cell_res=13)
+    joined = broadcast_spatial_join(specs, features)
     return masks_stage.instance_masks(joined, tile_size=128).drop_columns(["mask"])
 
 
@@ -705,7 +705,7 @@ def q_polygonize(sf_dir: str):
     images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
     meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
     specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
-    joined = broadcast_spatial_join(specs, features, cell_res=13)
+    joined = broadcast_spatial_join(specs, features)
     mk = masks_stage.masks_from_join(joined, tile_size=128)
     polys = pz.masks_to_polygons(mk, mask_col="footprint", min_area=4.0)
     return polys.drop_columns(["xs", "ys"])

@@ -41,7 +41,7 @@ def ensure_shippable() -> None:
         pass
 
 
-def auto_concurrency(cap: int = 64) -> int:
+def auto_concurrency(cap: int = 16) -> int:
     """Actor-pool sizing that follows the session's CPU budget.
 
     Fixed pool sizes are a scaling bug: the same code must saturate an
@@ -49,7 +49,9 @@ def auto_concurrency(cap: int = 64) -> int:
     of size ~num_cpus beats a (1, N) autoscaling pool here: autoscale
     ramps up too slowly for short bursts (measured 2x wall), and
     broadcast-index actors are cheap to start once the index is
-    prebuilt and ``ray.put`` (see the joiner stages).
+    prebuilt and ``ray.put`` (see the joiner stages).  The default cap
+    (16) bounds pool spin-up cost for short jobs; callers with long
+    scans pass a higher cap explicitly.
     """
     try:
         import ray

@@ -378,7 +378,7 @@ class BroadcastJoiner:
 def broadcast_spatial_join(
     tile_specs,
     features: pa.Table,
-    cell_res: int = 13,
+    cell_res: int | None = None,
     min_partial_perc: float = 0.0,
     concurrency=None,
     batch_size: int = 256,
@@ -394,6 +394,16 @@ def broadcast_spatial_join(
 
     if concurrency is None:
         concurrency = auto_concurrency()
+    if cell_res is None:
+        import pyarrow.compute as _pc
+
+        cell_res = cells.choose_res(
+            float(_pc.min(features["minx"]).as_py()),
+            float(_pc.min(features["miny"]).as_py()),
+            float(_pc.max(features["maxx"]).as_py()),
+            float(_pc.max(features["maxy"]).as_py()),
+            features.num_rows,
+        )
     # build the index ONCE on the driver; actors fetch the built
     # structure from plasma (numpy arrays come back zero-copy)
     pack = FeaturePack.from_arrow(features)

@@ -189,7 +189,7 @@ def broadcast_knn_join(
     points,
     features: pa.Table,
     k: int = 3,
-    cell_res: int = 13,
+    cell_res: int | None = None,
     concurrency=None,
     batch_size: int = 2048,
     **col_kwargs,
@@ -201,6 +201,16 @@ def broadcast_knn_join(
 
     if concurrency is None:
         concurrency = auto_concurrency()
+    if cell_res is None:
+        fx = features[col_kwargs.get("fx_col", "cx")]
+        fy = features[col_kwargs.get("fy_col", "cy")]
+        import pyarrow.compute as _pc
+
+        cell_res = cells.choose_res(
+            float(_pc.min(fx).as_py()), float(_pc.min(fy).as_py()),
+            float(_pc.max(fx).as_py()), float(_pc.max(fy).as_py()),
+            features.num_rows, target_per_cell=32,
+        )
     ref = ray.put(CentroidIndex(features, cell_res,
                                 col_kwargs.get("fx_col", "cx"), col_kwargs.get("fy_col", "cy")))
     return points.map_batches(

@@ -116,22 +116,15 @@ def pip_batch(
         cand = index.buckets.get(int(c))
         if cand is None:
             continue
-        rows = order[s:e]
-        gx, gy = px[rows], py[rows]
+        rows_all = order[s:e]
         b = index.bbox[cand]
-        for j, fi in enumerate(cand.tolist()):
-            hit = (gx >= b[j, 0]) & (gx < b[j, 2]) & (gy >= b[j, 1]) & (gy < b[j, 3])
-            if exact and hit.any():
-                sub = np.nonzero(hit)[0]
-                inside = points_in_polygon(gx[sub], gy[sub], index.ring(fi))
-                hit = np.zeros_like(hit)
-                hit[sub[inside]] = True
-            if hit.any():
-                r = rows[hit]
-                out_pid.append(point_id[r])
-                out_fid.append(np.full(len(r), index.feature_id[fi], dtype=np.int64))
-                out_x.append(px[r])
-                out_y.append(py[r])
+        # bound the (points x candidates) matrix at ~4M cells: chunk the
+        # point axis when a degenerate bucket holds many candidates
+        chunk = max(1, 4_000_000 // max(1, len(cand)))
+        chunks = [rows_all[i : i + chunk] for i in range(0, len(rows_all), chunk)]
+        for rows in chunks:
+            _pip_cell_chunk(index, cand, b, rows, point_id, px, py, exact,
+                            out_pid, out_fid, out_x, out_y)
     if not out_pid:
         return PIP_SCHEMA.empty_table()
     return pa.table(
@@ -143,6 +136,39 @@ def pip_batch(
         },
         schema=PIP_SCHEMA,
     )
+
+
+def _pip_cell_chunk(index, cand, b, rows, point_id, px, py, exact,
+                    out_pid, out_fid, out_x, out_y) -> None:
+    gx, gy = px[rows], py[rows]
+    # full (points x candidates) matrix test — no per-feature loop
+    hit = (
+        (gx[:, None] >= b[None, :, 0])
+        & (gx[:, None] < b[None, :, 2])
+        & (gy[:, None] >= b[None, :, 1])
+        & (gy[:, None] < b[None, :, 3])
+    )
+    pi, fi = np.nonzero(hit)
+    if len(pi) == 0:
+        return
+    if exact:
+        # refine per matched feature (pairs grouped by feature)
+        o2 = np.argsort(fi, kind="stable")
+        pi, fi = pi[o2], fi[o2]
+        fu, fs = np.unique(fi, return_index=True)
+        fe = np.append(fs[1:], len(fi))
+        keep = np.zeros(len(pi), dtype=bool)
+        for u, a, z in zip(fu.tolist(), fs, fe):
+            sub = pi[a:z]
+            keep[a:z] = points_in_polygon(gx[sub], gy[sub], index.ring(int(cand[u])))
+        pi, fi = pi[keep], fi[keep]
+        if len(pi) == 0:
+            return
+    r = rows[pi]
+    out_pid.append(point_id[r])
+    out_fid.append(index.feature_id[cand[fi]])
+    out_x.append(px[r])
+    out_y.append(py[r])
 
 
 class BroadcastPIPJoiner:
@@ -176,7 +202,7 @@ class BroadcastPIPJoiner:
 def broadcast_pip_join(
     points,
     features: pa.Table,
-    cell_res: int = 13,
+    cell_res: int | None = None,
     exact: bool = False,
     concurrency=None,
     batch_size: int = 2048,
@@ -196,6 +222,14 @@ def broadcast_pip_join(
 
     if concurrency is None:
         concurrency = auto_concurrency()
+    if cell_res is None:
+        cell_res = cells.choose_res(
+            float(pa.compute.min(features["minx"]).as_py()),
+            float(pa.compute.min(features["miny"]).as_py()),
+            float(pa.compute.max(features["maxx"]).as_py()),
+            float(pa.compute.max(features["maxy"]).as_py()),
+            features.num_rows,
+        )
     ref = ray.put(BoxIndex(features, cell_res, with_rings=exact))
     return points.map_batches(
         BroadcastPIPJoiner,
