@@ -79,6 +79,8 @@ def main() -> None:
     ap.add_argument("--scaling-images", type=int, default=int(os.environ.get("GRAFT_SCALING_IMAGES", "12800")))
     ap.add_argument("--scaling-cpus", default=os.environ.get("GRAFT_SCALING_CPUS", "8,32"),
                     help="comma pair N,4N (both must fit the box's physical cores for a fair reading)")
+    ap.add_argument("--scaling-repeats", type=int, default=int(os.environ.get("GRAFT_SCALING_REPEATS", "1")),
+                    help="run each leg N times, keep the best (shared-box noise control)")
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--flagship-only", action="store_true", help="internal: one flagship run, JSON out")
     args = ap.parse_args()
@@ -87,14 +89,19 @@ def main() -> None:
         lo, hi = (int(v) for v in args.scaling_cpus.split(","))
         results = {}
         for cpus in (lo, hi):
-            out = subprocess.run(
-                [sys.executable, __file__, "--flagship-only",
-                 "--num-cpus", str(cpus), "--n-images", str(args.scaling_images)],
-                capture_output=True, text=True, timeout=1800,
-                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
-            )
-            line = out.stdout.strip().splitlines()[-1]
-            results[cpus] = json.loads(line)
+            best = None
+            for _ in range(max(1, args.scaling_repeats)):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--flagship-only",
+                     "--num-cpus", str(cpus), "--n-images", str(args.scaling_images)],
+                    capture_output=True, text=True, timeout=1800,
+                    env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+                )
+                line = out.stdout.strip().splitlines()[-1]
+                r = json.loads(line)
+                if best is None or r["tiles_join_rows_per_sec"] > best["tiles_join_rows_per_sec"]:
+                    best = r
+            results[cpus] = best
         r_lo, r_hi = results[lo], results[hi]
         eff = (r_hi["tiles_join_rows_per_sec"] / r_lo["tiles_join_rows_per_sec"]) / (hi / lo)
         print(json.dumps({

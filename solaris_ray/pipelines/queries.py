@@ -812,6 +812,102 @@ def q_yolo_export(sf_dir: str):
     )
 
 
+def q_match_join(sf_dir: str):
+    """Image<->label match-key join (regex extract + broadcast hash
+    join; make_dataset_csv semantics)."""
+    from ..stages import matchkeys
+
+    left = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        lambda b: matchkeys.extract_key(
+            pa.table(
+                {"file": pa.array(["img_" + str(int(k)) + ".png" for k in b["p_partkey"].to_numpy()], pa.string())}
+            ),
+            "file",
+            r"(?P<k>[0-9]+)",
+        ),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    o = _pq(sf_dir, "orders", ["o_orderkey"])
+    o = o.filter(pc.less(o["o_orderkey"], 4000))
+    labels = pa.table(
+        {
+            "label": pa.array(
+                ["lbl_" + str(int(k) % 2000) + ".geojson" for k in o["o_orderkey"].to_numpy()],
+                pa.string(),
+            )
+        }
+    )
+    right = matchkeys.extract_key(labels, "label", r"(?P<k>[0-9]+)")
+    joined = matchkeys.broadcast_equi_join(left, right)
+    return joined.map_batches(
+        lambda b: b.select(["file", "label"]), batch_format="pyarrow"
+    )
+
+
+def q_fill_nodata(sf_dir: str):
+    """Mean nodata fill: grouped per-image channel means broadcast into
+    the fill pass (fill_all_nodata semantics)."""
+    import ray
+
+    from ..sources import synth
+    from ..stages import fill as fill_stage
+
+    n = 8
+    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=200)  # non-128-multiple -> padded edge tiles
+    tiles = tiler.cut_tiles(ray.data.from_arrow(images), tile_size=128)
+    filled = fill_stage.fill_nodata_mean(tiles, nodata=0.0)
+    return filled.drop_columns(["bytes", "caption"])
+
+
+def q_scot(sf_dir: str):
+    """SCOT multi-temporal optimal matching over synthetic AOIs."""
+    import ray
+
+    from ..sources import synth
+    from ..stages import evaluate
+
+    n = 8
+    _, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    b = features.filter(pc.equal(features["class"], "building"))
+    xs = b["xs"].to_pylist()
+    ys = b["ys"].to_pylist()
+    fid = b["feature_id"].to_numpy()
+    aoi = b["image_id"].to_pylist()
+    gt_rows, prop_rows = [], []
+    for ts_i, ts in enumerate(("t0", "t1")):
+        for j in range(len(fid)):
+            gt_rows.append(
+                {"aoi": aoi[j], "timestep": ts, "gt_id": int(fid[j]), "xs": xs[j], "ys": ys[j]}
+            )
+            # proposals jittered; at t1 every 7th feature's track id is
+            # swapped with its neighbor (planted identity swaps)
+            track = int(fid[j])
+            if ts_i == 1 and j % 7 == 0 and j + 1 < len(fid) and aoi[j] == aoi[j + 1]:
+                track = int(fid[j + 1])
+            dx = 0.5 + (j % 3) * 0.3
+            prop_rows.append(
+                {
+                    "aoi": aoi[j],
+                    "timestep": ts,
+                    "track_id": track,
+                    "xs": [v + dx for v in xs[j]],
+                    "ys": [v + dx for v in ys[j]],
+                }
+            )
+    gt_schema = pa.schema(
+        [("aoi", pa.string()), ("timestep", pa.string()), ("gt_id", pa.int64()),
+         ("xs", pa.list_(pa.float64())), ("ys", pa.list_(pa.float64()))]
+    )
+    pr_schema = pa.schema(
+        [("aoi", pa.string()), ("timestep", pa.string()), ("track_id", pa.int64()),
+         ("xs", pa.list_(pa.float64())), ("ys", pa.list_(pa.float64()))]
+    )
+    gt = ray.data.from_arrow(pa.Table.from_pylist(gt_rows, schema=gt_schema))
+    props = ray.data.from_arrow(pa.Table.from_pylist(prop_rows, schema=pr_schema))
+    return evaluate.scot_scores(props, gt)
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES = {
@@ -857,6 +953,9 @@ QUERIES = {
     "preproc_ops": q_preproc_ops,
     "coco_export": q_coco_export,
     "yolo_export": q_yolo_export,
+    "match_join": q_match_join,
+    "fill_nodata": q_fill_nodata,
+    "scot": q_scot,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -1011,6 +1110,15 @@ v AS (SELECT feature_id, i AS vi,
              CASE i WHEN 1 THEN fcy-hh WHEN 2 THEN fcy-hh WHEN 3 THEN fcy+hh ELSE fcy+hh END AS y
       FROM f, range(1, 5) r(i))
 SELECT feature_id, vi, 0.5*x + 733601.0 AS out_x, -0.5*y + 3725139.0 AS out_y FROM v
+""",
+    "match_join": """
+WITH l AS (SELECT 'img_' || CAST(p_partkey AS VARCHAR) || '.png' AS file,
+                  regexp_extract('img_' || CAST(p_partkey AS VARCHAR) || '.png', '([0-9]+)', 1) AS k
+           FROM part),
+r AS (SELECT 'lbl_' || CAST(o_orderkey % 2000 AS VARCHAR) || '.geojson' AS label,
+             regexp_extract('lbl_' || CAST(o_orderkey % 2000 AS VARCHAR) || '.geojson', '([0-9]+)', 1) AS k
+      FROM orders WHERE o_orderkey < 4000)
+SELECT l.file, r.label FROM l JOIN r ON l.k = r.k
 """,
     "quantiles": """
 WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem),

@@ -295,6 +295,129 @@ def mean_average_precision(matches, gt_counts: dict[str, int], class_of_image=No
     return float(np.mean(list(aps.values()))), aps
 
 
+# --- SCOT: multi-temporal optimal matching (eval/scot.py) ----------------
+
+SCOT_SCHEMA = pa.schema(
+    [
+        ("aoi", pa.string()),
+        ("tp", pa.int64()),
+        ("fp", pa.int64()),
+        ("fn", pa.int64()),
+        ("mismatches", pa.int64()),
+        ("precision", pa.float64()),
+        ("recall", pa.float64()),
+        ("f1", pa.float64()),
+        ("tracking_score", pa.float64()),
+    ]
+)
+
+
+def scot_group(group: pa.Table, miniou: float = 0.25) -> pa.Table:
+    """One AOI's multi-temporal rows -> SCOT-style scores.
+
+    Reference semantics (/root/reference/solaris/eval/scot.py:74-194):
+    per timestep, an OPTIMAL (Hungarian) IoU assignment between
+    proposals and ground truth (scipy.linear_sum_assignment there, the
+    pure-numpy geom.assign solver here); matches with IoU > miniou are
+    TPs; a ground-truth building matched to a DIFFERENT proposal track
+    than in an earlier timestep counts as a tracking mismatch.  The
+    timestep loop is sequential *within* the AOI group — AOIs are the
+    parallel unit (groupby(aoi), SURVEY.md §2.4).
+    """
+    from ..geom.assign import linear_sum_assignment
+
+    side = group["side"].to_numpy()
+    ts_all = group["timestep"].to_numpy(zero_copy_only=False)
+    aoi = group["aoi"][0].as_py()
+    tp = fp = fn = mism = 0
+    gt_total = 0
+    gt_track: dict[int, int] = {}  # gt_id -> proposal track id seen last
+    for ts in sorted(set(ts_all.tolist())):
+        rows = np.nonzero(ts_all == ts)[0]
+        prows = rows[side[rows] == 0]
+        grows = rows[side[rows] == 1]
+        gt_total += len(grows)
+        if len(prows) == 0:
+            fn += len(grows)
+            continue
+        if len(grows) == 0:
+            fp += len(prows)
+            continue
+        pr = _rings_of(group, prows)
+        gr = _rings_of(group, grows)
+        iou = np.zeros((len(prows), len(grows)))
+        for i, a in enumerate(pr):
+            for j, b in enumerate(gr):
+                iou[i, j] = polygon_iou(a, b)
+        ri, ci = linear_sum_assignment(iou, maximize=True)
+        matched = iou[ri, ci] > miniou
+        t = int(matched.sum())
+        tp += t
+        fp += len(prows) - t
+        fn += len(grows) - t
+        pids = group["pid"].to_numpy(zero_copy_only=False)
+        for i, j, ok in zip(ri.tolist(), ci.tolist(), matched.tolist()):
+            if not ok:
+                continue
+            gt_id = int(pids[grows[j]])
+            track = int(pids[prows[i]])
+            if gt_id in gt_track and gt_track[gt_id] != track:
+                mism += 1
+            gt_track[gt_id] = track
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    tracking = max(0.0, 1.0 - (fp + fn + 2 * mism) / gt_total) if gt_total else 0.0
+    return pa.table(
+        {
+            "aoi": pa.array([aoi], pa.string()),
+            "tp": pa.array([tp], pa.int64()),
+            "fp": pa.array([fp], pa.int64()),
+            "fn": pa.array([fn], pa.int64()),
+            "mismatches": pa.array([mism], pa.int64()),
+            "precision": pa.array([prec], pa.float64()),
+            "recall": pa.array([rec], pa.float64()),
+            "f1": pa.array([f1], pa.float64()),
+            "tracking_score": pa.array([tracking], pa.float64()),
+        }
+    )
+
+
+def _pad_scot_side(batch: pa.Table, side: int) -> pa.Table:
+    n = batch.num_rows
+    id_col = "track_id" if side == 0 else "gt_id"
+    return pa.table(
+        {
+            "aoi": batch["aoi"],
+            "timestep": batch["timestep"],
+            "side": pa.array(np.full(n, side, dtype=np.int8)),
+            "pid": pc_cast_i64(batch[id_col]),
+            "xs": batch["xs"],
+            "ys": batch["ys"],
+        }
+    )
+
+
+def pc_cast_i64(arr):
+    import pyarrow.compute as pc
+
+    return pc.cast(arr, pa.int64())
+
+
+def scot_scores(proposals, ground_truth, miniou: float = 0.25):
+    """Multi-AOI SCOT: groupby(aoi).map_groups of the temporal matcher.
+
+    proposals: (aoi, timestep, track_id, xs, ys); ground_truth:
+    (aoi, timestep, gt_id, xs, ys).  Final multi-AOI mean stays on the
+    driver (scot.py:197-232 is a mean over AOI scores).
+    """
+    p = proposals.map_batches(lambda b: _pad_scot_side(b, 0), batch_format="pyarrow")
+    g = ground_truth.map_batches(lambda b: _pad_scot_side(b, 1), batch_format="pyarrow")
+    return p.union(g).groupby("aoi").map_groups(
+        lambda grp: scot_group(grp, miniou), batch_format="pyarrow"
+    )
+
+
 # --- pixel metrics (eval/pixel.py) ---------------------------------------
 
 def pixel_score_batch(batch: pa.Table, truth_col: str = "truth", pred_col: str = "pred",
