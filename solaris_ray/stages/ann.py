@@ -97,10 +97,14 @@ def _final_topk(k: int):
 
 def brute_topk(ds, queries_ids: np.ndarray, queries_mat: np.ndarray, k: int = 5,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               concurrency: int = 4, batch_size: int = 4096):
+               concurrency=None, batch_size: int = 4096):
     """Exact cosine top-k of each query over the whole Dataset."""
     import ray
 
+    from ..runtime import auto_concurrency
+
+    if concurrency is None:
+        concurrency = auto_concurrency()
     ref = ray.put((np.asarray(queries_ids, dtype=np.int64), _normalize(np.asarray(queries_mat, dtype=np.float64))))
     partial = ds.map_batches(
         BruteScorer,
@@ -130,7 +134,7 @@ def add_lsh_bucket(batch: pa.Table, planes: np.ndarray, vec_col: str = "embeddin
 
 def lsh_topk(ds, queries_ids: np.ndarray, queries_mat: np.ndarray, k: int = 5,
              n_planes: int = 12, n_probe_flips: int = 2, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding", concurrency: int = 4):
+             id_col: str = "vec_id", vec_col: str = "embedding", concurrency=None):
     """LSH-bucketed approximate top-k.
 
     Vectors tagged with their bucket; each query probes its own bucket

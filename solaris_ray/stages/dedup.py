@@ -351,8 +351,13 @@ class CosinePairFinder:
 
 def embedding_neardup_pairs(ds, embeddings_table: pa.Table, tau: float = 0.4,
                             id_col: str = "vec_id", vec_col: str = "embedding",
-                            concurrency: int = 4):
+                            concurrency=None):
     import ray
+
+    from ..runtime import auto_concurrency
+
+    if concurrency is None:
+        concurrency = auto_concurrency()
 
     ids = embeddings_table[id_col].to_numpy().astype(np.int64)
     M = np.asarray(embeddings_table[vec_col].to_pylist(), dtype=np.float64)
