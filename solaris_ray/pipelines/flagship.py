@@ -99,3 +99,50 @@ def flagship(n_images: int = 400, seed: int = 42, size: int = 256,
         "total_sec": round(total, 3),
         "tiles_join_rows_per_sec": round((n_tiles + n_join) / total, 1),
     }
+
+
+def flagship_resumable(out_dir: str, n_images: int = 400, n_partitions: int = 8,
+                       seed: int = 42, size: int = 256, tile_size: int = 128) -> dict:
+    """Checkpoint-resumable flagship: the image-index range is split
+    into partitions; each pending partition runs generate -> tile ->
+    join and lands in ``out/part={pid}/`` with a manifest entry
+    (lineage = its index range + corpus seed, metrics = rows/s).
+    Re-invocation skips finished partitions (state.manifest).
+    """
+    from ..state.manifest import run_partitioned
+
+    bounds = [
+        (pid, pid * n_images // n_partitions, (pid + 1) * n_images // n_partitions)
+        for pid in range(n_partitions)
+    ]
+
+    def make_ds(pid):
+        import ray
+
+        lo, hi = bounds[pid][1], bounds[pid][2]
+        ds = ray.data.range(hi - lo, override_num_blocks=max(1, (hi - lo) // 8))
+
+        def _gen(batch: pa.Table) -> pa.Table:
+            images, _ = synth.gen_shard(batch["id"].to_numpy() + lo, n_images, seed, size)
+            return images
+
+        images = ds.map_batches(_gen, batch_format="pyarrow", batch_size=None)
+        tiles = tiler.cut_tiles(images, tile_size=tile_size)
+        feats = synth.gen_features_shard(np.arange(lo, hi), n_images, seed, size)
+        joined = broadcast_spatial_join(
+            tiles.select_columns(["tile_id", "image_id", "cell", "x0", "y0", "x1", "y1"]),
+            feats,
+        )
+        return joined.drop_columns(["xs", "ys"])
+
+    return run_partitioned(
+        out_dir,
+        [b[0] for b in bounds],
+        make_ds,
+        lineage_of=lambda pid: {
+            "image_range": [bounds[pid][1], bounds[pid][2]],
+            "seed": seed,
+            "size": size,
+            "tile_size": tile_size,
+        },
+    )

@@ -908,6 +908,22 @@ def q_scot(sf_dir: str):
     return evaluate.scot_scores(props, gt)
 
 
+def q_partitioned_join(sf_dir: str):
+    """Both-sides-large spatial join path: cell co-shuffle with
+    hot-cell salting (same rows as the broadcast path — tested)."""
+    import ray
+
+    from ..sources import synth
+    from ..stages.joins import cell_partitioned_join
+
+    n = 24
+    images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
+    specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
+    joined = cell_partitioned_join(specs, ray.data.from_arrow(features), cell_res=13)
+    return joined.drop_columns(["xs", "ys"])
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES = {
@@ -956,6 +972,7 @@ QUERIES = {
     "match_join": q_match_join,
     "fill_nodata": q_fill_nodata,
     "scot": q_scot,
+    "partitioned_join": q_partitioned_join,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"

@@ -262,9 +262,36 @@ def join_tile_batch_to_pack(
     else:
         pcell = cells.cell_of_point((x0[pt] + x1[pt]) / 2, (y0[pt] + y1[pt]) / 2, cell_res).astype(np.int64)
 
+    return clip_pairs(
+        pack, pt, pf, tid_arr, iid_arr, x0, y0, x1, y1, pcell, min_partial_perc
+    )
+
+
+def clip_pairs(
+    pack: FeaturePack,
+    pt: np.ndarray,
+    pf: np.ndarray,
+    tid_arr,
+    iid_arr,
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+    pcell: np.ndarray,
+    min_partial_perc: float,
+) -> pa.Table:
+    """Shared pair-clip kernel: (tile, feature) pair arrays -> join rows.
+
+    Used by BOTH physical join strategies (broadcast + cell-partitioned)
+    so their outputs are bit-identical.  Polygons go through the batched
+    Sutherland-Hodgman; lines through the scalar Liang-Barsky path.
+    """
+    tid = tid_arr.to_pylist()
+    iid = iid_arr.to_pylist()
     out = _empty_out()
     counts = (pack.offsets[pf + 1] - pack.offsets[pf]).astype(np.int64)
     poly_sel = pack.is_poly[pf]
+
 
     # --- phase 2a: batched polygon clip ----------------------------------
     psel = np.nonzero(poly_sel)[0]
@@ -437,34 +464,89 @@ def _tag_features_with_cells(batch: pa.Table, cell_res: int) -> pa.Table:
     return rep
 
 
+def _retag_hot(rows_cells: tuple[np.ndarray, np.ndarray], minx, miny, maxx, maxy,
+               hot: frozenset, cell_res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Replace assignments to hot cells by res+1 child assignments.
+
+    Exactly-once emission survives mixed resolutions because the
+    per-group owner test (_join_group) derives the resolution from the
+    group's own cell id: the pair is emitted only by the group whose
+    cell (at ITS resolution) contains the intersection's min corner.
+    """
+    rows, cc = rows_cells
+    is_hot = np.isin(cc, np.fromiter(hot, dtype=np.uint64)) if hot else np.zeros(len(cc), bool)
+    if not is_hot.any():
+        return rows, cc
+    keep_r, keep_c = rows[~is_hot], cc[~is_hot]
+    hrows = rows[is_hot]
+    r2, c2 = cells.cover_bboxes(minx[hrows], miny[hrows], maxx[hrows], maxy[hrows], cell_res + 1)
+    # keep only children whose parent is the hot cell being split
+    parent = cells.cell_parent(c2, cell_res)
+    orig = cc[is_hot][r2]
+    m = parent == orig
+    return np.concatenate([keep_r, hrows[r2[m]]]), np.concatenate([keep_c, c2[m]])
+
+
 def cell_partitioned_join(
     tile_specs,
     features,
     cell_res: int = 13,
     min_partial_perc: float = 0.0,
+    hot_cell_factor: float = 8.0,
 ):
     """Both-sides-large spatial join via groupby(cell) co-shuffle.
 
-    Features are replicated to covered cells (measured duplication
-    factor is cheap: count(replicated)/count(features)); tiles carry
-    their center cell.  Tiles never span a cell at sane resolutions
-    (tile 64 m « cell 2 km), so the center cell is sufficient — the
-    rare boundary-straddling tile is also replicated via its bbox
-    cover to stay exact.
+    Features are replicated to covered cells (duplication factor =
+    replicated/count); tiles are replicated via bbox cover so
+    boundary-straddling tiles stay exact.  SKEW: a cheap pre-pass
+    counts features per cell; cells holding more than
+    ``hot_cell_factor`` x the median are split one resolution finer
+    (urban-density salting, SURVEY.md §4) before the shuffle — group
+    sizes stay bounded without changing results (owner-cell dedup is
+    resolution-aware).
     """
-    feats_tagged = features.map_batches(
-        lambda b: _tag_features_with_cells(b, cell_res),
-        batch_format="pyarrow",
-        batch_size=8192,
+    # pass 0: feature-count histogram -> hot-cell set (tiny, driver-side)
+    from ray.data.aggregate import Count
+
+    hist = (
+        features.map_batches(
+            lambda b: _tag_features_with_cells(b, cell_res).select(["cell"]),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+        .groupby("cell")
+        .aggregate(Count())
+        .to_pandas()
     )
+    hot: frozenset = frozenset()
+    if len(hist):
+        med = max(1.0, float(hist["count()"].median()))
+        hot = frozenset(
+            np.uint64(c) for c in hist.loc[hist["count()"] > hot_cell_factor * med, "cell"]
+        )
+
+    def _tag_feats(batch: pa.Table) -> pa.Table:
+        minx = batch["minx"].to_numpy()
+        miny = batch["miny"].to_numpy()
+        maxx = batch["maxx"].to_numpy()
+        maxy = batch["maxy"].to_numpy()
+        rows, cc = _retag_hot(
+            cells.cover_bboxes(minx, miny, maxx, maxy, cell_res),
+            minx, miny, maxx, maxy, hot, cell_res,
+        )
+        rep = batch.take(pa.array(rows))
+        return rep.append_column("cell", pa.array(cc.astype(np.int64), pa.int64()))
+
+    feats_tagged = features.map_batches(_tag_feats, batch_format="pyarrow", batch_size=8192)
 
     def _tag_tiles(batch: pa.Table) -> pa.Table:
-        rows, cc = cells.cover_bboxes(
-            batch["x0"].to_numpy(),
-            batch["y0"].to_numpy(),
-            batch["x1"].to_numpy(),
-            batch["y1"].to_numpy(),
-            cell_res,
+        x0 = batch["x0"].to_numpy()
+        y0 = batch["y0"].to_numpy()
+        x1 = batch["x1"].to_numpy()
+        y1 = batch["y1"].to_numpy()
+        rows, cc = _retag_hot(
+            cells.cover_bboxes(x0, y0, x1, y1, cell_res),
+            x0, y0, x1, y1, hot, cell_res,
         )
         rep = batch.take(pa.array(rows))
         return rep.set_column(
@@ -502,37 +584,42 @@ def cell_partitioned_join(
             }
         )
         pack = FeaturePack.from_arrow(ftbl)
-        # within one cell: bbox all-pairs prefilter (groups are small;
-        # hot cells are split upstream)
-        out = _empty_out()
-        tid = tiles["tile_id"].to_pylist()
-        iid = tiles["t_image_id"].to_pylist()
-        cellv = tiles["cell"].to_numpy()
+        # within one cell: vectorized (tiles x feats) bbox prefilter,
+        # then the SAME batched clip kernel as the broadcast join
         x0 = tiles["x0"].to_numpy()
         y0 = tiles["y0"].to_numpy()
         x1 = tiles["x1"].to_numpy()
         y1 = tiles["y1"].to_numpy()
-        this_cell = int(cellv[0])
-        for i in range(tiles.num_rows):
-            b = pack.bbox
-            hit = (b[:, 0] < x1[i]) & (b[:, 2] > x0[i]) & (b[:, 1] < y1[i]) & (b[:, 3] > y0[i])
-            # dedup guard: emit a (tile, feature) pair only in the cell
-            # that owns the intersection's min corner, so replicated
-            # copies on both sides can't double-count
-            cand = np.nonzero(hit)[0]
-            if len(cand) == 0:
-                continue
-            ix0 = np.maximum(b[cand, 0], x0[i])
-            iy0 = np.maximum(b[cand, 1], y0[i])
-            owner = cells.cell_of_point(ix0, iy0, _cell_res_of(this_cell)).astype(np.int64)
-            cand = cand[owner == this_cell]
-            if len(cand) == 0:
-                continue
-            clip_features_to_tile(
-                pack, cand, tid[i], iid[i], this_cell,
-                x0[i], y0[i], x1[i], y1[i], min_partial_perc, out,
-            )
-        return _out_to_table(out)
+        this_cell = int(tiles["cell"][0].as_py())
+        b = pack.bbox
+        hit = (
+            (b[None, :, 0] < x1[:, None])
+            & (b[None, :, 2] > x0[:, None])
+            & (b[None, :, 1] < y1[:, None])
+            & (b[None, :, 3] > y0[:, None])
+        )
+        pt, pf = np.nonzero(hit)
+        if len(pt) == 0:
+            return _out_to_table(_empty_out())
+        # dedup guard: emit a (tile, feature) pair only in the cell that
+        # owns the intersection's min corner, so replicated copies on
+        # both sides can't double-count
+        ix0 = np.maximum(b[pf, 0], x0[pt])
+        iy0 = np.maximum(b[pf, 1], y0[pt])
+        owner = cells.cell_of_point(ix0, iy0, _cell_res_of(this_cell)).astype(np.int64)
+        keep = owner == this_cell
+        pt, pf = pt[keep], pf[keep]
+        if len(pt) == 0:
+            return _out_to_table(_empty_out())
+        tid_arr = tiles["tile_id"].combine_chunks()
+        iid_arr = tiles["t_image_id"].combine_chunks()
+        if isinstance(tid_arr, pa.ChunkedArray):
+            tid_arr = pa.concat_arrays(tid_arr.chunks)
+            iid_arr = pa.concat_arrays(iid_arr.chunks)
+        pcell = np.full(len(pt), this_cell, dtype=np.int64)
+        return clip_pairs(
+            pack, pt, pf, tid_arr, iid_arr, x0, y0, x1, y1, pcell, min_partial_perc
+        )
 
     return both.groupby("cell").map_groups(_join_group, batch_format="pyarrow")
 

@@ -147,3 +147,19 @@ class TestJoinOnRay:
         want = brute_force_join(plan, feats)
         got_pairs = sorted(zip(got["tile_id"], got["feature_id"]))
         assert got_pairs == [(a, b) for a, b, _ in want]
+
+    def test_cell_partitioned_with_salting_equals_broadcast(self, corpus):
+        """Force hot-cell splitting on every cell: exactly-once emission
+        must survive mixed resolutions (owner test is res-aware)."""
+        import ray.data as rd
+
+        from solaris_ray.stages.joins import cell_partitioned_join
+
+        imgs, feats, plan = corpus
+        ds = cell_partitioned_join(
+            rd.from_arrow(plan), rd.from_arrow(feats), hot_cell_factor=0.1
+        )
+        got = ds.to_pandas()
+        want = brute_force_join(plan, feats)
+        got_pairs = sorted(zip(got["tile_id"], got["feature_id"]))
+        assert got_pairs == [(a, b) for a, b, _ in want]
