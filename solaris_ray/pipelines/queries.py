@@ -924,6 +924,50 @@ def q_partitioned_join(sf_dir: str):
     return joined.drop_columns(["xs", "ys"])
 
 
+def q_reproject_utm(sf_dir: str):
+    """CRS reprojection: lat/lon -> UTM -> back per batch (pure-numpy
+    transverse Mercator; pyproj absent).  Roundtrip error carried as a
+    column so the gate records it."""
+    from ..geom import crs
+
+    pts = _read(sf_dir, "events", ["event_id"])
+
+    def _project(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy()
+        lon = -86.99 + (e % 1000) * 0.001  # inside UTM zone 16
+        lat = 30.0 + (e % 1500) * 0.01
+        easting, northing, zone = crs.latlon_to_utm(lon, lat, zone=16)
+        lon2, lat2 = crs.utm_to_latlon(easting, northing, 16)
+        err = np.maximum(np.abs(lon2 - lon), np.abs(lat2 - lat))
+        return pa.table(
+            {
+                "point_id": pa.array(e.astype(np.int64)),
+                "easting": pa.array(np.round(easting, 6)),
+                "northing": pa.array(np.round(northing, 6)),
+                "roundtrip_err_deg": pa.array(err),
+            }
+        )
+
+    return pts.map_batches(_project, batch_format="pyarrow", batch_size=8192)
+
+
+def q_augment(sf_dir: str):
+    """Deterministic per-row augmentation pipeline (rotate/flip/scale)."""
+    import ray
+
+    from ..sources import synth
+    from ..stages import augment as aug
+
+    n = 6
+    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    out = aug.augment(
+        ray.data.from_arrow(images),
+        {"rotate": {"limit": 30.0, "p": 1.0}, "flip_lr": {"p": 0.5}, "random_scale": {"p": 0.5}},
+        seed=7,
+    )
+    return out.drop_columns(["bytes"])
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES = {
@@ -973,6 +1017,8 @@ QUERIES = {
     "fill_nodata": q_fill_nodata,
     "scot": q_scot,
     "partitioned_join": q_partitioned_join,
+    "reproject_utm": q_reproject_utm,
+    "augment": q_augment,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"

@@ -1,0 +1,95 @@
+"""UTM reprojection + augmentation tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from solaris_ray.geom import crs
+from solaris_ray.raster import codec
+from solaris_ray.stages import augment
+
+
+def test_utm_zone_and_epsg():
+    assert crs.latlon_to_utm_epsg(38.9, -77.0) == 32618  # DC
+    assert crs.latlon_to_utm_epsg(-33.9, 151.2) == 32756  # Sydney
+    assert crs.utm_zone(-87.9, 41.9) == 16  # Chicago zone 16 (reference fixtures use 32616)
+
+
+def test_utm_known_invariants():
+    # on the central meridian the easting is exactly the false easting
+    e, n, zone = crs.latlon_to_utm(np.array([-75.0]), np.array([40.0]), zone=18)
+    assert e[0] == 500000.0
+    # northing = k0 * meridian arc; M(40 deg) = 4429529.03 m (Snyder,
+    # USGS PP1395 table) -> 0.9996 * 4429529.03 = 4427757.2
+    assert abs(n[0] - 4427757.2) < 0.5
+    # equator on the central meridian is the origin
+    e, n, zone = crs.latlon_to_utm(np.array([3.0]), np.array([0.0]), zone=31)
+    assert e[0] == 500000.0 and n[0] == 0.0
+
+
+def test_utm_roundtrip_many():
+    rng = np.random.default_rng(6)
+    lon = rng.uniform(-86.99, -85.0, 200)  # inside zone 16
+    lat = rng.uniform(30.0, 45.0, 200)
+    e, n, zone = crs.latlon_to_utm(lon, lat, zone=16)
+    lon2, lat2 = crs.utm_to_latlon(e, n, 16)
+    assert np.abs(lon2 - lon).max() < 1e-7
+    assert np.abs(lat2 - lat).max() < 1e-7
+
+
+def test_utm_southern_hemisphere_roundtrip():
+    e, n, zone = crs.latlon_to_utm(np.array([151.2]), np.array([-33.9]))
+    assert n[0] > 6e6  # false northing applied
+    lon2, lat2 = crs.utm_to_latlon(e, n, zone, south=True)
+    assert abs(lon2[0] - 151.2) < 1e-6 and abs(lat2[0] + 33.9) < 1e-6
+
+
+def test_projection_unit():
+    assert crs.projection_unit(32616) == "metre"
+    assert crs.projection_unit(4326) == "degree"
+
+
+def _img_tbl(n=3, size=32):
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(n):
+        img = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+        rows.append({"image_id": f"a{i}", "bytes": codec.encode(img, "png"), "fmt": "png"})
+    return pa.Table.from_pylist(rows)
+
+
+def test_augment_deterministic_per_row(ray_session):
+    import ray
+
+    cfg = {"rotate": {"limit": 30.0, "p": 1.0}, "flip_lr": {"p": 0.5}}
+    a = augment.augment(ray.data.from_arrow(_img_tbl()), cfg, seed=7).to_pandas()
+    b = augment.augment(ray.data.from_arrow(_img_tbl()), cfg, seed=7).to_pandas()
+    for iid in a["image_id"]:
+        x = a[a.image_id == iid].iloc[0]["bytes"]
+        y = b[b.image_id == iid].iloc[0]["bytes"]
+        assert x == y  # same row => same augmentation at any parallelism
+
+
+def test_rotate90_and_flip_exact():
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(augment.rotate90(img, 1), np.rot90(img))
+    assert np.array_equal(augment.flip_lr(img), img[:, ::-1])
+
+
+def test_rotate_zero_identity():
+    img = np.random.default_rng(2).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    assert np.array_equal(augment.rotate(img, 0.0), img)
+
+
+def test_random_scale_preserves_shape():
+    img = np.random.default_rng(3).integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    out = augment.random_scale(img, np.random.default_rng(4))
+    assert out.shape == img.shape
+
+
+def test_unknown_aug_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        augment.Augmenter({"nope": {}})
