@@ -429,6 +429,76 @@ def polygon_iou(a: np.ndarray, b: np.ndarray) -> float:
     return float(inter / union) if union > 0 else 0.0
 
 
+def buffer_convex(ring: np.ndarray, dist: float) -> np.ndarray:
+    """Offset a CONVEX ring outward by ``dist`` (miter joins).
+
+    Each edge line is shifted ``dist`` along its outward normal and
+    consecutive shifted lines are intersected — the exact Minkowski sum
+    with a disc up to the (rounded) corners, which miter joins
+    overestimate slightly; the reference's shapely ``buffer`` uses
+    round joins (solaris/vector/mask.py:567-666).  For the contact-mask
+    use (spacing/2 buffers on near-rectangular footprints) the corner
+    difference is sub-pixel.
+    """
+    r = ring[_ccw_order(ring)]
+    n = len(r)
+    e = np.roll(r, -1, axis=0) - r
+    ln = np.hypot(e[:, 0], e[:, 1])
+    ln[ln == 0] = 1.0
+    # outward normal of a CCW ring is (dy, -dx) rotated: (e_y, -e_x)/|e|
+    nx = e[:, 1] / ln
+    ny = -e[:, 0] / ln
+    p = r + dist * np.stack([nx, ny], axis=1)  # shifted edge start points
+    d = e  # direction unchanged
+    out = np.empty_like(r)
+    for i in range(n):
+        j = (i - 1) % n
+        # intersect line j (p[j] + t*d[j]) with line i (p[i] + s*d[i])
+        denom = d[j, 0] * d[i, 1] - d[j, 1] * d[i, 0]
+        if abs(denom) < 1e-12:
+            out[i] = p[i]
+            continue
+        t = ((p[i, 0] - p[j, 0]) * d[i, 1] - (p[i, 1] - p[j, 1]) * d[i, 0]) / denom
+        out[i] = p[j] + t * d[j]
+    return out
+
+
+def _ccw_order(ring: np.ndarray) -> np.ndarray:
+    x, y = ring[:, 0] - ring[0, 0], ring[:, 1] - ring[0, 1]
+    area2 = float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+    return np.arange(len(ring)) if area2 >= 0 else np.arange(len(ring))[::-1]
+
+
+def internal_intersection_pairs(
+    coords: np.ndarray, offsets: np.ndarray, buffer_dist: float = 0.0
+) -> list[tuple[int, int, float]]:
+    """Pairwise intersection areas among (optionally buffered) convex
+    rings — ``geometries_internal_intersection`` semantics
+    (solaris/utils/geo.py:421-477): bbox candidate prefilter, exact
+    intersection per surviving pair.  Returns (i, j, area) triples.
+    """
+    n = len(offsets) - 1
+    rings = [coords[offsets[i] : offsets[i + 1]] for i in range(n)]
+    if buffer_dist > 0:
+        rings = [buffer_convex(r, buffer_dist) for r in rings]
+    bbox = np.asarray(
+        [[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()] for r in rings]
+    ) if n else np.zeros((0, 4))
+    out = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (
+                bbox[i, 0] < bbox[j, 2]
+                and bbox[i, 2] > bbox[j, 0]
+                and bbox[i, 1] < bbox[j, 3]
+                and bbox[i, 3] > bbox[j, 1]
+            ):
+                a = convex_intersection_area(rings[i], rings[j])
+                if a > 0:
+                    out.append((i, j, a))
+    return out
+
+
 def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pairwise IoU of two arrays of boxes (n,4) x (m,4) -> (n,m).
 

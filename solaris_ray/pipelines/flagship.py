@@ -75,13 +75,26 @@ def flagship(n_images: int = 400, seed: int = 42, size: int = 256,
     if warmup:
         flagship(n_images=64, seed=seed, size=size, tile_size=tile_size,
                  concurrency=concurrency, warmup=False)
+    import ray
+
     t0 = time.time()
+    # feature-layer generation is independent of the tiles phase: kick
+    # it off as raw tasks so it overlaps the tiler (it is the broadcast
+    # side, needed only when the join starts)
+    @ray.remote
+    def _gen_feats(lo: int, hi: int):
+        return synth.gen_features_shard(np.arange(lo, hi), n_images, seed, size)
+
+    step = max(64, n_images // 64)
+    feat_refs = [
+        _gen_feats.remote(lo, min(lo + step, n_images)) for lo in range(0, n_images, step)
+    ]
     images = synthetic_images_ds(n_images, seed, size)
     tiles = tiler.cut_tiles(images, tile_size=tile_size, batch_size=None).materialize()
     n_tiles = tiles.count()
     t_tiles = time.time() - t0
 
-    feats = synthetic_features_table(n_images, seed, size)
+    feats = pa.concat_tables([t for t in ray.get(feat_refs) if t.num_rows])
     t1 = time.time()
     specs = tiles.select_columns(["tile_id", "image_id", "cell", "x0", "y0", "x1", "y1"])
     joined = broadcast_spatial_join(

@@ -59,10 +59,12 @@ def auto_concurrency(cap: int = 16) -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
         cpus = 8
-    # leave >=2 slots free: with op resource reservation disabled
-    # (tune_data_context) a pool pinning EVERY cpu deadlocks the
-    # upstream task operators feeding it
-    return max(2, min(cap, cpus - 2))
+    # 3/4 of the budget: leaves slots for the upstream task operators
+    # feeding the pool (pinning EVERY cpu deadlocks them with resource
+    # reservation disabled) AND keeps pool size PROPORTIONAL to the
+    # session budget, so an N-cpu and a 4N-cpu session compare fairly
+    # in the scaling criterion (cpus-2 gave 2 vs 14 actors at 4 vs 16)
+    return max(2, min(cap, (cpus * 3) // 4))
 
 
 def tune_data_context() -> None:

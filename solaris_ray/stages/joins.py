@@ -101,7 +101,7 @@ class FeaturePack:
         coords = np.stack(
             [xs.values.to_numpy(), ys.values.to_numpy()], axis=1
         ).astype(np.float64)
-        klass = np.asarray(tbl["class"].to_pylist())
+        klass = tbl["class"].to_numpy(zero_copy_only=False)
         is_poly = klass != "road"
         if "minx" in tbl.column_names:
             bbox = np.stack(
@@ -126,7 +126,7 @@ class FeaturePack:
             bbox,
             tbl["feature_id"].to_numpy(),
             klass,
-            np.asarray(tbl["image_id"].to_pylist()),
+            tbl["image_id"].to_numpy(zero_copy_only=False),
             is_poly,
         )
 

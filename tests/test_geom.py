@@ -186,3 +186,38 @@ class TestWkt:
         c2, o2 = wkb_decode_batch(bufs)
         np.testing.assert_allclose(c2, coords)
         assert o2.tolist() == offsets.tolist()
+
+
+def test_buffer_convex_square():
+    import numpy as np
+
+    from solaris_ray.geom.poly import buffer_convex, ring_areas
+
+    sq = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    buf = buffer_convex(sq, 2.0)
+    # miter-offset square grows to 14x14
+    area = float(ring_areas(buf.reshape(-1, 2), np.array([0, len(buf)]))[0])
+    assert abs(area - 14 * 14) < 1e-9
+    assert abs(buf[:, 0].min() + 2.0) < 1e-9 and abs(buf[:, 0].max() - 12.0) < 1e-9
+    # clockwise input buffers identically (orientation-normalized)
+    buf2 = buffer_convex(sq[::-1], 2.0)
+    a2 = float(ring_areas(buf2.reshape(-1, 2), np.array([0, len(buf2)]))[0])
+    assert abs(a2 - 196.0) < 1e-9
+
+
+def test_internal_intersection_pairs():
+    import numpy as np
+
+    from solaris_ray.geom.poly import internal_intersection_pairs
+
+    # two squares 4 apart: disjoint raw, overlapping after buffer 3
+    a = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    b = a + np.array([14.0, 0.0])
+    c = a + np.array([100.0, 100.0])
+    coords = np.concatenate([a, b, c])
+    offsets = np.array([0, 4, 8, 12])
+    assert internal_intersection_pairs(coords, offsets) == []
+    pairs = internal_intersection_pairs(coords, offsets, buffer_dist=3.0)
+    assert len(pairs) == 1 and pairs[0][:2] == (0, 1)
+    # buffered overlap: squares grow to 16 wide, gap 4 -> overlap 2 wide x 16 tall
+    assert abs(pairs[0][2] - 2 * 16) < 1e-9
