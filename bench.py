@@ -32,15 +32,21 @@ BENCH_QUERIES = [
     "tile_plan",
     "pip_count",
     "clip_join",
+    "partitioned_join",
     "knn_join",
     "cell_hist",
+    "masks_pipeline",
+    "eval_scores",
     "lineitem_agg",
     "events_window",
+    "quantiles",
     "token_count",
     "dedup_exact",
     "minhash_pairs",
+    "jaccard_adjacent",
     "embed_neardup",
     "ann_topk",
+    "chip_stitch",
 ]
 
 
