@@ -1,0 +1,93 @@
+"""Config-driven pipeline builder + CLI tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from solaris_ray.pipelines.builder import build_pipeline, register_step
+
+
+CONFIG = {
+    "source": {"kind": "synth", "n_images": 8, "seed": 42, "size": 256},
+    "steps": [
+        {"op": "tile_cut", "tile_size": 128},
+        {"op": "clip_join", "features": {"kind": "synth", "n_images": 8}},
+        {"op": "masks"},
+        {"op": "drop_columns", "columns": ["footprint", "boundary", "contact", "road"]},
+    ],
+}
+
+
+def test_build_pipeline_end_to_end(ray_session):
+    ds = build_pipeline(CONFIG)
+    df = ds.to_pandas()
+    assert len(df) > 0
+    assert "n_features" in df.columns
+
+
+def test_build_pipeline_from_yaml_string(ray_session):
+    yaml_text = """
+source: {kind: synth, n_images: 4, seed: 42, size: 256}
+steps:
+  - op: tile_cut
+  - op: select_columns
+    columns: [tile_id, image_id, nodata_frac]
+  - op: limit
+    n: 5
+"""
+    df = build_pipeline(yaml_text).to_pandas()
+    assert len(df) == 5
+    assert list(df.columns) == ["tile_id", "image_id", "nodata_frac"]
+
+
+def test_builder_validates_before_running():
+    with pytest.raises(ValueError, match="unknown op"):
+        build_pipeline({"source": {"kind": "synth"}, "steps": [{"op": "nope"}]})
+    with pytest.raises(ValueError, match="missing 'op'"):
+        build_pipeline({"source": {"kind": "synth"}, "steps": [{"tile_size": 1}]})
+
+
+def test_register_custom_step(ray_session):
+    @register_step("double_rows")
+    def _double(ds, ctx, **kw):
+        import pyarrow as pa
+
+        return ds.map_batches(
+            lambda b: pa.concat_tables([b, b]), batch_format="pyarrow"
+        )
+
+    cfg = {
+        "source": {"kind": "synth", "n_images": 2},
+        "steps": [
+            {"op": "tile_cut"},
+            {"op": "select_columns", "columns": ["tile_id"]},
+            {"op": "double_rows"},
+        ],
+    }
+    df = build_pipeline(cfg).to_pandas()
+    assert len(df) == 2 * 2 * 4  # 2 images x 4 tiles, doubled
+
+
+def test_cli_run_and_resume(ray_session, tmp_path):
+    from solaris_ray.__main__ import main
+
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(
+        "source: {kind: synth, n_images: 4}\n"
+        "steps:\n"
+        "  - op: tile_cut\n"
+        "  - op: select_columns\n"
+        "    columns: [tile_id, image_id, nodata_frac]\n"
+    )
+    out = tmp_path / "out"
+    assert main(["run", "--config", str(cfg), "--output", str(out)]) == 0
+    import pyarrow.parquet as pq
+    import os
+
+    rows = sum(
+        pq.ParquetFile(os.path.join(out, f)).metadata.num_rows
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    assert rows == 16
