@@ -157,16 +157,31 @@ def _score_row(image_id: str, tp: int, fp: int, fn: int) -> pa.Table:
     )
 
 
-def eval_scores(proposals, ground_truth, miniou: float = 0.5):
+def eval_scores(proposals, ground_truth, miniou: float = 0.5, by_class: bool = False):
     """proposals x GT Datasets -> per-image TP/FP/FN/P/R/F1 rows.
 
     Both sides are tagged, unioned and co-shuffled by image_id (the
     eval shuffle of SURVEY.md §7.3); the greedy matcher runs per group.
     Images present on only one side still score (fp-only / fn-only),
     matching the GT ∪ proposals id-union of base.py:97-102.
+
+    ``by_class=True`` keys the groups by (image_id, class) — the
+    class-aware matching of eval/vector.py:160-180 (a proposal can only
+    match same-class ground truth); output rows then carry the
+    composite "image_id|class" key.
     """
-    p = proposals.map_batches(lambda b: _pad_eval_side(b, 0), batch_format="pyarrow")
-    g = ground_truth.map_batches(lambda b: _pad_eval_side(b, 1), batch_format="pyarrow")
+
+    def _with_key(b: pa.Table, side: int) -> pa.Table:
+        t = _pad_eval_side(b, side)
+        if by_class:
+            import pyarrow.compute as pc
+
+            key = pc.binary_join_element_wise(b["image_id"], b["class"], "|")
+            t = t.set_column(t.schema.get_field_index("image_id"), "image_id", key)
+        return t
+
+    p = proposals.map_batches(lambda b: _with_key(b, 0), batch_format="pyarrow")
+    g = ground_truth.map_batches(lambda b: _with_key(b, 1), batch_format="pyarrow")
     both = p.union(g)
 
     def _group(group: pa.Table) -> pa.Table:
@@ -461,4 +476,53 @@ def pixel_scores(mask_pairs, truth_col: str = "truth", pred_col: str = "pred", f
         "precision": prec, "recall": rec,
         "f1": 2 * prec * rec / (prec + rec) if prec + rec else 0.0,
         "iou": tp / (tp + fp + fn) if tp + fp + fn else 0.0,
+    }
+
+
+def relaxed_pixel_scores(mask_pairs, rho: int = 3, truth_col: str = "truth",
+                         pred_col: str = "pred", fmt: str = "png") -> dict:
+    """Relaxed precision/recall/F1 with a rho-neighborhood
+    (eval/pixel.py:215-344): a predicted pixel counts as correct when
+    ANY truth pixel lies within rho (and vice versa for recall) — the
+    reference's O(HW*rho^2) python loops become one square dilation
+    per mask (raster.kernels.dilate_square) + global Sum of counts.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..raster import codec
+    from ..raster.kernels import dilate_square
+
+    k = 2 * rho + 1
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        tp_p, n_p, tp_r, n_r = [], [], [], []
+        for i in range(batch.num_rows):
+            t = (codec.decode(batch[truth_col][i].as_py(), fmt) > 0).astype(np.uint8)
+            p = (codec.decode(batch[pred_col][i].as_py(), fmt) > 0).astype(np.uint8)
+            t_d = dilate_square(t, k) > 0
+            p_d = dilate_square(p, k) > 0
+            tp_p.append(int((p.astype(bool) & t_d).sum()))  # pred pixels near truth
+            n_p.append(int(p.sum()))
+            tp_r.append(int((t.astype(bool) & p_d).sum()))  # truth pixels near pred
+            n_r.append(int(t.sum()))
+        return pa.table(
+            {
+                "tp_p": pa.array(tp_p, pa.int64()),
+                "n_p": pa.array(n_p, pa.int64()),
+                "tp_r": pa.array(tp_r, pa.int64()),
+                "n_r": pa.array(n_r, pa.int64()),
+            }
+        )
+
+    agg = mask_pairs.map_batches(_partial, batch_format="pyarrow", batch_size=64).aggregate(
+        Sum("tp_p"), Sum("n_p"), Sum("tp_r"), Sum("n_r")
+    )
+    prec = agg["sum(tp_p)"] / agg["sum(n_p)"] if agg["sum(n_p)"] else 0.0
+    rec = agg["sum(tp_r)"] / agg["sum(n_r)"] if agg["sum(n_r)"] else 0.0
+    return {
+        "relaxed_precision": prec,
+        "relaxed_recall": rec,
+        "relaxed_f1": 2 * prec * rec / (prec + rec) if prec + rec else 0.0,
     }

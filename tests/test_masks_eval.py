@@ -238,3 +238,46 @@ def test_average_precision_101():
     # all TPs first: AP = 1 when every GT found with no FPs
     assert evaluate.average_precision_101(np.array([1, 1, 1]), 3) == 1.0
     assert evaluate.average_precision_101(np.array([0, 0]), 3) == 0.0
+
+
+def test_class_aware_matching(ray_session):
+    import ray
+
+    def prow(pid, img, cls, ring, conf):
+        return {"proposal_id": pid, "image_id": img, "class": cls,
+                "xs": ring[:, 0].tolist(), "ys": ring[:, 1].tolist(), "conf": conf}
+
+    def grow(fid, img, cls, ring):
+        return {"feature_id": fid, "image_id": img, "class": cls,
+                "xs": ring[:, 0].tolist(), "ys": ring[:, 1].tolist()}
+
+    # perfect geometry but WRONG class: class-aware must not match
+    props = [prow(0, "a", "car", _sq(0, 0), 0.9)]
+    gts = [grow(0, "a", "building", _sq(0, 0))]
+    pd_ = evaluate.eval_scores(
+        _mk_ds(ray, props, PROP_SCHEMA), _mk_ds(ray, gts, GT_SCHEMA), by_class=True
+    ).to_pandas()
+    assert pd_["tp"].sum() == 0 and pd_["fp"].sum() == 1 and pd_["fn"].sum() == 1
+    # class-agnostic matches
+    pd2 = evaluate.eval_scores(
+        _mk_ds(ray, props, PROP_SCHEMA), _mk_ds(ray, gts, GT_SCHEMA), by_class=False
+    ).to_pandas()
+    assert pd2["tp"].sum() == 1
+
+
+def test_relaxed_pixel_scores(ray_session):
+    import ray
+
+    t = np.zeros((32, 32), dtype=np.uint8)
+    t[10:20, 10:20] = 255
+    p = np.zeros((32, 32), dtype=np.uint8)
+    p[12:22, 10:20] = 255  # shifted 2 px: strict precision < 1
+    tbl = pa.table(
+        {"truth": pa.array([codec.encode(t, "png")], pa.binary()),
+         "pred": pa.array([codec.encode(p, "png")], pa.binary())}
+    )
+    strict = evaluate.pixel_scores(ray.data.from_arrow(tbl))
+    relaxed = evaluate.relaxed_pixel_scores(ray.data.from_arrow(tbl), rho=3)
+    assert strict["precision"] < 1.0
+    assert relaxed["relaxed_precision"] == 1.0  # 2 px shift within rho=3
+    assert relaxed["relaxed_recall"] == 1.0
