@@ -968,6 +968,41 @@ def q_augment(sf_dir: str):
     return out.drop_columns(["bytes"])
 
 
+def q_group_topk(sf_dir: str):
+    """Grouped top-k: 2 highest-value orders per customer (within-group
+    sort + head — the per-group ranking operator)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "cents": pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()),
+            }
+        )
+
+    def _topk(group: pa.Table) -> pa.Table:
+        cents = group["cents"].to_numpy()
+        keys = group["o_orderkey"].to_numpy()
+        order = np.lexsort((keys, -cents))[:2]
+        idx = pa.array(order)
+        return pa.table(
+            {
+                "o_custkey": group["o_custkey"].take(idx),
+                "o_orderkey": group["o_orderkey"].take(idx),
+                "cents": group["cents"].take(idx),
+                "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        orders.map_batches(_derive, batch_format="pyarrow", batch_size=16384)
+        .groupby("o_custkey")
+        .map_groups(_topk, batch_format="pyarrow")
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES = {
@@ -1019,6 +1054,7 @@ QUERIES = {
     "partitioned_join": q_partitioned_join,
     "reproject_utm": q_reproject_utm,
     "augment": q_augment,
+    "group_topk": q_group_topk,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -1182,6 +1218,15 @@ r AS (SELECT 'lbl_' || CAST(o_orderkey % 2000 AS VARCHAR) || '.geojson' AS label
              regexp_extract('lbl_' || CAST(o_orderkey % 2000 AS VARCHAR) || '.geojson', '([0-9]+)', 1) AS k
       FROM orders WHERE o_orderkey < 4000)
 SELECT l.file, r.label FROM l JOIN r ON l.k = r.k
+""",
+    "group_topk": """
+WITH o AS (SELECT o_custkey, o_orderkey,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_custkey, o_orderkey, cents,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey) AS BIGINT) AS rk
+FROM o
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey) <= 2
 """,
     "quantiles": """
 WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem),

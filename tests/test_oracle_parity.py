@@ -30,6 +30,7 @@ SUBSET = [
     "affine_transform",
     "quantiles",
     "match_join",
+    "group_topk",
 ]
 
 
