@@ -40,6 +40,27 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / n
 
 
+def list_col_to_matrix(col, dtype=None):
+    """Arrow list<float> column -> (n, dim) numpy matrix, zero-copy on
+    the flat values (to_pylist per row is 5-10x slower)."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = pa.concat_arrays(arr.chunks)
+    offsets = arr.offsets.to_numpy()
+    widths = np.diff(offsets)
+    if len(widths) == 0:
+        return np.empty((0, 0))
+    dim = int(widths[0])
+    assert (widths == dim).all(), "ragged embedding column"
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    m = vals[offsets[0] : offsets[0] + len(widths) * dim].reshape(len(widths), dim)
+    return m.astype(dtype) if dtype is not None else m
+
+
+
 class BruteScorer:
     """map_batches body: emit per-batch local top-k candidates."""
 
@@ -54,7 +75,7 @@ class BruteScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy().astype(np.int64)
-        V = _normalize(np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64))
+        V = _normalize(list_col_to_matrix(batch[self.vec_col], np.float64))
         sims = np.round(self.Q @ V.T, 6)  # (nq, nb)
         if self.exclude_self:
             sims[self.q_ids[:, None] == ids[None, :]] = -np.inf
@@ -128,7 +149,7 @@ def lsh_code(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 
 def add_lsh_bucket(batch: pa.Table, planes: np.ndarray, vec_col: str = "embedding") -> pa.Table:
-    V = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+    V = _normalize(list_col_to_matrix(batch[vec_col], np.float64))
     return batch.append_column("bucket", pa.array(lsh_code(V, planes), pa.int64()))
 
 

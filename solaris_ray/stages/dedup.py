@@ -333,8 +333,10 @@ class CosinePairFinder:
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .ann import list_col_to_matrix
+
         ids = batch[self.id_col].to_numpy()
-        V = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        V = list_col_to_matrix(batch[self.vec_col], np.float64).copy()
         V /= np.linalg.norm(V, axis=1, keepdims=True)
         sims = V @ self.mat.T
         r6 = np.round(sims, 6)
@@ -359,8 +361,10 @@ def embedding_neardup_pairs(ds, embeddings_table: pa.Table, tau: float = 0.4,
     if concurrency is None:
         concurrency = auto_concurrency()
 
+    from .ann import list_col_to_matrix
+
     ids = embeddings_table[id_col].to_numpy().astype(np.int64)
-    M = np.asarray(embeddings_table[vec_col].to_pylist(), dtype=np.float64)
+    M = list_col_to_matrix(embeddings_table[vec_col], np.float64).copy()
     M /= np.linalg.norm(M, axis=1, keepdims=True)
     ref = ray.put((ids, M))
     return ds.map_batches(
