@@ -1003,6 +1003,24 @@ def q_group_topk(sf_dir: str):
     )
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization per user (30-min gap)."""
+    from ..stages import windows
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return windows.sessionize(ev, gap_us=30 * 60 * 1_000_000)
+
+
+def q_sliding_window(sf_dir: str):
+    """1-hour windows sliding by 30 min (each event in 2 windows)."""
+    from ..stages import windows
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    return windows.sliding_window_counts(
+        ev, width_us=3600 * 1_000_000, slide_us=1800 * 1_000_000
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES = {
@@ -1055,6 +1073,8 @@ QUERIES = {
     "reproject_utm": q_reproject_utm,
     "augment": q_augment,
     "group_topk": q_group_topk,
+    "sessionize": q_sessionize,
+    "sliding_window": q_sliding_window,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -1218,6 +1238,33 @@ r AS (SELECT 'lbl_' || CAST(o_orderkey % 2000 AS VARCHAR) || '.geojson' AS label
              regexp_extract('lbl_' || CAST(o_orderkey % 2000 AS VARCHAR) || '.geojson', '([0-9]+)', 1) AS k
       FROM orders WHERE o_orderkey < 4000)
 SELECT l.file, r.label FROM l JOIN r ON l.k = r.k
+""",
+    "sessionize": """
+WITH e AS (SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
+FROM s GROUP BY 1, 2
+""",
+    "sliding_window": """
+WITH f AS (SELECT event_type,
+                  (epoch_us(ts) // 1800000000 - o.k) * 1800000000 AS window_start_us,
+                  epoch_us(ts) AS tus
+           FROM events, (VALUES (0), (1)) o(k))
+SELECT window_start_us, event_type, count(*) AS n
+FROM f
+WHERE tus >= window_start_us AND tus < window_start_us + 3600000000
+GROUP BY 1, 2
 """,
     "group_topk": """
 WITH o AS (SELECT o_custkey, o_orderkey,

@@ -1,0 +1,64 @@
+"""Window operator tests (tumbling/sliding keys, sessionization)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from solaris_ray.stages import windows
+
+US = 1_000_000
+HOUR = 3600 * US
+
+
+def test_tumbling_key():
+    ts = np.array([0, HOUR - 1, HOUR, 3 * HOUR + 5])
+    assert windows.tumbling_key(ts, HOUR).tolist() == [0, 0, HOUR, 3 * HOUR]
+
+
+def test_sliding_keys_two_windows_each():
+    ts = np.array([45 * 60 * US])  # 00:45 -> windows starting 00:00 and 00:30
+    ri, ws = windows.sliding_keys(ts, HOUR, HOUR // 2)
+    assert ri.tolist() == [0, 0]
+    assert sorted(ws.tolist()) == [0, HOUR // 2]
+
+
+def test_sessionize_gap_split(ray_session):
+    import ray
+
+    rows = []
+    # user 1: events at 0, 10min, 50min (gap 40 > 30 -> two sessions)
+    for i, t in enumerate([0, 10 * 60 * US, 50 * 60 * US]):
+        rows.append({"event_id": i, "user_id": 1, "ts": t})
+    # user 2: one event
+    rows.append({"event_id": 10, "user_id": 2, "ts": 5 * US})
+    tbl = pa.Table.from_pylist(rows)
+    tbl = tbl.set_column(2, "ts", pa.array(tbl["ts"].to_numpy(), pa.timestamp("us")))
+    out = (
+        windows.sessionize(ray.data.from_arrow(tbl), gap_us=30 * 60 * US)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    u1 = out[out.user_id == 1]
+    assert len(u1) == 2
+    assert u1.iloc[0]["n_events"] == 2 and u1.iloc[0]["start_us"] == 0
+    assert u1.iloc[1]["n_events"] == 1 and u1.iloc[1]["start_us"] == 50 * 60 * US
+    assert len(out[out.user_id == 2]) == 1
+
+
+def test_sliding_window_counts(ray_session):
+    import ray
+
+    rows = [
+        {"ts": 10 * 60 * US, "event_type": "a"},   # windows -30:00..., 0:00...
+        {"ts": 40 * 60 * US, "event_type": "a"},   # windows 0:00, 0:30
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    tbl = tbl.set_column(0, "ts", pa.array(tbl["ts"].to_numpy(), pa.timestamp("us")))
+    out = windows.sliding_window_counts(
+        ray.data.from_arrow(tbl), width_us=HOUR, slide_us=HOUR // 2
+    ).to_pandas()
+    m = {int(r["window_start_us"]): int(r["n"]) for _, r in out.iterrows()}
+    assert m[0] == 2  # both events inside [0, 1h)
+    assert m[-HOUR // 2] == 1 and m[HOUR // 2] == 1
