@@ -1021,6 +1021,50 @@ def q_sliding_window(sf_dir: str):
     )
 
 
+def q_anti_join(sf_dir: str):
+    """Images WITHOUT labels (anti-join on the extracted match key)."""
+    from ..stages import matchkeys
+
+    left = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        lambda b: matchkeys.extract_key(
+            pa.table(
+                {"file": pa.array(["img_" + str(int(k)) + ".png" for k in b["p_partkey"].to_numpy()], pa.string())}
+            ),
+            "file",
+            r"(?P<k>[0-9]+)",
+        ),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    o = _pq(sf_dir, "orders", ["o_orderkey"])
+    o = o.filter(pc.less(o["o_orderkey"], 1000))  # labels only for keys 1..999
+    labels = pa.table(
+        {
+            "label": pa.array(
+                ["lbl_" + str(int(k) % 2000) + ".geojson" for k in o["o_orderkey"].to_numpy()],
+                pa.string(),
+            )
+        }
+    )
+    right = matchkeys.extract_key(labels, "label", r"(?P<k>[0-9]+)")
+    out = matchkeys.broadcast_anti_join(left, right)
+    return out.map_batches(lambda b: b.select(["file"]), batch_format="pyarrow")
+
+
+def q_distinct_types(sf_dir: str):
+    """Distinct values (groupby-distinct, the unique() op)."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["event_type"])
+    agg = ev.groupby("event_type").aggregate(Count())
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"event_type": b["event_type"], "n": pc.cast(b["count()"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES = {
@@ -1075,6 +1119,8 @@ QUERIES = {
     "group_topk": q_group_topk,
     "sessionize": q_sessionize,
     "sliding_window": q_sliding_window,
+    "anti_join": q_anti_join,
+    "distinct_types": q_distinct_types,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -1239,6 +1285,15 @@ r AS (SELECT 'lbl_' || CAST(o_orderkey % 2000 AS VARCHAR) || '.geojson' AS label
       FROM orders WHERE o_orderkey < 4000)
 SELECT l.file, r.label FROM l JOIN r ON l.k = r.k
 """,
+    "anti_join": """
+WITH l AS (SELECT 'img_' || CAST(p_partkey AS VARCHAR) || '.png' AS file,
+                  regexp_extract('img_' || CAST(p_partkey AS VARCHAR) || '.png', '([0-9]+)', 1) AS k
+           FROM part),
+r AS (SELECT regexp_extract('lbl_' || CAST(o_orderkey % 2000 AS VARCHAR) || '.geojson', '([0-9]+)', 1) AS k
+      FROM orders WHERE o_orderkey < 1000)
+SELECT file FROM l ANTI JOIN r USING (k)
+""",
+    "distinct_types": "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
     "sessionize": """
 WITH e AS (SELECT user_id, event_id, ts,
                   CASE WHEN lag(ts) OVER w IS NULL

@@ -74,3 +74,29 @@ def broadcast_equi_join(left, right: pa.Table, key: str = "match_str",
         batch_size=batch_size,
         concurrency=concurrency or auto_concurrency(),
     )
+
+
+def broadcast_anti_join(left, right: pa.Table, key: str = "match_str",
+                        batch_size: int = 8192):
+    """Left rows whose key has NO match on the right — the
+    label-mismatch dedup of utils/data.py:133-139 (images without
+    labels are dropped/reported).  Right side broadcast as a sorted
+    key array; membership via searchsorted."""
+    import ray
+
+    rk = np.unique(right[key].to_numpy(zero_copy_only=False))
+    ref = ray.put(rk)
+
+    class AntiJoiner:
+        def __init__(self, ref):
+            self.keys = ref if isinstance(ref, np.ndarray) else ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lk = batch[key].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, lk)
+            pos_c = np.clip(pos, 0, max(0, len(self.keys) - 1))
+            found = (len(self.keys) > 0) & (self.keys[pos_c] == lk)
+            return batch.filter(pa.array(~found))
+
+    return left.map_batches(AntiJoiner, fn_constructor_kwargs={"ref": ref},
+                            batch_format="pyarrow", batch_size=batch_size, concurrency=2)
