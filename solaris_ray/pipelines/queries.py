@@ -1065,6 +1065,19 @@ def q_distinct_types(sf_dir: str):
     )
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: per-feature pixel band means across tiles."""
+    import ray
+
+    from ..sources import synth
+    from ..stages import zonal
+
+    n = 8
+    images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    tiles = tiler.cut_tiles(ray.data.from_arrow(images), tile_size=128)
+    return zonal.zonal_stats(tiles, features)
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES = {
@@ -1121,6 +1134,7 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "anti_join": q_anti_join,
     "distinct_types": q_distinct_types,
+    "zonal_stats": q_zonal_stats,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"

@@ -23,4 +23,6 @@ from . import (  # noqa: F401
     text,
     tiler,
     transforms,
+    windows,
+    zonal,
 )
