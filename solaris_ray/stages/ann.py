@@ -81,14 +81,18 @@ class BruteScorer:
             sims[self.q_ids[:, None] == ids[None, :]] = -np.inf
         nb = sims.shape[1]
         kk = min(self.k, nb)
-        # local top-k per query: argpartition on (-sim), then exact order later
+        # local top-k per query; candidates TIED with the kth similarity
+        # must all survive to the merge (the global (sim, vec_id) order
+        # can prefer a tied candidate this batch would otherwise drop)
         if nb > kk:
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            kth = np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+            keep = (-sims) <= kth[:, None]
         else:
-            part = np.broadcast_to(np.arange(nb), (len(self.q_ids), nb)).copy()
-        qi = np.repeat(self.q_ids, part.shape[1])
-        vi = ids[part.ravel()]
-        sv = np.take_along_axis(sims, part, axis=1).ravel()
+            keep = np.ones_like(sims, dtype=bool)
+        qi_idx, vi_idx = np.nonzero(keep)
+        qi = self.q_ids[qi_idx]
+        vi = ids[vi_idx]
+        sv = sims[qi_idx, vi_idx]
         ok = np.isfinite(sv)
         return pa.table(
             {

@@ -119,20 +119,24 @@ def knn_for_cell_group(
     d2 = dx * dx + dy * dy
     fids = index.feature_id[cand_rows]
     kk = min(k, len(cand_rows))
-    # top-k per point with (d2, feature_id) total order: argpartition
-    # then a lexsort of the short candidate slice
-    part_idx = np.argpartition(d2, kk - 1, axis=1)[:, :kk] if len(cand_rows) > kk else (
-        np.broadcast_to(np.arange(len(cand_rows)), (npts, len(cand_rows))).copy()
+    # top-k per point with (d2, feature_id) total order.  argpartition
+    # alone is WRONG at ties: candidates equal to the kth distance get
+    # cut arbitrarily, ignoring the feature_id tiebreak (surfaces with
+    # duplicate centroid positions).  Keep EVERY candidate at <= the
+    # kth value, then lexsort that short slice.
+    kth = (
+        np.partition(d2, kk - 1, axis=1)[:, kk - 1]
+        if len(cand_rows) > kk
+        else d2.max(axis=1)
     )
     rows_pid, rows_fid, rows_rank, rows_d2 = [], [], [], []
-    take_d2 = np.take_along_axis(d2, part_idx, axis=1)
-    take_fid = fids[part_idx]
     for i in range(npts):
-        o = np.lexsort((take_fid[i], take_d2[i]))[:kk]
-        rows_pid.append(np.full(kk, point_id[i], dtype=np.int64))
-        rows_fid.append(take_fid[i][o])
-        rows_rank.append(np.arange(1, kk + 1, dtype=np.int32))
-        rows_d2.append(take_d2[i][o])
+        ci = np.nonzero(d2[i] <= kth[i])[0]
+        o = ci[np.lexsort((fids[ci], d2[i][ci]))][:kk]
+        rows_pid.append(np.full(len(o), point_id[i], dtype=np.int64))
+        rows_fid.append(fids[o])
+        rows_rank.append(np.arange(1, len(o) + 1, dtype=np.int32))
+        rows_d2.append(d2[i][o])
     return (
         np.concatenate(rows_pid),
         np.concatenate(rows_fid),
