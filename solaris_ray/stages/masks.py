@@ -55,6 +55,15 @@ MASK_SCHEMA = pa.schema(
 )
 
 
+def _is_convex(ring: np.ndarray) -> bool:
+    """All cross products of consecutive edges share a sign."""
+    if len(ring) < 4:
+        return True
+    e = np.diff(np.vstack([ring, ring[:2]]), axis=0)
+    cross = e[:-1, 0] * e[1:, 1] - e[:-1, 1] * e[1:, 0]
+    return bool((cross >= -1e-9).all() or (cross <= 1e-9).all())
+
+
 def _to_pixel_rings(
     xs_list, ys_list, x0: float, y1: float, px: float, py: float
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -123,20 +132,29 @@ def tile_masks(
         morphed = dilate_square(fb, boundary_width)
     boundary = ((morphed ^ fb) > 0).astype(np.uint8) * burn_value
 
-    # contact_mask (:321-444): dilate each footprint by spacing/2 in
-    # pixel space; contact = pixels covered by >= 2 dilated objects,
-    # minus footprint pixels
+    # contact_mask (:321-444): buffer each footprint by spacing/2;
+    # contact = pixels covered by >= 2 buffered objects, minus
+    # footprint pixels.  Convex rings take the GEOMETRIC buffer
+    # (buffer_convex — one cheap rasterize per feature, and closer to
+    # the reference's shapely buffer than a square dilation); the rare
+    # non-convex ring falls back to pixel dilation.
     k = max(1, int(round(contact_spacing / 2)))
     if len(poly_idx) >= 2:
+        from ..geom.poly import buffer_convex
+
         cover = np.zeros(shape, dtype=np.int16)
         for i in range(len(poly_idx)):
-            one = rasterize_rings(
-                coords[offsets[i] : offsets[i + 1]],
-                np.asarray([0, offsets[i + 1] - offsets[i]]),
-                shape,
-                values=1,
-            )
-            cover += dilate_square(one, 2 * k + 1).astype(np.int16)
+            ring = coords[offsets[i] : offsets[i + 1]]
+            if _is_convex(ring):
+                buf = buffer_convex(ring, float(k))
+                cover += rasterize_rings(
+                    buf, np.asarray([0, len(buf)]), shape, values=1
+                ).astype(np.int16)
+            else:
+                one = rasterize_rings(
+                    ring, np.asarray([0, len(ring)]), shape, values=1
+                )
+                cover += dilate_square(one, 2 * k + 1).astype(np.int16)
         contact = ((cover >= 2) & (footprint == 0)).astype(np.uint8) * burn_value
     else:
         contact = empty.copy()

@@ -57,31 +57,37 @@ def exact_quantiles(ds, col: str, qs: list[float], n_buckets: int = 1024) -> pa.
     cum = np.cumsum(counts)
     starts = cum - counts
 
-    values = []
+    # ONE refinement pass collects every needed bucket (a prior version
+    # re-scanned the dataset once per quantile)
+    need = {}
     for r in ranks:
         bi = int(np.searchsorted(cum, r + 1))
-        b = int(buckets[bi])
-        offset = r - int(starts[bi])  # rank within this bucket
-        blo, bhi = lo + b * width, lo + (b + 1) * width
-        # pull just this bucket's values (1/n_buckets of the data)
-        def _filt(batch: pa.Table, blo=blo, bhi=bhi, b=b) -> pa.Table:
-            v = batch[col].to_numpy().astype(np.float64)
-            m = np.clip(((v - lo) / width).astype(np.int64), 0, n_buckets - 1) == b
-            return pa.table({col: pa.array(v[m])})
+        need.setdefault(int(buckets[bi]), []).append((r, int(starts[bi])))
+    need_arr = np.asarray(sorted(need), dtype=np.int64)
 
-        import ray
+    def _filt(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy().astype(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_buckets - 1)
+        m = np.isin(b, need_arr)
+        return pa.table({col: pa.array(v[m]), "bucket": pa.array(b[m])})
 
-        vals = np.concatenate(
-            [
-                t[col].to_numpy()
-                for t in ray.get(
-                    ds.map_batches(_filt, batch_format="pyarrow", batch_size=65536).to_arrow_refs()
-                )
-                if t.num_rows
-            ]
+    import ray
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(_filt, batch_format="pyarrow", batch_size=65536).to_arrow_refs()
         )
-        vals.sort(kind="stable")
-        values.append(float(vals[offset]))
+        if t.num_rows
+    ]
+    allv = np.concatenate([t[col].to_numpy() for t in parts]) if parts else np.empty(0)
+    allb = np.concatenate([t["bucket"].to_numpy() for t in parts]) if parts else np.empty(0, np.int64)
+    by_rank = {}
+    for b, rank_list in need.items():
+        vals = np.sort(allv[allb == b], kind="stable")
+        for r, start in rank_list:
+            by_rank[r] = float(vals[r - start])
+    values = [by_rank[r] for r in ranks]
     return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(values, pa.float64())})
 
 
