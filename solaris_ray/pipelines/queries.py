@@ -1078,6 +1078,64 @@ def q_zonal_stats(sf_dir: str):
     return zonal.zonal_stats(tiles, features)
 
 
+def q_pixel_eval(sf_dir: str):
+    """Pixel IoU/F1 + relaxed (rho-neighborhood) variants over mask
+    pairs derived from the corpus (pred = footprint of a jittered
+    proposal set rendered through the same mask stage)."""
+    import ray
+
+    from ..sources import synth
+    from ..stages import evaluate, masks as masks_stage
+
+    n = 8
+    images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
+    specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
+    truth = masks_stage.masks_from_join(
+        broadcast_spatial_join(specs, features)
+    ).select_columns(["tile_id", "footprint"])
+
+    # jitter the feature layer 2 units and re-render -> the "prediction"
+    shifted = features.set_column(
+        features.schema.get_field_index("xs"), "xs",
+        pa.array([[v + 2.0 for v in row] for row in features["xs"].to_pylist()], pa.list_(pa.float64())),
+    )
+    shifted = shifted.set_column(
+        shifted.schema.get_field_index("minx"), "minx", pc.add(shifted["minx"], 2.0)
+    )
+    shifted = shifted.set_column(
+        shifted.schema.get_field_index("maxx"), "maxx", pc.add(shifted["maxx"], 2.0)
+    )
+    specs2 = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
+    pred = masks_stage.masks_from_join(
+        broadcast_spatial_join(specs2, shifted)
+    ).select_columns(["tile_id", "footprint"])
+
+    import pandas as pd
+
+    t = truth.to_pandas().rename(columns={"footprint": "truth"})
+    p = pred.to_pandas().rename(columns={"footprint": "pred"})
+    pairs = t.merge(p, on="tile_id", how="inner")
+    pairs_ds = ray.data.from_pandas(pairs[["truth", "pred"]])
+    strict = evaluate.pixel_scores(pairs_ds)
+    relaxed = evaluate.relaxed_pixel_scores(
+        ray.data.from_pandas(pairs[["truth", "pred"]]), rho=3
+    )
+    return pa.table(
+        {
+            "metric": pa.array(
+                ["precision", "recall", "f1", "iou", "relaxed_precision", "relaxed_recall", "relaxed_f1"],
+                pa.string(),
+            ),
+            "value": pa.array(
+                [strict["precision"], strict["recall"], strict["f1"], strict["iou"],
+                 relaxed["relaxed_precision"], relaxed["relaxed_recall"], relaxed["relaxed_f1"]],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 # --- registry ------------------------------------------------------------
 
 QUERIES = {
@@ -1135,6 +1193,7 @@ QUERIES = {
     "anti_join": q_anti_join,
     "distinct_types": q_distinct_types,
     "zonal_stats": q_zonal_stats,
+    "pixel_eval": q_pixel_eval,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"

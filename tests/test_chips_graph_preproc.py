@@ -151,3 +151,25 @@ def test_yolo_export_min_overlap(ray_session):
     r = out.iloc[0]
     assert r["class_id"] == 0
     assert np.isclose(r["cx"], 7.0 / 32) and np.isclose(r["w"], 10.0 / 32)
+
+
+def test_stitch_confidence_method(ray_session):
+    import ray
+    from solaris_ray.stages import chips as chips_stage
+
+    # two overlapping chips with different values; confidence picks the
+    # writer whose mean prob is farthest from 0.5 (255 -> |1-0.5|=0.5
+    # beats 128 -> |0.502-0.5|~0)
+    h = w = 40
+    strong = np.full((h, w, 3), 255, dtype=np.uint8)
+    weak = np.full((h, w, 3), 128, dtype=np.uint8)
+    rows = []
+    for (y0, x0, img) in ((0, 0, weak), (0, 0, strong)):
+        rows.append(
+            {"image_id": "c0", "y0": y0, "x0": x0, "w": w, "h": h, "fmt": "png",
+             "bytes": codec.encode(img, "png")}
+        )
+    tbl = pa.Table.from_pylist(rows)
+    out = chips_stage.stitch(ray.data.from_arrow(tbl), method="confidence").to_pandas()
+    back = codec.decode(out.iloc[0]["bytes"], "png")
+    assert (back == 255).all()
