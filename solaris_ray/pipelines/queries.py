@@ -1111,16 +1111,15 @@ def q_pixel_eval(sf_dir: str):
         broadcast_spatial_join(specs2, shifted)
     ).select_columns(["tile_id", "footprint"])
 
-    import pandas as pd
-
-    t = truth.to_pandas().rename(columns={"footprint": "truth"})
-    p = pred.to_pandas().rename(columns={"footprint": "pred"})
-    pairs = t.merge(p, on="tile_id", how="inner")
-    pairs_ds = ray.data.from_pandas(pairs[["truth", "pred"]])
+    # grouped pairing (no driver materialization of mask bytes): each
+    # side's mask table is materialized (blocks stay in the object
+    # store) so only one join actor pool is live at a time, then the
+    # pairing is a groupby(tile_id) co-shuffle feeding both metric passes
+    pairs_ds = evaluate.pair_masks(
+        truth.materialize(), pred.materialize(), key_col="tile_id"
+    ).materialize()
     strict = evaluate.pixel_scores(pairs_ds)
-    relaxed = evaluate.relaxed_pixel_scores(
-        ray.data.from_pandas(pairs[["truth", "pred"]]), rho=3
-    )
+    relaxed = evaluate.relaxed_pixel_scores(pairs_ds, rho=3)
     return pa.table(
         {
             "metric": pa.array(

@@ -232,8 +232,9 @@ def minhash_candidate_pairs(
     """documents -> distinct near-dup candidate pairs with est. Jaccard.
 
     ``groupby(band, key)`` co-shuffles band keys (tiny rows); buckets
-    larger than ``max_bucket`` are truncated (logged via n_dropped —
-    no silent caps) since a huge bucket means a degenerate key.
+    larger than ``max_bucket`` are truncated — a huge bucket means a
+    degenerate key — and every truncation is LOGGED (warning with the
+    band key and dropped-row count; no silent caps).
     Pair estimate = fraction of agreeing signature positions.
     """
     banded = ds.map_batches(
@@ -254,6 +255,12 @@ def minhash_candidate_pairs(
         if m < 2:
             return empty
         if m > max_bucket:
+            import logging
+
+            logging.getLogger("solaris_ray.dedup").warning(
+                "minhash bucket (band=%s, key=%s) truncated: %d of %d rows dropped",
+                group["band"][0].as_py(), group["key"][0].as_py(), m - max_bucket, m,
+            )
             group = group.slice(0, max_bucket)
             m = max_bucket
         ids = group["doc_id"].to_numpy()

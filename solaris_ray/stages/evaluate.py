@@ -43,6 +43,7 @@ MATCH_SCHEMA = pa.schema(
     [
         ("image_id", pa.string()),
         ("proposal_id", pa.int64()),
+        ("conf", pa.float64()),
         ("matched_feature_id", pa.int64()),
         ("iou", pa.float64()),
         ("is_tp", pa.int8()),
@@ -229,6 +230,7 @@ def eval_matches(proposals, ground_truth, miniou: float = 0.5):
             {
                 "image_id": pa.array([image_id] * len(pid), pa.string()),
                 "proposal_id": pa.array(pid, pa.int64()),
+                "conf": pa.array(conf, pa.float64()),
                 "matched_feature_id": pa.array(matched, pa.int64()),
                 "iou": pa.array(ious, pa.float64()),
                 "is_tp": pa.array(is_tp, pa.int8()),
@@ -294,19 +296,43 @@ def average_precision_101(is_tp: np.ndarray, n_gt: int) -> float:
 
 
 def mean_average_precision(matches, gt_counts: dict[str, int], class_of_image=None):
-    """mAP from eval_matches output: per-class conf-desc scan + AP,
-    classes are the groups; final mean on the driver (small)."""
-    df = matches.to_pandas()
-    if class_of_image is None:
-        df["klass"] = "all"
-    else:
-        df["klass"] = df["image_id"].map(class_of_image)
-    aps = {}
-    for k, sub in df.groupby("klass"):
-        sub = sub.sort_values(["proposal_id"]).reset_index(drop=True)
-        aps[k] = average_precision_101(
-            sub["is_tp"].to_numpy(), gt_counts.get(k, 0)
+    """mAP from eval_matches output (eval/vector.py:400-513).
+
+    AP is defined over CONF-DESCENDING proposal order (vector.py:473-474),
+    ties broken by proposal_id ascending; ``conf`` is carried through
+    MATCH_SCHEMA for exactly this.  Per-class AP runs distributed
+    (``groupby(klass).map_groups`` — one group per class); only the tiny
+    per-class AP table reaches the driver for the final mean.
+    """
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        if class_of_image is None:
+            klass = pa.array(["all"] * batch.num_rows, pa.string())
+        else:
+            klass = pa.array(
+                [class_of_image(v) if callable(class_of_image) else class_of_image[v]
+                 for v in batch["image_id"].to_pylist()],
+                pa.string(),
+            )
+        return batch.append_column("klass", klass)
+
+    def _ap_group(group: pa.Table) -> pa.Table:
+        k = group["klass"][0].as_py()
+        conf = group["conf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pid = group["proposal_id"].to_numpy()
+        order = np.lexsort((pid, -conf))
+        ap = average_precision_101(
+            group["is_tp"].to_numpy(zero_copy_only=False)[order], gt_counts.get(k, 0)
         )
+        return pa.table({"klass": pa.array([k], pa.string()), "ap": pa.array([ap], pa.float64())})
+
+    per_class = (
+        matches.map_batches(_tag, batch_format="pyarrow")
+        .groupby("klass")
+        .map_groups(_ap_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    aps = dict(zip(per_class["klass"], per_class["ap"]))
     return float(np.mean(list(aps.values()))), aps
 
 
@@ -434,6 +460,50 @@ def scot_scores(proposals, ground_truth, miniou: float = 0.25):
 
 
 # --- pixel metrics (eval/pixel.py) ---------------------------------------
+
+def pair_masks(truth_ds, pred_ds, key_col: str = "tile_id",
+               truth_col: str = "truth", pred_col: str = "pred"):
+    """Pair truth/pred mask Datasets by key WITHOUT driver materialization.
+
+    Tag each side, union, ``groupby(key)`` co-shuffle, emit one
+    (truth, pred) row per key present on both sides — the same grouped
+    pairing the eval matcher uses (replaces a driver pandas merge; the
+    masks never leave the object store).  Input columns: (key_col, mask).
+    """
+
+    def _tag(batch: pa.Table, side: int) -> pa.Table:
+        mask_col = [c for c in batch.column_names if c != key_col][0]
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "side": pa.array(np.full(batch.num_rows, side, dtype=np.int8)),
+                "mask": batch[mask_col],
+            }
+        )
+
+    t = truth_ds.map_batches(lambda b: _tag(b, 0), batch_format="pyarrow")
+    p = pred_ds.map_batches(lambda b: _tag(b, 1), batch_format="pyarrow")
+
+    empty = pa.schema(
+        [(key_col, pa.string()), (truth_col, pa.binary()), (pred_col, pa.binary())]
+    ).empty_table()
+
+    def _pair(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        ti = np.nonzero(side == 0)[0]
+        pi = np.nonzero(side == 1)[0]
+        if len(ti) == 0 or len(pi) == 0:
+            return empty
+        return pa.table(
+            {
+                key_col: pa.array([group[key_col][0].as_py()], pa.string()),
+                truth_col: pa.array([group["mask"][int(ti[0])].as_py()], pa.binary()),
+                pred_col: pa.array([group["mask"][int(pi[0])].as_py()], pa.binary()),
+            }
+        )
+
+    return t.union(p).groupby(key_col).map_groups(_pair, batch_format="pyarrow")
+
 
 def pixel_score_batch(batch: pa.Table, truth_col: str = "truth", pred_col: str = "pred",
                       fmt: str = "png") -> pa.Table:

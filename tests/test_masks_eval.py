@@ -281,3 +281,46 @@ def test_relaxed_pixel_scores(ray_session):
     assert strict["precision"] < 1.0
     assert relaxed["relaxed_precision"] == 1.0  # 2 px shift within rho=3
     assert relaxed["relaxed_recall"] == 1.0
+
+
+def test_map_conf_desc_ordering(ray_session):
+    """mAP must scan CONF-DESCENDING, not proposal-id order
+    (/root/reference/solaris/eval/vector.py:473-474).  Here the two
+    orderings give different APs: id-order would yield 1.0; the correct
+    conf-desc order yields (51*1 + 50*0.5)/101."""
+    import ray
+
+    matches = pa.table(
+        {
+            "image_id": pa.array(["a"] * 4, pa.string()),
+            "proposal_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "conf": pa.array([0.1, 0.9, 0.5, 0.7], pa.float64()),
+            "matched_feature_id": pa.array([10, 11, -1, -1], pa.int64()),
+            "iou": pa.array([0.9, 0.9, 0.0, 0.0], pa.float64()),
+            "is_tp": pa.array([1, 1, 0, 0], pa.int8()),
+        }
+    )
+    mAP, aps = evaluate.mean_average_precision(
+        ray.data.from_arrow(matches), {"all": 2}
+    )
+    expect = (51 * 1.0 + 50 * 0.5) / 101
+    assert abs(mAP - expect) < 1e-12
+    assert set(aps) == {"all"}
+
+
+def test_eval_matches_carries_conf(ray_session):
+    import ray
+
+    props = [
+        {"proposal_id": 7, "image_id": "a", "class": "building",
+         "xs": _sq(0, 0)[:, 0].tolist(), "ys": _sq(0, 0)[:, 1].tolist(), "conf": 0.75}
+    ]
+    gts = [
+        {"feature_id": 3, "image_id": "a", "class": "building",
+         "xs": _sq(0, 0)[:, 0].tolist(), "ys": _sq(0, 0)[:, 1].tolist()}
+    ]
+    out = evaluate.eval_matches(
+        _mk_ds(ray, props, PROP_SCHEMA), _mk_ds(ray, gts, GT_SCHEMA)
+    ).to_pandas()
+    assert list(out["conf"]) == [0.75]
+    assert list(out["is_tp"]) == [1]
