@@ -708,7 +708,7 @@ def q_polygonize(sf_dir: str):
     joined = broadcast_spatial_join(specs, features)
     mk = masks_stage.masks_from_join(joined, tile_size=128)
     polys = pz.masks_to_polygons(mk, mask_col="footprint", min_area=4.0)
-    return polys.drop_columns(["xs", "ys"])
+    return polys.drop_columns(["xs", "ys", "hxs", "hys"])
 
 
 def q_chip_stitch(sf_dir: str):

@@ -25,6 +25,7 @@ __all__ = [
     "erode_square",
     "label_components",
     "polygonize",
+    "polygonize_full",
     "simplify_ring",
 ]
 
@@ -191,12 +192,16 @@ def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
     return out, int(out.max())
 
 
-def _trace_boundary(comp: np.ndarray) -> np.ndarray:
-    """Outer boundary of a 4-connected component as a rectilinear ring.
+def _trace_loops(comp: np.ndarray) -> list[np.ndarray]:
+    """ALL boundary loops of a 4-connected component.
 
-    Directed pixel-edge following with interior on the left; returns an
-    open (N, 2) ring in (x, y) pixel-corner coordinates, collinear
-    points merged.
+    Directed pixel-edge following with interior on the left.  The
+    directed boundary-edge set of a component decomposes into exactly
+    one outer ring plus one loop per interior hole (rasterio
+    ``features.shapes`` emits both — solaris/vector/mask.py:776-797).
+    Returns open (N, 2) rings in (x, y) pixel-corner coordinates,
+    collinear points merged; the OUTER ring is always first (it owns
+    the lexicographically smallest boundary corner).
     """
     h, w = comp.shape
     padded = np.zeros((h + 2, w + 2), dtype=bool)
@@ -204,72 +209,96 @@ def _trace_boundary(comp: np.ndarray) -> np.ndarray:
     inside = padded
     # directed edges: key = start corner, val = list of (end corner)
     edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    n_edges = 0
     rs, cs = np.nonzero(comp)
     for r, c in zip(rs.tolist(), cs.tolist()):
         pr, pc = r + 1, c + 1
         if not inside[pr - 1, pc]:  # top edge, rightward
             edges.setdefault((c, r), []).append((c + 1, r))
+            n_edges += 1
         if not inside[pr, pc + 1]:  # right edge, downward
             edges.setdefault((c + 1, r), []).append((c + 1, r + 1))
+            n_edges += 1
         if not inside[pr + 1, pc]:  # bottom edge, leftward
             edges.setdefault((c + 1, r + 1), []).append((c, r + 1))
+            n_edges += 1
         if not inside[pr, pc - 1]:  # left edge, upward
             edges.setdefault((c, r + 1), []).append((c, r))
-    # start at the lexicographically smallest corner with an outgoing edge
-    start = min(edges)
-    ring = [start]
-    prev_dir = None
-    cur = start
-    while True:
-        outs = edges[cur]
-        if len(outs) == 1:
-            nxt = outs.pop()
-        else:
-            # ambiguous corner (pinch): prefer the sharpest left turn so
-            # the outer boundary stays a single closed ring
-            def turn_key(cand):
-                dx, dy = cand[0] - cur[0], cand[1] - cur[1]
-                if prev_dir is None:
-                    return 0
-                px, py = prev_dir
-                cross = px * dy - py * dx
-                dot = px * dx + py * dy
-                return -np.arctan2(cross, dot)
+            n_edges += 1
+    loops: list[np.ndarray] = []
+    while n_edges > 0:
+        # start each loop at the smallest remaining corner; the first
+        # loop traced is therefore the outer ring
+        start = min(k for k, v in edges.items() if v)
+        ring = [start]
+        prev_dir = None
+        cur = start
+        while True:
+            outs = edges[cur]
+            if len(outs) == 1:
+                nxt = outs.pop()
+            else:
+                # ambiguous corner (pinch): prefer the sharpest left
+                # turn so each loop stays simple and closed
+                def turn_key(cand):
+                    dx, dy = cand[0] - cur[0], cand[1] - cur[1]
+                    if prev_dir is None:
+                        return 0
+                    px, py = prev_dir
+                    cross = px * dy - py * dx
+                    dot = px * dx + py * dy
+                    return -np.arctan2(cross, dot)
 
-            nxt = min(outs, key=turn_key)
-            outs.remove(nxt)
-        prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
-        cur = nxt
-        if cur == start:
-            break
-        ring.append(cur)
-    arr = np.asarray(ring, dtype=np.float64)
-    # merge collinear runs (rectilinear → keep corners only)
-    if len(arr) > 2:
-        prev_seg = arr - np.roll(arr, 1, axis=0)
-        next_seg = np.roll(arr, -1, axis=0) - arr
-        corner = (prev_seg[:, 0] * next_seg[:, 1] - prev_seg[:, 1] * next_seg[:, 0]) != 0
-        arr = arr[corner]
-    return arr
+                nxt = min(outs, key=turn_key)
+                outs.remove(nxt)
+            n_edges -= 1
+            prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+            if cur == start:
+                break
+            ring.append(cur)
+        arr = np.asarray(ring, dtype=np.float64)
+        # merge collinear runs (rectilinear → keep corners only)
+        if len(arr) > 2:
+            prev_seg = arr - np.roll(arr, 1, axis=0)
+            next_seg = np.roll(arr, -1, axis=0) - arr
+            corner = (prev_seg[:, 0] * next_seg[:, 1] - prev_seg[:, 1] * next_seg[:, 0]) != 0
+            arr = arr[corner]
+        loops.append(arr)
+    return loops
 
 
-def polygonize(mask: np.ndarray, min_area: float = 0.0) -> list[np.ndarray]:
-    """mask > 0 -> list of outer-boundary rings (pixel-corner coords).
+def _trace_boundary(comp: np.ndarray) -> np.ndarray:
+    """Outer boundary only (back-compat wrapper over ``_trace_loops``)."""
+    return _trace_loops(comp)[0]
 
-    Mirrors mask_to_poly_geojson (solaris/vector/mask.py:718-818):
-    polygonize + min_area filter.  Holes are not emitted (v1 limitation;
-    footprint masks in the corpus are solid).  Output order is
+
+def polygonize_full(
+    mask: np.ndarray, min_area: float = 0.0
+) -> list[tuple[np.ndarray, list[np.ndarray]]]:
+    """mask > 0 -> [(outer_ring, [hole_rings...]), ...].
+
+    Mirrors mask_to_poly_geojson (solaris/vector/mask.py:718-818) with
+    rasterio ``features.shapes`` semantics: each 4-connected component
+    becomes one polygon with its interior rings (holes).  ``min_area``
+    filters on the component PIXEL count (net area).  Output order is
     deterministic: components sorted by (min row, min col).
     """
     labels, n = label_components(mask > 0)
-    rings = []
+    polys = []
     for i in range(1, n + 1):
         comp = labels == i
         area = float(comp.sum())
         if area < min_area:
             continue
-        rings.append(_trace_boundary(comp))
-    return rings
+        loops = _trace_loops(comp)
+        polys.append((loops[0], loops[1:]))
+    return polys
+
+
+def polygonize(mask: np.ndarray, min_area: float = 0.0) -> list[np.ndarray]:
+    """Outer rings only (back-compat; see ``polygonize_full`` for holes)."""
+    return [outer for outer, _ in polygonize_full(mask, min_area)]
 
 
 def simplify_ring(ring: np.ndarray, tolerance: float) -> np.ndarray:

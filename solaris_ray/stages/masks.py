@@ -234,3 +234,90 @@ def instance_masks(joined, tile_size: int = 128, burn_value: int = 255, out_fmt:
         )
 
     return joined.map_batches(_one, batch_format="pyarrow", batch_size=256)
+
+
+def zero_nodata_instances(inst_ds, tiles_ds, nodata: float = 0.0, out_fmt: str = "png"):
+    """Zero instance-mask pixels where the reference tile is nodata in
+    ALL bands (solaris/vector/mask.py:950-961).
+
+    Distributed as a ``groupby(tile_id)`` co-shuffle: instance rows and
+    the tile's pixel row meet in one group; the nodata mask is computed
+    once per tile and ANDed into every instance mask.  Tiles without
+    pixels pass instances through unchanged (no reference image -> no
+    zeroing, matching the reference's ``reference_im=None`` path).
+    """
+
+    def _tag_inst(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "tile_id": b["tile_id"],
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "image_id": b["image_id"],
+                "feature_id": b["feature_id"],
+                "payload": b["mask"],
+                "fmt": pa.array([out_fmt] * n, pa.string()),
+            }
+        )
+
+    def _tag_tile(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "tile_id": b["tile_id"],
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "image_id": b["image_id"],
+                "feature_id": pa.nulls(n, pa.int64()),
+                "payload": b["bytes"],
+                "fmt": b["fmt"],
+            }
+        )
+
+    inst = inst_ds.map_batches(_tag_inst, batch_format="pyarrow")
+    tiles = tiles_ds.map_batches(_tag_tile, batch_format="pyarrow")
+
+    empty = pa.schema(
+        [
+            ("tile_id", pa.string()),
+            ("image_id", pa.string()),
+            ("feature_id", pa.int64()),
+            ("mask", pa.binary()),
+            ("mask_px", pa.int64()),
+        ]
+    ).empty_table()
+
+    def _group(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        irows = np.nonzero(side == 0)[0]
+        trows = np.nonzero(side == 1)[0]
+        if len(irows) == 0:
+            return empty
+        valid = None
+        if len(trows):
+            img = codec.decode(
+                group["payload"][int(trows[0])].as_py(), group["fmt"][int(trows[0])].as_py()
+            )
+            if img.ndim == 2:
+                img = img[:, :, None]
+            valid = ~np.all(img == nodata, axis=-1)
+        out = {k: [] for k in ("tile_id", "image_id", "feature_id", "mask", "mask_px")}
+        for i in irows.tolist():
+            m = codec.decode(group["payload"][i].as_py(), group["fmt"][i].as_py())
+            if valid is not None:
+                m = m * valid.astype(m.dtype)
+            out["tile_id"].append(group["tile_id"][i].as_py())
+            out["image_id"].append(group["image_id"][i].as_py())
+            out["feature_id"].append(group["feature_id"][i].as_py())
+            out["mask"].append(codec.encode(m, out_fmt))
+            out["mask_px"].append(int((m > 0).sum()))
+        return pa.table(
+            {
+                "tile_id": pa.array(out["tile_id"], pa.string()),
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "feature_id": pa.array(out["feature_id"], pa.int64()),
+                "mask": pa.array(out["mask"], pa.binary()),
+                "mask_px": pa.array(out["mask_px"], pa.int64()),
+            }
+        )
+
+    return inst.union(tiles).groupby("tile_id").map_groups(_group, batch_format="pyarrow")

@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..raster import codec
-from ..raster.kernels import polygonize, simplify_ring
+from ..raster.kernels import polygonize_full, simplify_ring
 
 POLY_SCHEMA = pa.schema(
     [
@@ -29,10 +29,18 @@ POLY_SCHEMA = pa.schema(
         ("poly_id", pa.int32()),
         ("xs", pa.list_(pa.float64())),
         ("ys", pa.list_(pa.float64())),
+        ("hxs", pa.list_(pa.list_(pa.float64()))),
+        ("hys", pa.list_(pa.list_(pa.float64()))),
         ("area_px", pa.float64()),
         ("n_verts", pa.int32()),
+        ("n_holes", pa.int32()),
     ]
 )
+
+
+def _shoelace(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return abs(float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))) / 2
 
 
 def preds_to_binary_batch(
@@ -74,19 +82,23 @@ class MaskPolygonizer:
             mask = codec.decode(batch[self.mask_col][i].as_py(), self.fmt)
             if mask.ndim == 3:
                 mask = mask[:, :, 0]
-            rings = polygonize(mask, min_area=self.min_area)
-            for pi, ring in enumerate(rings):
+            polys = polygonize_full(mask, min_area=self.min_area)
+            for pi, (ring, holes) in enumerate(polys):
                 if self.simplify_tol > 0:
                     ring = simplify_ring(ring, self.simplify_tol)
-                # shoelace on the traced rectilinear ring
-                x, y = ring[:, 0], ring[:, 1]
-                area = abs(float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))) / 2
+                    holes = [simplify_ring(hh, self.simplify_tol) for hh in holes]
+                # net area = outer shoelace minus hole shoelaces
+                # (= the component's pixel count on rectilinear rings)
+                area = _shoelace(ring) - sum(_shoelace(hh) for hh in holes)
                 out["tile_id"].append(tid)
                 out["poly_id"].append(pi)
                 out["xs"].append(ring[:, 0].tolist())
                 out["ys"].append(ring[:, 1].tolist())
+                out["hxs"].append([hh[:, 0].tolist() for hh in holes])
+                out["hys"].append([hh[:, 1].tolist() for hh in holes])
                 out["area_px"].append(area)
                 out["n_verts"].append(len(ring))
+                out["n_holes"].append(len(holes))
         return pa.table({k: pa.array(out[k], POLY_SCHEMA.field(k).type) for k in POLY_SCHEMA.names})
 
 

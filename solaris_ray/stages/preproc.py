@@ -113,6 +113,163 @@ def sar_decibels(img: np.ndarray, eps: float = 1e-12) -> np.ndarray:
     return 10.0 * np.log10(sar_intensity(img) + eps)
 
 
+def _from_complex(z: np.ndarray) -> np.ndarray:
+    """[H,W,B] complex -> [H,W,2B] (re, im) channel pairs."""
+    out = np.empty((*z.shape[:2], z.shape[2] * 2), dtype=np.float64)
+    out[:, :, 0::2] = z.real
+    out[:, :, 1::2] = z.imag
+    return out
+
+
+def sar_in_phase(img: np.ndarray) -> np.ndarray:
+    """InPhase (preproc/sar.py:55-60): real component per band."""
+    return _as_complex(img).real
+
+
+def sar_quadrature(img: np.ndarray) -> np.ndarray:
+    """Quadrature (preproc/sar.py:63-68): imaginary component per band."""
+    return _as_complex(img).imag
+
+
+def sar_conjugate(img: np.ndarray) -> np.ndarray:
+    """Conjugate (preproc/sar.py:79-84), back to (re, im) pairs."""
+    return _from_complex(np.conj(_as_complex(img)))
+
+
+def sar_multiply_conjugate(img: np.ndarray, a: int = 0, b: int = 1) -> np.ndarray:
+    """band a x conj(band b) (MultiplyConjugate, preproc/sar.py:87-101)."""
+    z = _as_complex(img)
+    return _from_complex((z[:, :, a] * np.conj(z[:, :, b]))[:, :, None])
+
+
+def band_math(img: np.ndarray, fn) -> np.ndarray:
+    """User-function pixel math (BandMath, preproc/sar.py:17-32)."""
+    out = fn(img)
+    return out[:, :, None] if out.ndim == 2 else out
+
+
+def decomposition_pauli(img: np.ndarray, hh_band: int = 0, vv_band: int = 1,
+                        xx_band: int = 2) -> np.ndarray:
+    """Pauli decomposition (preproc/sar.py:203-227): complex (re, im)
+    channel-pair stack -> [alpha2, beta2, gamma2] real channels."""
+    z = _as_complex(img)
+    hh, vv, xx = z[:, :, hh_band], z[:, :, vv_band], z[:, :, xx_band]
+    alpha2 = 0.5 * np.abs(hh + vv) ** 2
+    beta2 = 0.5 * np.abs(hh - vv) ** 2
+    gamma2 = 2.0 * np.abs(xx) ** 2
+    return np.stack([alpha2, beta2, gamma2], axis=2)
+
+
+def decomposition_freeman_durden(img: np.ndarray, hh_band: int = 0, vv_band: int = 1,
+                                 xx_band: int = 2, kernel_size: int = 5) -> np.ndarray:
+    """Freeman-Durden 3-component decomposition -> [Ps, Pd, Pv]
+    (re-derivation of preproc/sar.py:229-300 in direct numpy: covariance
+    terms multilooked, volume = 1.5*C33 subtracted, surface/dihedral
+    split on sign(Re c12))."""
+    z = _as_complex(img)
+    hh, vv, xx = z[:, :, hh_band], z[:, :, vv_band], z[:, :, xx_band]
+
+    def _ml(arr):
+        if np.iscomplexobj(arr):
+            pairs = multilook(_from_complex(arr[:, :, None]), kernel_size)
+            return pairs[:, :, 0] + 1j * pairs[:, :, 1]
+        return multilook(arr[:, :, None], kernel_size)[:, :, 0]
+
+    C11 = _ml(np.abs(hh) ** 2)
+    C22 = _ml(np.abs(vv) ** 2)
+    C33 = _ml(np.abs(xx) ** 2)
+    C12 = _ml(hh * np.conj(vv))
+    fv = 1.5 * C33
+    c11 = C11 - fv
+    c22 = C22 - fv
+    c12 = C12 - fv / 3.0
+    # clamp |c12|^2 <= c11*c22 keeping phase (sar.py:262-264)
+    absc = np.abs(c12)
+    bad = (c11 * c22 < absc**2) & (absc > 0)
+    c12 = np.where(bad, np.sqrt(np.maximum(c11 * c22, 0.0)) * c12 / np.where(absc > 0, absc, 1.0), c12)
+    surf = np.real(c12) >= 0
+    s = np.where(surf, 1.0, -1.0)
+    re12, im12 = np.real(c12), np.imag(c12)
+    denom = c11 + c22 + 2 * re12 * s
+    term1 = np.abs(
+        np.divide(c11 * c22 - re12**2 - im12**2, denom,
+                  out=np.zeros_like(denom), where=denom != 0)
+    )
+    term2 = np.abs(c22 - term1)
+    term3 = np.divide(re12 + s * term1 + 1j * im12, term2,
+                      out=np.zeros_like(c12), where=term2 != 0)
+    fs = np.where(surf, term2, term1)
+    fd = np.where(surf, term1, term2)
+    alpha = np.where(surf, -1.0 + 0j, term3)
+    beta = np.where(surf, term3, 1.0 + 0j)
+    Ps = fs * (1.0 + np.abs(beta) ** 2)
+    Pd = fd * (1.0 + np.abs(alpha) ** 2)
+    dead = (c11 == 0) & (c22 == 0)
+    Ps = np.where(dead, 0.0, Ps)
+    Pd = np.where(dead, 0.0, Pd)
+    return np.stack([Ps, Pd, fv], axis=2)
+
+
+def decomposition_halpha(img: np.ndarray, band0: int = 0, band1: int = 1,
+                         kernel_size: int = 5) -> np.ndarray:
+    """Dual-pol H/alpha (Cloude-Pottier) decomposition -> [H, alpha]
+    (preproc/sar.py:300-338): multilooked 2x2 coherence matrix
+    eigendecomposition, entropy from pseudo-probabilities (natural
+    log), alpha = sum p_i * arccos(|v_i0|)."""
+    z = _as_complex(img)
+    a, b = z[:, :, band0], z[:, :, band1]
+
+    def _ml(arr):
+        if np.iscomplexobj(arr):
+            pairs = multilook(_from_complex(arr[:, :, None]), kernel_size)
+            return pairs[:, :, 0] + 1j * pairs[:, :, 1]
+        return multilook(arr[:, :, None], kernel_size)[:, :, 0]
+
+    c00 = _ml(np.abs(a) ** 2)
+    c11 = _ml(np.abs(b) ** 2)
+    c01 = _ml(a * np.conj(b))
+    tr = c00 + c11
+    det = c00 * c11 - np.abs(c01) ** 2
+    disc = np.sqrt(np.maximum(0.25 * tr**2 - det, 0.0))
+    l1 = 0.5 * tr + disc
+    l2 = 0.5 * tr - disc
+    absv11 = np.abs(c01) / np.sqrt(np.abs(c01) ** 2 + np.abs(l1 - c00) ** 2)
+    absv12 = np.abs(c01) / np.sqrt(np.abs(c01) ** 2 + np.abs(l2 - c00) ** 2)
+    P1 = l1 / (l1 + l2)
+    P2 = l2 / (l1 + l2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        H = -P1 * np.log(P1) - P2 * np.log(P2)
+    H = np.where(np.isfinite(H), H, 0.0)
+    alpha = P1 * np.arccos(np.clip(absv11, 0, 1)) + P2 * np.arccos(np.clip(absv12, 0, 1))
+    return np.stack([H, alpha], axis=2)
+
+
+def fit_gcp_affine(gcps: np.ndarray):
+    """Least-squares affine (pixel -> geo) from GCP rows
+    (px, py, gx, gy) — the gdal.Warp GCP path of Orthorectify
+    (preproc/sar.py:172-200) reduced to its affine model."""
+    from ..geom.affine import Affine
+
+    g = np.asarray(gcps, dtype=np.float64)
+    A = np.stack([g[:, 0], g[:, 1], np.ones(len(g))], axis=1)
+    cx, res_x, *_ = np.linalg.lstsq(A, g[:, 2], rcond=None)
+    cy, *_ = np.linalg.lstsq(A, g[:, 3], rcond=None)
+    return Affine(cx[0], cx[1], cx[2], cy[0], cy[1], cy[2])
+
+
+def orthorectify(img: np.ndarray, gcps: np.ndarray, method: str = "bilinear",
+                 nodata: float = 0.0):
+    """Resample a GCP-georeferenced image onto a north-up grid
+    (Orthorectify, preproc/sar.py:172-200).  Returns (warped, dst_affine)."""
+    from ..geom.affine import Affine
+    from ..raster.warp import calculate_default_transform, warp_affine
+
+    src_t = fit_gcp_affine(gcps)
+    h, w = img.shape[:2]
+    dst_t, dw, dh = calculate_default_transform(src_t, w, h, lambda x, y: (x, y))
+    return warp_affine(img, src_t, dst_t, (dh, dw), method, nodata), dst_t
+
+
 def multilook(img: np.ndarray, k: int) -> np.ndarray:
     """Uniform k x k box-filter multilook (preproc/sar.py:130-155) via
     integral image (O(HW) regardless of k)."""

@@ -43,12 +43,22 @@ def tile_grid_counts(w: np.ndarray, h: np.ndarray, tile_size: int) -> tuple[np.n
     return nx, ny
 
 
-def plan_tiles(batch: pa.Table, tile_size: int = DEFAULT_TILE_SIZE, cell_res: int = DEFAULT_CELL_RES) -> pa.Table:
+def plan_tiles(
+    batch: pa.Table,
+    tile_size: int = DEFAULT_TILE_SIZE,
+    cell_res: int = DEFAULT_CELL_RES,
+    aoi: tuple[float, float, float, float] | None = None,
+) -> pa.Table:
     """Image metadata rows -> tile-spec rows (NO pixel decode).
 
     Needs columns: image_id, w, h, gt_a..gt_f.  Pure arithmetic — the
     same inputs produce identical tile ids and bounds at any
     parallelism (split_geom determinism, SURVEY.md §4).
+
+    ``aoi`` = (minx, miny, maxx, maxy) keeps only tiles intersecting
+    the AOI — split_geom's AOI ∩ image-bounds grid restriction
+    (solaris/utils/geo.py:743-837 drops non-intersecting tiles;
+    restrict_to_aoi, raster_tile.py:169-181).
     """
     img_ids = batch["image_id"].to_numpy(zero_copy_only=False)
     ws = batch["w"].to_numpy()
@@ -90,6 +100,12 @@ def plan_tiles(batch: pa.Table, tile_size: int = DEFAULT_TILE_SIZE, cell_res: in
     maxx = np.maximum(x0, x1)
     miny = np.minimum(ytop, ybot)
     maxy = np.maximum(ytop, ybot)
+    if aoi is not None:
+        ax0, ay0, ax1, ay1 = aoi
+        keep = (minx < ax1) & (maxx > ax0) & (miny < ay1) & (maxy > ay0)
+        rep, col, row = rep[keep], col[keep], row[keep]
+        minx, maxx, miny, maxy = minx[keep], maxx[keep], miny[keep], maxy[keep]
+        total = int(keep.sum())
     cell = cells.cell_of_point((minx + maxx) * 0.5, (miny + maxy) * 0.5, cell_res)
     ids = img_ids[rep]
     # save_tile naming: int-rounded geo coords for metric CRS
@@ -132,11 +148,28 @@ class TileCutter:
         cell_res: int = DEFAULT_CELL_RES,
         nodata_threshold: float | None = None,
         out_fmt: str | None = None,
+        dest_epsg: int | None = None,
+        resampling: str = "bilinear",
+        aoi: tuple[float, float, float, float] | np.ndarray | None = None,
     ):
         self.tile_size = tile_size
         self.cell_res = cell_res
         self.nodata_threshold = nodata_threshold
         self.out_fmt = out_fmt  # None = keep source fmt
+        # restrict_to_aoi (raster_tile.py:169-181): pixels outside the
+        # AOI polygon become nodata BEFORE tiling.  A 4-tuple is a
+        # rect; an (N, 2) array is a polygon ring in geo coords.
+        if aoi is not None and not isinstance(aoi, np.ndarray):
+            ax0, ay0, ax1, ay1 = aoi
+            aoi = np.array(
+                [[ax0, ay0], [ax1, ay0], [ax1, ay1], [ax0, ay1]], dtype=np.float64
+            )
+        self.aoi = aoi
+        # dest_epsg != source epsg -> per-tile warp, mirroring
+        # raster_tile.py:350-365 (calculate_default_transform +
+        # warp.reproject, bilinear default)
+        self.dest_epsg = dest_epsg
+        self.resampling = resampling
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ts = self.tile_size
@@ -176,6 +209,20 @@ class TileCutter:
             image_id = cols["image_id"][i].as_py()
             caption = cols["caption"][i].as_py()
             out_fmt = self.out_fmt or fmt
+            if self.aoi is not None:
+                # rasterize the AOI in this image's pixel frame and
+                # push everything outside to nodata
+                from ..geom.affine import apply_affine, invert_affine
+                from ..raster.kernels import rasterize_rings
+
+                inv = invert_affine(t)
+                pxs, pys = apply_affine(inv, self.aoi[:, 0], self.aoi[:, 1])
+                ring = np.stack([pxs, pys], axis=1)
+                inside = rasterize_rings(
+                    ring, np.asarray([0, len(ring)]), (h, w), values=1
+                )
+                img = img.copy()
+                img[inside == 0] = nodata
             nx = -(-w // ts)
             ny = -(-h // ts)
             for col in range(nx):
@@ -197,10 +244,44 @@ class TileCutter:
                         and nodata_frac >= self.nodata_threshold
                     ):
                         continue  # raster_tile.py:189-204 threshold filter
-                    gx0 = t.c + xs * t.a
-                    gx1 = t.c + (xs + ts) * t.a
-                    gy0 = t.f + ys * t.e
-                    gy1 = t.f + (ys + ts) * t.e
+                    src_epsg = int(cols["epsg"][i].as_py()) if "epsg" in cols else None
+                    if (
+                        self.dest_epsg is not None
+                        and src_epsg is not None
+                        and src_epsg != self.dest_epsg
+                    ):
+                        # per-tile warp (raster_tile.py:350-365)
+                        from ..raster.warp import (
+                            calculate_default_transform,
+                            crs_transformer,
+                            warp_affine,
+                        )
+
+                        tile_t = Affine(
+                            t.a, t.b, t.c + xs * t.a + ys * t.b,
+                            t.d, t.e, t.f + xs * t.d + ys * t.e,
+                        )
+                        fwd, inv = crs_transformer(src_epsg, self.dest_epsg)
+                        dst_t, dw, dh = calculate_default_transform(
+                            tile_t, ts, ts, fwd
+                        )
+                        tile = warp_affine(
+                            tile, tile_t, dst_t, (dh, dw),
+                            self.resampling, nodata, inv_fn=inv,
+                        )
+                        if tile.ndim == 2:
+                            tile = tile[:, :, None]
+                        gx0, gy1t = dst_t.c, dst_t.f
+                        gx1 = dst_t.c + dw * dst_t.a
+                        gy0 = dst_t.f + dh * dst_t.e
+                        gy1 = gy1t
+                        metric = False  # 4326 target -> 3-decimal names
+                    else:
+                        gx0 = t.c + xs * t.a
+                        gx1 = t.c + (xs + ts) * t.a
+                        gy0 = t.f + ys * t.e
+                        gy1 = t.f + (ys + ts) * t.e
+                        metric = True
                     minx, maxx = min(gx0, gx1), max(gx0, gx1)
                     miny, maxy = min(gy0, gy1), max(gy0, gy1)
                     cell = int(
@@ -210,8 +291,12 @@ class TileCutter:
                             self.cell_res,
                         )[0]
                     )
+                    # save_tile naming (raster_tile.py:425-434): int for
+                    # metric CRS, 3-decimal rounding otherwise
                     out["tile_id"].append(
                         f"{image_id}_{int(round(minx))}_{int(round(miny))}"
+                        if metric
+                        else f"{image_id}_{round(minx, 3)}_{round(miny, 3)}"
                     )
                     out["image_id"].append(image_id)
                     out["cell"].append(cell)
@@ -221,8 +306,8 @@ class TileCutter:
                     out["y0"].append(miny)
                     out["x1"].append(maxx)
                     out["y1"].append(maxy)
-                    out["w"].append(ts)
-                    out["h"].append(ts)
+                    out["w"].append(tile.shape[1])
+                    out["h"].append(tile.shape[0])
                     out["fmt"].append(out_fmt)
                     out["bytes"].append(codec.encode(tile.squeeze(-1) if tile.shape[2] == 1 else tile, out_fmt))
                     out["nodata_frac"].append(nodata_frac)
@@ -254,24 +339,40 @@ def cut_tiles(
     nodata_threshold: float | None = None,
     batch_size: int | None = None,
     cell_res: int = DEFAULT_CELL_RES,
+    dest_epsg: int | None = None,
+    resampling: str = "bilinear",
+    aoi: tuple[float, float, float, float] | np.ndarray | None = None,
 ):
     """images Dataset -> tiles Dataset (the flagship fan-out).
 
     ``batch_size`` is small because rows are megabyte-scale encoded
     images and the fan-out multiplies bytes ~1x — keep
     batch x concurrency within worker heaps (SURVEY.md §4 memory notes).
+    ``dest_epsg`` triggers the per-tile warp path (raster_tile.py:350-365).
     """
     return images.map_batches(
-        TileCutter(tile_size=tile_size, nodata_threshold=nodata_threshold, cell_res=cell_res),
+        TileCutter(
+            tile_size=tile_size,
+            nodata_threshold=nodata_threshold,
+            cell_res=cell_res,
+            dest_epsg=dest_epsg,
+            resampling=resampling,
+            aoi=aoi,
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
 
 
-def plan_tiles_ds(images, tile_size: int = DEFAULT_TILE_SIZE, cell_res: int = DEFAULT_CELL_RES):
+def plan_tiles_ds(
+    images,
+    tile_size: int = DEFAULT_TILE_SIZE,
+    cell_res: int = DEFAULT_CELL_RES,
+    aoi: tuple[float, float, float, float] | None = None,
+):
     """images Dataset -> tile-spec Dataset (no pixels touched)."""
     return images.map_batches(
-        lambda b: plan_tiles(b, tile_size, cell_res),
+        lambda b: plan_tiles(b, tile_size, cell_res, aoi),
         batch_format="pyarrow",
         batch_size=1024,
     )
