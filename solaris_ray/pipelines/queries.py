@@ -209,6 +209,18 @@ def q_knn_join(sf_dir: str):
     return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
 
 
+def q_knn_partitioned(sf_dir: str):
+    """Both-sides-large kNN path (cell co-shuffle + halo replication);
+    same rows as the broadcast path — the kNN parity claim, now
+    oracle-checked against the identical SQL."""
+    import ray
+
+    pts = _event_points(sf_dir, limit_ids=2000)
+    feats = ray.data.from_arrow(_customer_centroids(sf_dir))
+    out = knn.cell_partitioned_knn_join(pts, feats, k=3, cell_res=16)
+    return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
+
+
 def q_cell_assign(sf_dir: str):
     """H3-style cell assignment at res 16 (edge 256) + parent at res 13."""
     pts = _event_points(sf_dir)
@@ -727,19 +739,49 @@ def q_chip_stitch(sf_dir: str):
 
 
 def q_graph_build(sf_dir: str):
-    """Road-network graph: vertex dedup + edges with lengths."""
-    import ray
-
-    from ..sources import synth
+    """Road-network graph: distributed vertex dedup (sorted-(x,y)-rank
+    node ids), hash-join edge endpoint resolution.  Roads derived from
+    orders with integer vertices on a shared 40x40 grid so nodes
+    genuinely collide across roads; node ids + edge lengths are
+    SQL-exact (len2 = integer squared length)."""
     from ..stages import graph as graph_stage
 
-    n = 48
-    _, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    roads = features.filter(pc.equal(features["class"], "road")).select(
-        ["feature_id", "xs", "ys"]
-    )
-    _, edges = graph_stage.build_graph(ray.data.from_arrow(roads))
-    return edges
+    o = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def _roads(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy()
+        k = k[k < 3000]
+        xs = [
+            [float(((kk * 7 + j * 13) % 40) * 10) for j in range(3)] for kk in k.tolist()
+        ]
+        ys = [
+            [float(((kk * 11 + j * 17) % 40) * 10) for j in range(3)] for kk in k.tolist()
+        ]
+        return pa.table(
+            {
+                "feature_id": pa.array(k.astype(np.int64)),
+                "xs": pa.array(xs, pa.list_(pa.float64())),
+                "ys": pa.array(ys, pa.list_(pa.float64())),
+            }
+        )
+
+    roads = o.map_batches(_roads, batch_format="pyarrow", batch_size=8192)
+    _, edges = graph_stage.build_graph(roads)
+
+    def _final(b: pa.Table) -> pa.Table:
+        ln = b["length"].to_numpy()
+        return pa.table(
+            {
+                "edge_id": b["edge_id"],
+                "road_id": b["road_id"],
+                "seq": pc.cast(b["seq"], pa.int64()),
+                "u": b["u"],
+                "v": b["v"],
+                "len2": pa.array(np.round(ln * ln).astype(np.int64)),
+            }
+        )
+
+    return edges.map_batches(_final, batch_format="pyarrow")
 
 
 def q_preproc_ops(sf_dir: str):
@@ -1142,6 +1184,7 @@ QUERIES = {
     "pip_count": q_pip_count,
     "clip_join": q_clip_join,
     "knn_join": q_knn_join,
+    "knn_partitioned": q_knn_partitioned,
     "cell_assign": q_cell_assign,
     "cell_hist": q_cell_hist,
     "f1_rollup": q_f1_rollup,
@@ -1265,6 +1308,18 @@ d AS (SELECT point_id, feature_id,
       FROM pts CROSS JOIN f)
 SELECT point_id, feature_id, CAST(rk AS BIGINT) AS "rank", d2 FROM d WHERE rk <= 3
 """,
+    "knn_partitioned": f"""
+WITH pts AS (SELECT * FROM ({_PTS}) WHERE point_id < 2000),
+f AS (SELECT c_custkey AS feature_id,
+             CAST((c_custkey*97) % 3200 AS DOUBLE) AS fcx,
+             CAST((c_custkey*71) % 3200 AS DOUBLE) AS fcy
+      FROM customer),
+d AS (SELECT point_id, feature_id,
+             (x-fcx)*(x-fcx) + (y-fcy)*(y-fcy) AS d2,
+             row_number() OVER (PARTITION BY point_id ORDER BY (x-fcx)*(x-fcx) + (y-fcy)*(y-fcy), feature_id) AS rk
+      FROM pts CROSS JOIN f)
+SELECT point_id, feature_id, CAST(rk AS BIGINT) AS "rank", d2 FROM d WHERE rk <= 3
+""",
     "cell_assign": f"""
 WITH pts AS ({_PTS})
 SELECT point_id,
@@ -1366,6 +1421,23 @@ r AS (SELECT regexp_extract('lbl_' || CAST(o_orderkey % 2000 AS VARCHAR) || '.ge
 SELECT file FROM l ANTI JOIN r USING (k)
 """,
     "distinct_types": "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+    "graph_build": """
+WITH r AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 3000),
+v AS (SELECT k, j,
+             CAST(((k*7 + j*13) % 40) * 10 AS DOUBLE) AS x,
+             CAST(((k*11 + j*17) % 40) * 10 AS DOUBLE) AS y
+      FROM r, range(0, 3) t(j)),
+n AS (SELECT x, y, row_number() OVER (ORDER BY x, y) - 1 AS node_id
+      FROM (SELECT DISTINCT x, y FROM v)),
+e AS (SELECT a.k, a.j AS seq, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+      FROM v a JOIN v b ON b.k = a.k AND b.j = a.j + 1)
+SELECT e.k * 4096 + e.seq AS edge_id, e.k AS road_id, CAST(e.seq AS BIGINT) AS seq,
+       na.node_id AS u, nb.node_id AS v,
+       CAST((ax-bx)*(ax-bx) + (ay-by)*(ay-by) AS BIGINT) AS len2
+FROM e
+JOIN n na ON na.x = e.ax AND na.y = e.ay
+JOIN n nb ON nb.x = e.bx AND nb.y = e.by
+""",
     "sessionize": """
 WITH e AS (SELECT user_id, event_id, ts,
                   CASE WHEN lag(ts) OVER w IS NULL

@@ -14,8 +14,14 @@ Ray mapping (SURVEY.md §2.7): node dedup is a hash-partition groupby on
 the exact (x, y) pair; node ids here are assigned by (x, y) sort order
 — deterministic at any parallelism, unlike the reference's
 insertion-order ids (documented deviation: the graphs are isomorphic,
-ids differ; tests compare structure).  Edge endpoint resolution uses a
-broadcast node map (the Pool-initializer pattern, :341-349).
+ids differ; tests compare structure).
+
+Everything stays in the engine: node-id assignment is a distributed
+sort + ordered per-block offset enumeration (only per-block ROW COUNTS
+touch the driver), and edge endpoints resolve through a hash join on
+the exact (x, y) key — a ``groupby(x, y)`` co-shuffle — instead of a
+broadcast node dict.  At continental road-network scale neither the
+vertex set nor the node map ever materializes on one machine.
 """
 
 from __future__ import annotations
@@ -57,11 +63,12 @@ def explode_vertices(batch: pa.Table, id_col: str = "feature_id") -> pa.Table:
     )
 
 
-def build_graph(roads, id_col: str = "feature_id") -> tuple[pa.Table, "object"]:
-    """roads Dataset (xs/ys linestrings) -> (nodes table, edges Dataset).
+def dedup_nodes(roads, id_col: str = "feature_id"):
+    """roads Dataset -> nodes Dataset with sorted-(x, y)-rank ids.
 
-    Nodes are materialized (they are the small side: |nodes| <<
-    |vertices| after dedup) and broadcast for edge endpoint lookup.
+    Distributed: groupby-dedup on the exact vertex, global sort, then
+    ordered per-block offset enumeration — only the per-block row
+    COUNTS come to the driver (one int per block).
     """
     import ray
     from ray.data.aggregate import Count
@@ -69,48 +76,230 @@ def build_graph(roads, id_col: str = "feature_id") -> tuple[pa.Table, "object"]:
     verts = roads.map_batches(
         lambda b: explode_vertices(b, id_col), batch_format="pyarrow", batch_size=4096
     )
-    uniq = verts.groupby(["x", "y"]).aggregate(Count()).to_pandas()
-    # deterministic ids: sort by (x, y)
-    uniq = uniq.sort_values(["x", "y"], kind="mergesort").reset_index(drop=True)
-    nodes = pa.table(
+    uniq = verts.groupby(["x", "y"]).aggregate(Count()).sort(["x", "y"]).materialize()
+    refs = uniq.to_arrow_refs()  # ordered blocks, still in the object store
+
+    @ray.remote
+    def _nrows(block: pa.Table) -> int:
+        return block.num_rows
+
+    @ray.remote
+    def _assign(block: pa.Table, offset: int) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": pa.array(offset + np.arange(block.num_rows, dtype=np.int64)),
+                "x": block["x"],
+                "y": block["y"],
+                "n_refs": pa.array(
+                    block["count()"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+    return ray.data.from_arrow_refs(
+        [_assign.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )
+
+
+def _segments(batch: pa.Table, id_col: str) -> pa.Table:
+    """roads -> one row per consecutive vertex pair (edge attrs)."""
+    xs_l = batch["xs"].to_pylist()
+    ys_l = batch["ys"].to_pylist()
+    rid = batch[id_col].to_numpy()
+    out = {k: [] for k in ("edge_id", "road_id", "seq", "x0", "y0", "x1", "y1", "length")}
+    for i in range(batch.num_rows):
+        px, py = np.asarray(xs_l[i]), np.asarray(ys_l[i])
+        seg = np.hypot(np.diff(px), np.diff(py))
+        for j in range(len(px) - 1):
+            out["edge_id"].append(int(rid[i]) * 4096 + j)
+            out["road_id"].append(int(rid[i]))
+            out["seq"].append(j)
+            out["x0"].append(float(px[j]))
+            out["y0"].append(float(py[j]))
+            out["x1"].append(float(px[j + 1]))
+            out["y1"].append(float(py[j + 1]))
+            out["length"].append(float(seg[j]))
+    return pa.table(
         {
-            "node_id": pa.array(np.arange(len(uniq), dtype=np.int64)),
-            "x": pa.array(uniq["x"].to_numpy()),
-            "y": pa.array(uniq["y"].to_numpy()),
-            "n_refs": pa.array(uniq["count()"].to_numpy().astype(np.int64)),
+            "edge_id": pa.array(out["edge_id"], pa.int64()),
+            "road_id": pa.array(out["road_id"], pa.int64()),
+            "seq": pa.array(out["seq"], pa.int32()),
+            "x0": pa.array(out["x0"], pa.float64()),
+            "y0": pa.array(out["y0"], pa.float64()),
+            "x1": pa.array(out["x1"], pa.float64()),
+            "y1": pa.array(out["y1"], pa.float64()),
+            "length": pa.array(out["length"], pa.float64()),
         }
     )
-    node_map = {(x, y): i for i, (x, y) in enumerate(zip(nodes["x"].to_numpy(), nodes["y"].to_numpy()))}
-    map_ref = ray.put(node_map)
 
-    class EdgeBuilder:
-        def __init__(self, map_ref):
-            self.node_map = ray.get(map_ref) if not isinstance(map_ref, dict) else map_ref
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = {k: [] for k in EDGE_SCHEMA.names}
-            xs_l = batch["xs"].to_pylist()
-            ys_l = batch["ys"].to_pylist()
-            rid = batch[id_col].to_numpy()
-            for i in range(batch.num_rows):
-                px, py = np.asarray(xs_l[i]), np.asarray(ys_l[i])
-                seg = np.hypot(np.diff(px), np.diff(py))
-                for j in range(len(px) - 1):
-                    u = self.node_map[(px[j], py[j])]
-                    v = self.node_map[(px[j + 1], py[j + 1])]
-                    out["edge_id"].append(int(rid[i]) * 4096 + j)
-                    out["road_id"].append(int(rid[i]))
-                    out["seq"].append(j)
-                    out["u"].append(u)
-                    out["v"].append(v)
-                    out["length"].append(float(seg[j]))
-            return pa.table({k: pa.array(out[k], EDGE_SCHEMA.field(k).type) for k in EDGE_SCHEMA.names})
+def build_graph(roads, id_col: str = "feature_id"):
+    """roads Dataset (xs/ys linestrings) -> (nodes Dataset, edges Dataset).
 
-    edges = roads.map_batches(
-        EdgeBuilder,
-        fn_constructor_kwargs={"map_ref": map_ref},
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=2,
-    )
+    Edge endpoint resolution is a HASH JOIN on the exact (x, y) key:
+    endpoint rows and node rows co-shuffle via ``groupby(x, y)``, each
+    group stamps its node_id onto its endpoint rows, then a second
+    ``groupby(edge_id)`` reassembles (u, v) — no broadcast node map,
+    no driver materialization of the vertex set.
+    """
+    nodes = dedup_nodes(roads, id_col).materialize()
+    segs = roads.map_batches(
+        lambda b: _segments(b, id_col), batch_format="pyarrow", batch_size=2048
+    ).materialize()
+
+    # endpoint rows: one per (edge, role); role 0 = u (x0,y0), 1 = v
+    def _endpoints(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "x": pa.array(np.concatenate([b["x0"].to_numpy(), b["x1"].to_numpy()])),
+                "y": pa.array(np.concatenate([b["y0"].to_numpy(), b["y1"].to_numpy()])),
+                "side": pa.array(np.ones(2 * n, dtype=np.int8)),
+                "edge_id": pa.array(np.tile(b["edge_id"].to_numpy(), 2), pa.int64()),
+                "role": pa.array(
+                    np.concatenate([np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)])
+                ),
+                "node_id": pa.nulls(2 * n, pa.int64()),
+            }
+        )
+
+    def _node_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "x": b["x"],
+                "y": b["y"],
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "edge_id": pa.nulls(n, pa.int64()),
+                "role": pa.nulls(n, pa.int8()),
+                "node_id": b["node_id"],
+            }
+        )
+
+    ep = segs.map_batches(_endpoints, batch_format="pyarrow")
+    ns = nodes.map_batches(_node_side, batch_format="pyarrow")
+
+    def _resolve(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        nrow = np.nonzero(side == 0)[0]
+        erow = np.nonzero(side == 1)[0]
+        if len(erow) == 0 or len(nrow) == 0:
+            return pa.schema(
+                [("edge_id", pa.int64()), ("role", pa.int8()), ("node_id", pa.int64())]
+            ).empty_table()
+        nid = group["node_id"][int(nrow[0])].as_py()
+        idx = pa.array(erow)
+        return pa.table(
+            {
+                "edge_id": group["edge_id"].take(idx),
+                "role": group["role"].take(idx),
+                "node_id": pa.array(np.full(len(erow), nid, dtype=np.int64)),
+            }
+        )
+
+    resolved = ep.union(ns).groupby(["x", "y"]).map_groups(_resolve, batch_format="pyarrow")
+
+    # reassemble: edge attrs + its two resolved endpoints
+    def _attr_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "edge_id": b["edge_id"],
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "role": pa.nulls(n, pa.int8()),
+                "node_id": pa.nulls(n, pa.int64()),
+                "road_id": b["road_id"],
+                "seq": b["seq"],
+                "length": b["length"],
+            }
+        )
+
+    def _res_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "edge_id": b["edge_id"],
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "role": b["role"],
+                "node_id": b["node_id"],
+                "road_id": pa.nulls(n, pa.int64()),
+                "seq": pa.nulls(n, pa.int32()),
+                "length": pa.nulls(n, pa.float64()),
+            }
+        )
+
+    attrs = segs.map_batches(_attr_side, batch_format="pyarrow")
+    rs = resolved.map_batches(_res_side, batch_format="pyarrow")
+
+    def _edge(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy()
+        a = np.nonzero(kind == 0)[0]
+        r = np.nonzero(kind == 1)[0]
+        if len(a) == 0 or len(r) == 0:
+            return EDGE_SCHEMA.empty_table()
+        ai = int(a[0])
+        u = v = -1
+        for i in r.tolist():
+            if group["role"][i].as_py() == 0:
+                u = group["node_id"][i].as_py()
+            else:
+                v = group["node_id"][i].as_py()
+        return pa.table(
+            {
+                "edge_id": pa.array([group["edge_id"][ai].as_py()], pa.int64()),
+                "road_id": pa.array([group["road_id"][ai].as_py()], pa.int64()),
+                "seq": pa.array([group["seq"][ai].as_py()], pa.int32()),
+                "u": pa.array([u], pa.int64()),
+                "v": pa.array([v], pa.int64()),
+                "length": pa.array([group["length"][ai].as_py()], pa.float64()),
+            }
+        )
+
+    edges = attrs.union(rs).groupby("edge_id").map_groups(_edge, batch_format="pyarrow")
     return nodes, edges
+
+
+def graph_to_geojson(nodes, edges) -> tuple[str, str]:
+    """nodes/edges Datasets -> (nodes_geojson, edges_geojson) strings —
+    the graph_to_geojson sink (solaris/vector/graph.py:453-545): Point
+    features for nodes, LineString features for edges (endpoint coords
+    resolved through the nodes table)."""
+    import json
+
+    nd = nodes.to_pandas()
+    ed = edges.to_pandas()
+    coord = {int(r.node_id): (float(r.x), float(r.y)) for r in nd.itertuples()}
+    nodes_fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [float(r.x), float(r.y)]},
+                "properties": {"node_id": int(r.node_id), "n_refs": int(r.n_refs)},
+            }
+            for r in nd.itertuples()
+        ],
+    }
+    edges_fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "LineString",
+                    "coordinates": [list(coord[int(r.u)]), list(coord[int(r.v)])],
+                },
+                "properties": {
+                    "edge_id": int(r.edge_id),
+                    "road_id": int(r.road_id),
+                    "u": int(r.u),
+                    "v": int(r.v),
+                    "length": float(r.length),
+                },
+            }
+            for r in ed.itertuples()
+        ],
+    }
+    return json.dumps(nodes_fc), json.dumps(edges_fc)

@@ -448,6 +448,57 @@ def broadcast_spatial_join(
     )
 
 
+# default object-store budget for a broadcast feature layer; above
+# this the layer must co-shuffle instead of shipping to every actor
+BROADCAST_LIMIT_BYTES = 1 << 30
+
+
+def spatial_join(
+    tile_specs,
+    features,
+    cell_res: int | None = None,
+    min_partial_perc: float = 0.0,
+    broadcast_limit_bytes: int | None = None,
+    **kwargs,
+):
+    """Auto-selecting spatial join: broadcast when the feature layer
+    fits the object-store budget, cell-partitioned co-shuffle otherwise.
+
+    Both physical paths share the same clip kernel, so outputs are
+    bit-identical (parity-tested) — the choice is purely a plan-time
+    size decision, mirroring the broadcast-small-side rule of
+    SURVEY.md §4.  ``features`` may be an in-memory ``pyarrow.Table``
+    or a ``ray.data.Dataset``.
+    """
+    import ray
+
+    limit = broadcast_limit_bytes if broadcast_limit_bytes is not None else BROADCAST_LIMIT_BYTES
+    if isinstance(features, pa.Table):
+        if features.nbytes <= limit:
+            return broadcast_spatial_join(
+                tile_specs, features, cell_res=cell_res,
+                min_partial_perc=min_partial_perc, **kwargs,
+            )
+        features = ray.data.from_arrow(features)
+        return cell_partitioned_join(
+            tile_specs, features, cell_res=cell_res or 13,
+            min_partial_perc=min_partial_perc,
+        )
+    size = features.size_bytes()
+    if size is not None and size <= limit:
+        tbl = pa.concat_tables(
+            [b for b in ray.get(features.to_arrow_refs()) if b.num_rows]
+        )
+        return broadcast_spatial_join(
+            tile_specs, tbl, cell_res=cell_res,
+            min_partial_perc=min_partial_perc, **kwargs,
+        )
+    return cell_partitioned_join(
+        tile_specs, features, cell_res=cell_res or 13,
+        min_partial_perc=min_partial_perc,
+    )
+
+
 # --- cell-partitioned (both sides large) ---------------------------------
 
 def _tag_features_with_cells(batch: pa.Table, cell_res: int) -> pa.Table:

@@ -145,6 +145,284 @@ def knn_for_cell_group(
     )
 
 
+def _topk_rows(point_id, px, py, fx, fy, fid, k):
+    """Vectorized per-group top-k with the (d2, feature_id) total order
+    (same tie discipline as knn_for_cell_group).  Returns row arrays +
+    per-point kth distance (inf when fewer than k candidates)."""
+    if len(fx) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return (z, z, z.astype(np.int32), z.astype(np.float64),
+                np.full(len(px), np.inf))
+    dx = px[:, None] - fx[None, :]
+    dy = py[:, None] - fy[None, :]
+    d2 = dx * dx + dy * dy
+    kk = min(k, len(fx))
+    kth = (
+        np.partition(d2, kk - 1, axis=1)[:, kk - 1]
+        if len(fx) > kk
+        else d2.max(axis=1)
+    )
+    rows_pid, rows_fid, rows_rank, rows_d2 = [], [], [], []
+    dk = np.full(len(px), np.inf)
+    for i in range(len(px)):
+        ci = np.nonzero(d2[i] <= kth[i])[0]
+        o = ci[np.lexsort((fid[ci], d2[i][ci]))][:kk]
+        rows_pid.append(np.full(len(o), point_id[i], dtype=np.int64))
+        rows_fid.append(fid[o])
+        rows_rank.append(np.arange(1, len(o) + 1, dtype=np.int32))
+        rows_d2.append(d2[i][o])
+        if len(o) >= k:
+            dk[i] = float(np.sqrt(d2[i][o[-1]]))
+    return (
+        np.concatenate(rows_pid),
+        np.concatenate(rows_fid),
+        np.concatenate(rows_rank),
+        np.concatenate(rows_d2),
+        dk,
+    )
+
+
+def cell_partitioned_knn_join(
+    points,
+    features,
+    k: int = 3,
+    cell_res: int = 13,
+    fx_col: str = "cx",
+    fy_col: str = "cy",
+    id_col: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_halo_passes: int = 3,
+):
+    """Both-sides-large kNN: groupby(cell) co-shuffle with feature halo
+    replication (the cell-partitioned twin of ``broadcast_knn_join``,
+    mirroring ``joins.cell_partitioned_join``'s owner-cell pattern).
+
+    Pass p replicates every FEATURE to all cells within Chebyshev ring
+    ``R`` of its own cell (halo), points to their own cell only, and
+    joins per group.  A point's result is PROVEN final when its k-th
+    distance is < R*edge (any feature outside the halo is at least
+    R*edge away); unresolved points re-shuffle in the next pass with
+    R *= 3.  After ``max_halo_passes`` the (tiny) residual straggler
+    set switches to a STREAMING brute-force pass: stragglers broadcast,
+    features stream through partial top-k + groupby(point_id) merge
+    (ann.brute_topk shape) — exact at any sparsity without halo blowup.
+    Output is bit-identical to the broadcast path (parity-tested).
+
+    Scale shape: halo factor (2R+1)^2 applies only at R=1 for the bulk
+    (9x replication of tiny centroid rows); later passes touch only
+    stragglers.  Neither side is ever materialized on one node.
+    """
+    import ray
+
+    edge = cells.cell_edge(cell_res)
+    results = []  # one "done" Dataset per pass, unioned at the end
+    R = 1
+    pts = points
+    for p in range(max_halo_passes):
+        final_pass = False
+
+        def _tag_feats(batch: pa.Table, R=R) -> pa.Table:
+            fx = batch[fx_col].to_numpy().astype(np.float64)
+            fy = batch[fy_col].to_numpy().astype(np.float64)
+            fid = batch["feature_id"].to_numpy().astype(np.int64)
+            cc = cells.cell_of_point(fx, fy, cell_res)
+            res, ix, iy = cells.cell_decode(cc.astype(np.uint64))
+            n = 1 << 29
+            rows, ocells = [], []
+            for dx in range(-R, R + 1):
+                for dy in range(-R, R + 1):
+                    cx = ix.astype(np.int64) + dx
+                    cy = iy.astype(np.int64) + dy
+                    ok = (cx >= 0) & (cx < n) & (cy >= 0) & (cy < n)
+                    rows.append(np.nonzero(ok)[0])
+                    ocells.append(
+                        (np.int64(cell_res) << np.int64(58))
+                        | (cx[ok] << np.int64(29))
+                        | cy[ok]
+                    )
+            r = np.concatenate(rows)
+            return pa.table(
+                {
+                    "cell": pa.array(np.concatenate(ocells), pa.int64()),
+                    "side": pa.array(np.ones(len(r), dtype=np.int8)),
+                    "pid": pa.array(fid[r], pa.int64()),
+                    "x": pa.array(fx[r], pa.float64()),
+                    "y": pa.array(fy[r], pa.float64()),
+                }
+            )
+
+        def _tag_pts(batch: pa.Table) -> pa.Table:
+            px = batch[x_col].to_numpy().astype(np.float64)
+            py = batch[y_col].to_numpy().astype(np.float64)
+            cc = cells.cell_of_point(px, py, cell_res).astype(np.int64)
+            return pa.table(
+                {
+                    "cell": pa.array(cc, pa.int64()),
+                    "side": pa.array(np.zeros(len(px), dtype=np.int8)),
+                    "pid": pa.array(batch[id_col].to_numpy().astype(np.int64), pa.int64()),
+                    "x": pa.array(px, pa.float64()),
+                    "y": pa.array(py, pa.float64()),
+                }
+            )
+
+        f_side = features.map_batches(_tag_feats, batch_format="pyarrow", batch_size=8192)
+        p_side = pts.map_batches(_tag_pts, batch_format="pyarrow", batch_size=8192)
+
+        out_schema = pa.schema(
+            [
+                ("point_id", pa.int64()),
+                ("feature_id", pa.int64()),
+                ("rank", pa.int32()),
+                ("d2", pa.float64()),
+                ("resolved", pa.int8()),
+                ("px", pa.float64()),
+                ("py", pa.float64()),
+            ]
+        )
+
+        def _group(group: pa.Table, R=R, final=final_pass) -> pa.Table:
+            side = group["side"].to_numpy()
+            prow = np.nonzero(side == 0)[0]
+            frow = np.nonzero(side == 1)[0]
+            if len(prow) == 0:
+                return out_schema.empty_table()
+            pid = group["pid"].to_numpy()[prow]
+            px = group["x"].to_numpy()[prow]
+            py = group["y"].to_numpy()[prow]
+            fid = group["pid"].to_numpy()[frow]
+            fx = group["x"].to_numpy()[frow]
+            fy = group["y"].to_numpy()[frow]
+            rp, rf, rr, rd, dk = _topk_rows(pid, px, py, fx, fy, fid, k)
+            ok = dk < R * edge
+            if final:
+                ok = np.ones(len(px), dtype=bool)
+            res_map = dict(zip(pid.tolist(), ok.tolist()))
+            px_map = dict(zip(pid.tolist(), px.tolist()))
+            py_map = dict(zip(pid.tolist(), py.tolist()))
+            resolved = np.asarray([res_map[v] for v in rp.tolist()], dtype=np.int8)
+            # unresolved points with zero candidate rows must still
+            # re-shuffle: emit a sentinel row (rank 0) carrying coords
+            missing = [v for v, o in res_map.items() if not o and v not in set(rp.tolist())]
+            out = {
+                "point_id": rp, "feature_id": rf, "rank": rr, "d2": rd,
+                "resolved": resolved,
+                "px": np.asarray([px_map[v] for v in rp.tolist()]),
+                "py": np.asarray([py_map[v] for v in rp.tolist()]),
+            }
+            if missing:
+                m = np.asarray(missing, dtype=np.int64)
+                out = {
+                    "point_id": np.concatenate([rp, m]),
+                    "feature_id": np.concatenate([rf, np.full(len(m), -1, dtype=np.int64)]),
+                    "rank": np.concatenate([rr, np.zeros(len(m), dtype=np.int32)]),
+                    "d2": np.concatenate([rd, np.zeros(len(m))]),
+                    "resolved": np.concatenate([resolved, np.zeros(len(m), dtype=np.int8)]),
+                    "px": np.concatenate([out["px"], np.asarray([px_map[v] for v in missing])]),
+                    "py": np.concatenate([out["py"], np.asarray([py_map[v] for v in missing])]),
+                }
+            return pa.table({kk_: pa.array(vv) for kk_, vv in out.items()}, schema=out_schema)
+
+        pass_out = (
+            p_side.union(f_side)
+            .groupby("cell")
+            .map_groups(_group, batch_format="pyarrow")
+            .materialize()  # blocks stay in the object store
+        )
+        done = pass_out.filter(lambda r: r["resolved"] == 1 and r["rank"] >= 1)
+        results.append(
+            done.map_batches(
+                lambda b: b.select(["point_id", "feature_id", "rank", "d2"]).cast(KNN_SCHEMA),
+                batch_format="pyarrow",
+            )
+        )
+        todo = pass_out.filter(lambda r: r["resolved"] == 0)
+        n_todo = todo.count()
+        if n_todo == 0:
+            break
+        # next pass: only unresolved points, bigger halo
+        pts = (
+            todo.groupby("point_id")
+            .map_groups(
+                lambda g: pa.table(
+                    {
+                        id_col: pa.array([g["point_id"][0].as_py()], pa.int64()),
+                        x_col: pa.array([g["px"][0].as_py()], pa.float64()),
+                        y_col: pa.array([g["py"][0].as_py()], pa.float64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        R *= 3
+    else:
+        # stragglers after the halo passes: streaming brute force
+        results.append(_brute_knn_stream(pts, features, k, fx_col, fy_col,
+                                         id_col, x_col, y_col))
+    if not results:
+        return ray.data.from_arrow(KNN_SCHEMA.empty_table())
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return out
+
+
+def _brute_knn_stream(pts, features, k, fx_col, fy_col, id_col, x_col, y_col):
+    """Exact kNN for a SMALL broadcast point set against a STREAMING
+    feature Dataset: per-batch partial top-k, then groupby(point_id)
+    merge — the ann.brute_topk shape applied to coordinates."""
+    import ray
+
+    q = pts.to_pandas()  # stragglers are tiny by construction
+    if len(q) == 0:
+        return ray.data.from_arrow(KNN_SCHEMA.empty_table())
+    qref = ray.put(
+        (
+            q[id_col].to_numpy().astype(np.int64),
+            q[x_col].to_numpy().astype(np.float64),
+            q[y_col].to_numpy().astype(np.float64),
+        )
+    )
+
+    class _Partial:
+        def __init__(self):
+            self.pid, self.px, self.py = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fx = batch[fx_col].to_numpy().astype(np.float64)
+            fy = batch[fy_col].to_numpy().astype(np.float64)
+            fid = batch["feature_id"].to_numpy().astype(np.int64)
+            rp, rf, rr, rd, _ = _topk_rows(self.pid, self.px, self.py, fx, fy, fid, k)
+            return pa.table(
+                {
+                    "point_id": pa.array(rp, pa.int64()),
+                    "feature_id": pa.array(rf, pa.int64()),
+                    "d2": pa.array(rd, pa.float64()),
+                }
+            )
+
+    partial = features.map_batches(_Partial, batch_format="pyarrow",
+                                   batch_size=8192, concurrency=(1, 4))
+
+    def _merge(group: pa.Table) -> pa.Table:
+        pid = group["point_id"][0].as_py()
+        fid = group["feature_id"].to_numpy()
+        d2 = group["d2"].to_numpy()
+        o = np.lexsort((fid, d2))[:k]
+        return pa.table(
+            {
+                "point_id": pa.array(np.full(len(o), pid, dtype=np.int64)),
+                "feature_id": pa.array(fid[o], pa.int64()),
+                "rank": pa.array(np.arange(1, len(o) + 1, dtype=np.int32)),
+                "d2": pa.array(d2[o], pa.float64()),
+            },
+            schema=KNN_SCHEMA,
+        )
+
+    return partial.groupby("point_id").map_groups(_merge, batch_format="pyarrow")
+
+
 class BroadcastKNNJoiner:
     """Actor-pool map_batches body: points × broadcast centroid index."""
 

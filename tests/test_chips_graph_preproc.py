@@ -55,12 +55,15 @@ ROADS = pa.table(
 def test_build_graph_dedups_shared_vertex(ray_session):
     import ray
 
-    nodes, edges = graph.build_graph(ray.data.from_arrow(ROADS))
+    nodes_ds, edges = graph.build_graph(ray.data.from_arrow(ROADS))
+    nodes = nodes_ds.to_pandas().sort_values("node_id")
     # 5 vertices, (10,0) shared between the two roads -> 4 nodes
-    assert nodes.num_rows == 4
+    assert len(nodes) == 4
+    # ids are the (x, y) sort rank
+    assert nodes.sort_values(["x", "y"])["node_id"].tolist() == [0, 1, 2, 3]
     e = edges.to_pandas()
     assert len(e) == 3
-    nm = {(x, y): i for i, x, y in zip(nodes["node_id"].to_pylist(), nodes["x"].to_pylist(), nodes["y"].to_pylist())}
+    nm = {(x, y): i for i, x, y in zip(nodes["node_id"], nodes["x"], nodes["y"])}
     shared = nm[(10.0, 0.0)]
     assert ((e["u"] == shared) | (e["v"] == shared)).sum() == 3  # hub node touches all edges
     lengths = sorted(e["length"].tolist())
@@ -173,3 +176,21 @@ def test_stitch_confidence_method(ray_session):
     out = chips_stage.stitch(ray.data.from_arrow(tbl), method="confidence").to_pandas()
     back = codec.decode(out.iloc[0]["bytes"], "png")
     assert (back == 255).all()
+
+
+def test_graph_to_geojson(ray_session):
+    import json
+
+    import ray
+
+    nodes, edges = graph.build_graph(ray.data.from_arrow(ROADS))
+    nj, ej = graph.graph_to_geojson(nodes, edges)
+    nfc, efc = json.loads(nj), json.loads(ej)
+    assert nfc["type"] == "FeatureCollection" and len(nfc["features"]) == 4
+    assert len(efc["features"]) == 3
+    # every edge linestring's endpoints are node coordinates
+    node_coords = {tuple(f["geometry"]["coordinates"]) for f in nfc["features"]}
+    for f in efc["features"]:
+        a, b = f["geometry"]["coordinates"]
+        assert tuple(a) in node_coords and tuple(b) in node_coords
+        assert f["properties"]["length"] > 0

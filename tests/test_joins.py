@@ -163,3 +163,97 @@ class TestJoinOnRay:
         want = brute_force_join(plan, feats)
         got_pairs = sorted(zip(got["tile_id"], got["feature_id"]))
         assert got_pairs == [(a, b) for a, b, _ in want]
+
+
+def test_partitioned_knn_parity(ray_session):
+    """cell_partitioned_knn_join must be bit-identical to the broadcast
+    path (the clip-join parity discipline applied to kNN)."""
+    import ray
+
+    import pyarrow as pa
+
+    from solaris_ray.stages import knn
+
+    rng = np.random.default_rng(9)
+    nf, npts = 400, 1000
+    feats = pa.table(
+        {
+            "feature_id": pa.array(np.arange(nf, dtype=np.int64)),
+            "cx": pa.array(rng.uniform(0, 3200, nf)),
+            "cy": pa.array(rng.uniform(0, 3200, nf)),
+        }
+    )
+    pts_tbl = pa.table(
+        {
+            "point_id": pa.array(np.arange(npts, dtype=np.int64)),
+            "x": pa.array(rng.uniform(0, 3200, npts)),
+            "y": pa.array(rng.uniform(0, 3200, npts)),
+        }
+    )
+    a = knn.broadcast_knn_join(
+        ray.data.from_arrow(pts_tbl), feats, k=3, cell_res=16
+    ).to_pandas().sort_values(["point_id", "rank"]).reset_index(drop=True)
+    b = knn.cell_partitioned_knn_join(
+        ray.data.from_arrow(pts_tbl), ray.data.from_arrow(feats), k=3, cell_res=16
+    ).to_pandas().sort_values(["point_id", "rank"]).reset_index(drop=True)
+    assert len(a) == len(b) == npts * 3
+    assert (a["feature_id"].values == b["feature_id"].values).all()
+    assert np.allclose(a["d2"].values, b["d2"].values, rtol=0, atol=0)
+
+
+def test_partitioned_knn_sparse_features(ray_session):
+    """Fewer features than k and far-apart clusters: the multi-pass halo
+    expansion must still find everything (straggler path)."""
+    import ray
+
+    import pyarrow as pa
+
+    from solaris_ray.stages import knn
+
+    feats = pa.table(
+        {
+            "feature_id": pa.array([0, 1], pa.int64()),
+            "cx": pa.array([10.0, 3000.0]),
+            "cy": pa.array([10.0, 3000.0]),
+        }
+    )
+    pts_tbl = pa.table(
+        {
+            "point_id": pa.array([0, 1], pa.int64()),
+            "x": pa.array([1500.0, 20.0]),
+            "y": pa.array([1500.0, 20.0]),
+        }
+    )
+    out = knn.cell_partitioned_knn_join(
+        ray.data.from_arrow(pts_tbl), ray.data.from_arrow(feats), k=3, cell_res=16
+    ).to_pandas().sort_values(["point_id", "rank"])
+    # k=3 but only 2 features exist -> 2 rows per point
+    assert len(out) == 4
+    assert set(out["feature_id"]) == {0, 1}
+
+
+def test_spatial_join_auto_select_parity(ray_session):
+    """spatial_join picks broadcast for small layers and the
+    cell-partitioned path when forced small limit; outputs identical."""
+    import ray
+
+    from solaris_ray.sources import synth
+    from solaris_ray.stages import tiler
+    from solaris_ray.stages.joins import spatial_join
+
+    images, features = synth.gen_shard(np.arange(8), 8, seed=42, size=256)
+    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
+    specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
+    cols = ["tile_id", "feature_id", "origarea", "partialDec", "truncated"]
+    small = (
+        spatial_join(specs, features)  # broadcast path (fits budget)
+        .to_pandas()[cols].sort_values(["tile_id", "feature_id"]).reset_index(drop=True)
+    )
+    specs2 = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
+    forced = (
+        spatial_join(specs2, features, broadcast_limit_bytes=1)  # forced partitioned
+        .to_pandas()[cols].sort_values(["tile_id", "feature_id"]).reset_index(drop=True)
+    )
+    assert len(small) == len(forced) > 0
+    assert (small["feature_id"].values == forced["feature_id"].values).all()
+    assert np.allclose(small["partialDec"].values, forced["partialDec"].values, atol=0)
