@@ -468,73 +468,207 @@ def q_tiles_pipeline(sf_dir: str):
     return tiles.drop_columns(["bytes"])
 
 
+_JOIN_OUT_COLS = ["tile_id", "feature_id", "origarea", "origlen", "partialDec", "truncated"]
+
+
 def q_tile_feature_join(sf_dir: str):
-    """Flagship spatial join on the synthetic corpus: planned tile grid
-    x building/road features, clip semantics."""
-    import ray
-
-    from ..sources import synth
-
-    n = 24
-    images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
-    specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
-    joined = broadcast_spatial_join(specs, features)
-    return joined.drop_columns(["xs", "ys"])
-
-
-def q_masks_pipeline(sf_dir: str):
-    """Synthetic corpus end-to-end: plan -> clip join -> per-tile
-    footprint/boundary/contact/road masks (mask bytes dropped)."""
-    import ray
-
-    from ..sources import synth
-    from ..stages import masks as masks_stage
-
-    n = 16
-    images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
-    specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
-    joined = broadcast_spatial_join(specs, features)
-    mk = masks_stage.masks_from_join(joined, tile_size=128)
-    return mk.drop_columns(["footprint", "boundary", "contact", "road"])
-
-
-def q_instance_masks(sf_dir: str):
-    import ray
-
-    from ..sources import synth
-    from ..stages import masks as masks_stage
-
-    n = 8
-    images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
-    specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
-    joined = broadcast_spatial_join(specs, features)
-    return masks_stage.instance_masks(joined, tile_size=128).drop_columns(["mask"])
-
-
-def q_eval_scores(sf_dir: str):
-    """Greedy IoU matching eval on the synthetic proposals corpus."""
-    import ray
-
-    from ..sources import synth
-    from ..stages import evaluate
-
-    n = 24
-    _, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    buildings = features.filter(pc.equal(features["class"], "building"))
-    proposals = synth.gen_proposals(features, seed=42)
-    return evaluate.eval_scores(
-        ray.data.from_arrow(proposals), ray.data.from_arrow(buildings)
+    """Flagship composition, fully oracled: plan_tiles grid over
+    part-derived imagery x customer-derived rectangle features through
+    the broadcast clip join (clip_gdf semantics).  Output columns are
+    exact integer/float derivations the DuckDB twin reproduces
+    bit-for-bit."""
+    images = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        _part_images, batch_format="pyarrow", batch_size=4096
+    )
+    specs = tiler.plan_tiles_ds(images, tile_size=128, cell_res=13)
+    joined = broadcast_spatial_join(specs, _customer_rects(sf_dir))
+    return joined.map_batches(
+        lambda b: _i64(b.select(_JOIN_OUT_COLS), ["truncated"]),
+        batch_format="pyarrow",
     )
 
 
+def _part_images_px(batch: pa.Table, limit: int = 800) -> pa.Table:
+    """part rows -> unit-pixel image metadata on the 64-unit grid
+    (pixel size 1 so pixel centers are integer+0.5 — every rasterized
+    count is exact integer arithmetic a SQL oracle reproduces)."""
+    p = batch["p_partkey"].to_numpy()
+    p = p[p < limit]
+    nx = (1 + p % 3).astype(np.int64)
+    ny = (1 + p % 2).astype(np.int64)
+    cx = ((p % GRID) * TILE).astype(np.float64)
+    cy = ((p // GRID % GRID) * TILE).astype(np.float64)
+    return pa.table(
+        {
+            "image_id": pa.array(["img_" + str(int(k)) for k in p], pa.string()),
+            "w": pa.array((64 * nx).astype(np.int32)),
+            "h": pa.array((64 * ny).astype(np.int32)),
+            "gt_a": pa.array(np.ones(len(p))),
+            "gt_b": pa.array(np.zeros(len(p))),
+            "gt_c": pa.array(cx),
+            "gt_d": pa.array(np.zeros(len(p))),
+            "gt_e": pa.array(np.full(len(p), -1.0)),
+            "gt_f": pa.array(cy + 64.0 * ny),  # top edge; rows go down
+        }
+    )
+
+
+def q_masks_pipeline(sf_dir: str):
+    """plan -> clip join -> per-tile footprint/boundary/contact masks,
+    SQL-oracled: rect features on a unit-pixel grid make every mask
+    kernel's pixel count (rasterize, 3x3 erosion boundary, buffer-5
+    contact cover) exact integer arithmetic the DuckDB twin enumerates
+    pixel-by-pixel.  (Rotated-geometry mask parity stays pytest-covered
+    on the synthetic corpus.)"""
+    from ..stages import masks as masks_stage
+
+    images = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        _part_images_px, batch_format="pyarrow", batch_size=4096
+    )
+    specs = tiler.plan_tiles_ds(images, tile_size=64)
+    joined = broadcast_spatial_join(specs, _customer_rects(sf_dir))
+    mk = masks_stage.masks_from_join(
+        joined, tile_size=64, boundary_width=3, contact_spacing=10
+    )
+    return mk.map_batches(
+        lambda b: b.select(
+            ["tile_id", "n_features", "footprint_px", "boundary_px", "contact_px", "road_px"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_instance_masks(sf_dir: str):
+    """Sparse per-(tile, feature) instance masks on the unit-pixel rect
+    grid — mask_px is the exact clipped-rect pixel count, SQL-oracled."""
+    from ..stages import masks as masks_stage
+
+    images = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        _part_images_px, batch_format="pyarrow", batch_size=4096
+    )
+    specs = tiler.plan_tiles_ds(images, tile_size=64)
+    joined = broadcast_spatial_join(specs, _customer_rects(sf_dir))
+    inst = masks_stage.instance_masks(joined, tile_size=64)
+    return inst.map_batches(
+        lambda b: b.select(["tile_id", "feature_id", "mask_px"]),
+        batch_format="pyarrow",
+    )
+
+
+def _eval_grid_inputs(sf_dir: str) -> tuple[pa.Table, pa.Table]:
+    """Isolated-grid eval fixture: one GT rect per customer on a 57-unit
+    grid (neighbors can never interact), jittered proposals for
+    c%3 != 0, spurious far boxes for c%11 == 0.  Every quantity is
+    integer arithmetic, so greedy matching reduces to per-cell IoU
+    tests a SQL oracle reproduces exactly.  (The adversarial
+    overlapping-GT greedy cases stay pytest-covered with the synthetic
+    corpus — this fixture verifies the distributed matcher end to end.)
+    """
+    c = _pq(sf_dir, "customer", ["c_custkey"])["c_custkey"].to_numpy().astype(np.int64)
+    cx = ((c % 56) * 57 + 28).astype(np.float64)
+    cy = (((c // 56) % 56) * 57 + 28).astype(np.float64)
+    hw = (5 + c % 18).astype(np.float64)
+    hh = (5 + c % 11).astype(np.float64)
+
+    def rect(cx_, cy_, hw_, hh_):
+        xs = np.stack([cx_ - hw_, cx_ + hw_, cx_ + hw_, cx_ - hw_], axis=1)
+        ys = np.stack([cy_ - hh_, cy_ - hh_, cy_ + hh_, cy_ + hh_], axis=1)
+        return xs, ys
+
+    img = np.asarray(["img_" + str(int(v % 40)) for v in c], dtype=object)
+    gxs, gys = rect(cx, cy, hw, hh)
+    gt = pa.table(
+        {
+            "feature_id": pa.array(c),
+            "image_id": pa.array(img.tolist(), pa.string()),
+            "class": pa.array(["building"] * len(c), pa.string()),
+            "xs": pa.array(gxs.tolist(), pa.list_(pa.float64())),
+            "ys": pa.array(gys.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    rows = []
+    dx = (c % 7 - 3).astype(np.float64)
+    dy = (c % 5 - 2).astype(np.float64)
+    pxs, pys = rect(cx + dx, cy + dy, hw, hh)
+    for i in range(len(c)):
+        if c[i] % 3 != 0:
+            rows.append(
+                {
+                    "proposal_id": int(c[i]),
+                    "image_id": img[i],
+                    "class": "building",
+                    "xs": pxs[i].tolist(),
+                    "ys": pys[i].tolist(),
+                    "conf": float((c[i] * 13) % 20) / 20.0,
+                }
+            )
+        if c[i] % 11 == 0:
+            # spurious box in the cell corner: never touches any GT
+            fx, fy = float((c[i] % 56) * 57 + 51), float((c[i] // 56 % 56) * 57 + 51)
+            rows.append(
+                {
+                    "proposal_id": int(c[i]) + 10_000_000,
+                    "image_id": img[i],
+                    "class": "building",
+                    "xs": [fx - 2, fx + 2, fx + 2, fx - 2],
+                    "ys": [fy - 2, fy - 2, fy + 2, fy + 2],
+                    "conf": float((c[i] * 17) % 20) / 20.0,
+                }
+            )
+    props = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("proposal_id", pa.int64()),
+                ("image_id", pa.string()),
+                ("class", pa.string()),
+                ("xs", pa.list_(pa.float64())),
+                ("ys", pa.list_(pa.float64())),
+                ("conf", pa.float64()),
+            ]
+        ),
+    )
+    return props, gt
+
+
+def q_eval_scores(sf_dir: str):
+    """Greedy IoU matching eval (groupby(image_id) matcher) on the
+    isolated-grid fixture — per-image TP/FP/FN/P/R/F1, SQL-oracled."""
+    import ray
+
+    from ..stages import evaluate
+
+    props, gt = _eval_grid_inputs(sf_dir)
+    return evaluate.eval_scores(ray.data.from_arrow(props), ray.data.from_arrow(gt))
+
+
 def q_eval_rollup(sf_dir: str):
+    """Challenge roll-up: sum per-image counts per AOI bucket THEN
+    recompute P/R/F1 (challenges.py:62-87), SQL-oracled."""
     from ..stages import evaluate
 
     scores = q_eval_scores(sf_dir)
     return evaluate.rollup_scores(scores, key_fn=lambda s: f"aoi{int(s[4:]) % 4}")
+
+
+def q_map_101(sf_dir: str):
+    """101-point interpolated AP over conf-desc matches
+    (eval/vector.py:400-513) — the mAP path, SQL-oracled via window
+    functions (cumulative TP/FP + per-recall-level max precision)."""
+    import ray
+
+    from ..stages import evaluate
+
+    props, gt = _eval_grid_inputs(sf_dir)
+    matches = evaluate.eval_matches(ray.data.from_arrow(props), ray.data.from_arrow(gt))
+    n_gt = gt.num_rows
+    _, aps = evaluate.mean_average_precision(matches, {"all": n_gt})
+    return pa.table(
+        {
+            "klass": pa.array(sorted(aps), pa.string()),
+            "ap9": pa.array([round(aps[k], 9) for k in sorted(aps)], pa.float64()),
+        }
+    )
 
 
 def q_image_stats(sf_dir: str):
@@ -705,22 +839,104 @@ def q_tdigest(sf_dir: str):
 
 
 def q_polygonize(sf_dir: str):
-    """masks -> polygons roundtrip over the synthetic corpus."""
+    """mask -> polygon roundtrip, SQL-oracled: isolated rects (one per
+    64-grid cell, strictly inside) rasterize to single-component masks
+    whose traced ring has exactly the rect's pixel area and 4 corners."""
+    from ..stages import masks as masks_stage
     from ..stages import polygonize as pz
 
+    images = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        _part_images_px, batch_format="pyarrow", batch_size=4096
+    )
+    specs = tiler.plan_tiles_ds(images, tile_size=64)
+
+    c = _pq(sf_dir, "customer", ["c_custkey"])["c_custkey"].to_numpy().astype(np.int64)
+    c = c[c < 2500]  # unique (col,row) grid cell per customer
+    cx = ((c % GRID) * TILE + 32).astype(np.float64)
+    cy = ((c // GRID % GRID) * TILE + 32).astype(np.float64)
+    hw = (5 + c % 20).astype(np.float64)
+    hh = (5 + c % 13).astype(np.float64)
+    xs = np.stack([cx - hw, cx + hw, cx + hw, cx - hw], axis=1)
+    ys = np.stack([cy - hh, cy - hh, cy + hh, cy + hh], axis=1)
+    feats = pa.table(
+        {
+            "feature_id": pa.array(c),
+            "image_id": pa.array([""] * len(c), pa.string()),
+            "class": pa.array(["building"] * len(c), pa.string()),
+            "xs": pa.array(xs.tolist(), pa.list_(pa.float64())),
+            "ys": pa.array(ys.tolist(), pa.list_(pa.float64())),
+            "minx": pa.array(cx - hw),
+            "miny": pa.array(cy - hh),
+            "maxx": pa.array(cx + hw),
+            "maxy": pa.array(cy + hh),
+        }
+    )
+    joined = broadcast_spatial_join(specs, feats)
+    mk = masks_stage.masks_from_join(joined, tile_size=64)
+    polys = pz.masks_to_polygons(mk, mask_col="footprint", min_area=4.0)
+    return polys.map_batches(
+        lambda b: pa.table(
+            {
+                "tile_id": b["tile_id"],
+                "poly_id": pc.cast(b["poly_id"], pa.int64()),
+                "area_px": pc.cast(b["area_px"], pa.int64()),
+                "n_verts": pc.cast(b["n_verts"], pa.int64()),
+                "n_holes": pc.cast(b["n_holes"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_polygonize_holes(sf_dir: str):
+    """Interior-ring tracing as a gate query: per-customer annulus
+    masks (outer rect minus centered hole) -> polygonize_full -> one
+    polygon with one hole, net area = outer - hole pixels (SQL-exact)."""
     import ray
 
-    from ..sources import synth
-    from ..stages import masks as masks_stage
+    from ..raster import codec as _codec
+    from ..raster.kernels import rasterize_rings
+    from ..stages import polygonize as pz
 
-    n = 8
-    images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
-    specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
-    joined = broadcast_spatial_join(specs, features)
-    mk = masks_stage.masks_from_join(joined, tile_size=128)
-    polys = pz.masks_to_polygons(mk, mask_col="footprint", min_area=4.0)
-    return polys.drop_columns(["xs", "ys", "hxs", "hys"])
+    cds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _annulus(batch: pa.Table) -> pa.Table:
+        c = batch["c_custkey"].to_numpy().astype(np.int64)
+        c = c[c < 500]
+        rows = {"tile_id": [], "mask": []}
+        for k in c.tolist():
+            ow = 20 + k % 8
+            oh = 18 + k % 6
+            iw = 3 + k % 5
+            ih = 2 + k % 4
+            ring = np.array(
+                [[32 - ow, 32 - oh], [32 + ow, 32 - oh], [32 + ow, 32 + oh], [32 - ow, 32 + oh]],
+                dtype=np.float64,
+            )
+            m = rasterize_rings(ring, np.array([0, 4]), (64, 64))
+            m[32 - ih : 32 + ih, 32 - iw : 32 + iw] = 0
+            rows["tile_id"].append(str(k))
+            rows["mask"].append(_codec.encode(m, "png"))
+        return pa.table(
+            {
+                "tile_id": pa.array(rows["tile_id"], pa.string()),
+                "mask": pa.array(rows["mask"], pa.binary()),
+            }
+        )
+
+    masks = cds.map_batches(_annulus, batch_format="pyarrow", batch_size=2048)
+    polys = pz.masks_to_polygons(masks, mask_col="mask")
+    return polys.map_batches(
+        lambda b: pa.table(
+            {
+                "tile_id": b["tile_id"],
+                "area_px": pc.cast(b["area_px"], pa.int64()),
+                "n_holes": pc.cast(b["n_holes"], pa.int64()),
+                "n_verts": pc.cast(b["n_verts"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def q_chip_stitch(sf_dir: str):
@@ -952,18 +1168,24 @@ def q_scot(sf_dir: str):
 
 def q_partitioned_join(sf_dir: str):
     """Both-sides-large spatial join path: cell co-shuffle with
-    hot-cell salting (same rows as the broadcast path — tested)."""
+    hot-cell salting — same inputs and SQL oracle as
+    ``tile_feature_join``, so the broadcast/partitioned parity claim is
+    itself hash-checked by the gate."""
     import ray
 
-    from ..sources import synth
     from ..stages.joins import cell_partitioned_join
 
-    n = 24
-    images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
-    specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
-    joined = cell_partitioned_join(specs, ray.data.from_arrow(features), cell_res=13)
-    return joined.drop_columns(["xs", "ys"])
+    images = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        _part_images, batch_format="pyarrow", batch_size=4096
+    )
+    specs = tiler.plan_tiles_ds(images, tile_size=128, cell_res=13)
+    joined = cell_partitioned_join(
+        specs, ray.data.from_arrow(_customer_rects(sf_dir)), cell_res=13
+    )
+    return joined.map_batches(
+        lambda b: _i64(b.select(_JOIN_OUT_COLS), ["truncated"]),
+        batch_format="pyarrow",
+    )
 
 
 def q_reproject_utm(sf_dir: str):
@@ -1209,6 +1431,7 @@ QUERIES = {
     "instance_masks": q_instance_masks,
     "eval_scores": q_eval_scores,
     "eval_rollup": q_eval_rollup,
+    "map_101": q_map_101,
     "image_stats": q_image_stats,
     "image_resize": q_image_resize,
     "frame_sample": q_frame_sample,
@@ -1218,6 +1441,7 @@ QUERIES = {
     "quantiles": q_quantiles,
     "tdigest": q_tdigest,
     "polygonize": q_polygonize,
+    "polygonize_holes": q_polygonize_holes,
     "chip_stitch": q_chip_stitch,
     "graph_build": q_graph_build,
     "preproc_ops": q_preproc_ops,
@@ -1242,7 +1466,13 @@ _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 _STOP_EN = "\\b(the|and|of|to|is)\\b"
 
-ORACLES: dict[str, str] = {
+ORACLES: dict[str, str] = {}
+
+# the partitioned join is oracled against the SAME SQL as the
+# broadcast path — the parity claim, hash-checked by the driver
+_SHARED_ORACLES = [("partitioned_join", "tile_feature_join")]
+
+_ORACLES_BASE: dict[str, str] = {
     "tile_plan": f"""
 WITH img AS (
   SELECT 'img_' || CAST(p_partkey AS VARCHAR) AS image_id,
@@ -1320,6 +1550,160 @@ d AS (SELECT point_id, feature_id,
       FROM pts CROSS JOIN f)
 SELECT point_id, feature_id, CAST(rk AS BIGINT) AS "rank", d2 FROM d WHERE rk <= 3
 """,
+    "tile_feature_join": f"""
+WITH img AS (
+  SELECT 'img_' || CAST(p_partkey AS VARCHAR) AS image_id,
+         1 + p_partkey % 3 AS nx, 1 + p_partkey % 2 AS ny,
+         CAST((p_partkey % {GRID}) * 64 AS DOUBLE) AS cx,
+         CAST(((p_partkey // {GRID}) % {GRID}) * 64 AS DOUBLE) AS cy
+  FROM part),
+t AS (
+  SELECT image_id,
+         cx + 64*col AS x0, cy - 64*(row+1) AS y0,
+         cx + 64*(col+1) AS x1, cy - 64*row AS y1
+  FROM img, range(0,3) rc(col), range(0,2) rr(row)
+  WHERE col < nx AND row < ny),
+tl AS (
+  SELECT image_id || '_' || CAST(CAST(round(x0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(round(y0) AS BIGINT) AS VARCHAR) AS tile_id,
+         x0, y0, x1, y1 FROM t),
+f AS (SELECT c_custkey AS feature_id,
+             CAST((c_custkey*97) % 3200 AS DOUBLE) AS fcx,
+             CAST((c_custkey*71) % 3200 AS DOUBLE) AS fcy,
+             CAST(10 + c_custkey % 40 AS DOUBLE) AS hw,
+             CAST(10 + c_custkey % 23 AS DOUBLE) AS hh
+      FROM customer),
+j AS (SELECT tile_id, feature_id,
+             (2*hw)*(2*hh) AS origarea,
+             2*((2*hw)+(2*hh)) AS origlen,
+             least(fcx+hw, x1) - greatest(fcx-hw, x0) AS iw,
+             least(fcy+hh, y1) - greatest(fcy-hh, y0) AS ih
+      FROM tl JOIN f ON fcx-hw < x1 AND fcx+hw > x0 AND fcy-hh < y1 AND fcy+hh > y0)
+SELECT tile_id, feature_id, origarea, origlen,
+       (iw*ih)/origarea AS "partialDec",
+       CAST(CASE WHEN iw*ih < origarea THEN 1 ELSE 0 END AS BIGINT) AS truncated
+FROM j WHERE iw > 0 AND ih > 0
+""",
+    "polygonize": f"""
+WITH img AS (
+  SELECT p_partkey AS p, 1 + p_partkey % 3 AS nx, 1 + p_partkey % 2 AS ny,
+         CAST((p_partkey % {GRID}) * 64 AS DOUBLE) AS cx,
+         CAST(((p_partkey // {GRID}) % {GRID}) * 64 AS DOUBLE) AS cy
+  FROM part WHERE p_partkey < 800),
+t AS (
+  SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+         cx + 64*col AS x0, cy + 64*ny - 64*(row+1) AS y0
+  FROM img, range(0,3) rc(col), range(0,2) rr(row)
+  WHERE col < nx AND row < ny),
+tl AS (
+  SELECT image_id || '_' || CAST(CAST(round(x0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(round(y0) AS BIGINT) AS VARCHAR) AS tile_id,
+         CAST(x0/64 AS BIGINT) AS gx, CAST(y0/64 AS BIGINT) AS gy FROM t),
+f AS (SELECT c_custkey AS c, c_custkey % {GRID} AS gx, (c_custkey // {GRID}) % {GRID} AS gy,
+             (5 + c_custkey % 20) AS hw, (5 + c_custkey % 13) AS hh
+      FROM customer WHERE c_custkey < 2500)
+SELECT tile_id, CAST(0 AS BIGINT) AS poly_id,
+       CAST((2*hw)*(2*hh) AS BIGINT) AS area_px,
+       CAST(4 AS BIGINT) AS n_verts, CAST(0 AS BIGINT) AS n_holes
+FROM tl JOIN f ON f.gx = tl.gx AND f.gy = tl.gy
+""",
+    "polygonize_holes": """
+WITH c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 500)
+SELECT CAST(k AS VARCHAR) AS tile_id,
+       CAST((2*(20 + k % 8)) * (2*(18 + k % 6)) - (2*(3 + k % 5)) * (2*(2 + k % 4)) AS BIGINT) AS area_px,
+       CAST(1 AS BIGINT) AS n_holes,
+       CAST(4 AS BIGINT) AS n_verts
+FROM c
+""",
+    "instance_masks": f"""
+WITH img AS (
+  SELECT p_partkey AS p, 1 + p_partkey % 3 AS nx, 1 + p_partkey % 2 AS ny,
+         CAST((p_partkey % {GRID}) * 64 AS DOUBLE) AS cx,
+         CAST(((p_partkey // {GRID}) % {GRID}) * 64 AS DOUBLE) AS cy
+  FROM part WHERE p_partkey < 800),
+t AS (
+  SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+         cx + 64*col AS x0, cy + 64*ny - 64*(row+1) AS y0,
+         cx + 64*(col+1) AS x1, cy + 64*ny - 64*row AS y1
+  FROM img, range(0,3) rc(col), range(0,2) rr(row)
+  WHERE col < nx AND row < ny),
+tl AS (
+  SELECT image_id || '_' || CAST(CAST(round(x0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(round(y0) AS BIGINT) AS VARCHAR) AS tile_id,
+         x0, y0, x1, y1 FROM t),
+f AS (SELECT c_custkey AS feature_id,
+             CAST((c_custkey*97) % 3200 AS DOUBLE) AS fcx,
+             CAST((c_custkey*71) % 3200 AS DOUBLE) AS fcy,
+             CAST(10 + c_custkey % 40 AS DOUBLE) AS hw,
+             CAST(10 + c_custkey % 23 AS DOUBLE) AS hh
+      FROM customer)
+SELECT tile_id, feature_id,
+       CAST((least(fcx+hw, x1) - greatest(fcx-hw, x0))
+            * (least(fcy+hh, y1) - greatest(fcy-hh, y0)) AS BIGINT) AS mask_px
+FROM tl JOIN f ON fcx-hw < x1 AND fcx+hw > x0 AND fcy-hh < y1 AND fcy+hh > y0
+WHERE least(fcx+hw, x1) > greatest(fcx-hw, x0)
+  AND least(fcy+hh, y1) > greatest(fcy-hh, y0)
+""",
+    "masks_pipeline": f"""
+WITH img AS (
+  SELECT p_partkey AS p, 1 + p_partkey % 3 AS nx, 1 + p_partkey % 2 AS ny,
+         CAST((p_partkey % {GRID}) * 64 AS DOUBLE) AS cx,
+         CAST(((p_partkey // {GRID}) % {GRID}) * 64 AS DOUBLE) AS cy
+  FROM part WHERE p_partkey < 800),
+t AS (
+  SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+         cx + 64*col AS x0, cy + 64*ny - 64*(row+1) AS y0,
+         cx + 64*(col+1) AS x1, cy + 64*ny - 64*row AS y1
+  FROM img, range(0,3) rc(col), range(0,2) rr(row)
+  WHERE col < nx AND row < ny),
+tl AS (
+  SELECT image_id || '_' || CAST(CAST(round(x0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(round(y0) AS BIGINT) AS VARCHAR) AS tile_id,
+         x0, y0, x1, y1 FROM t),
+f AS (SELECT c_custkey AS feature_id,
+             CAST((c_custkey*97) % 3200 AS DOUBLE) AS fcx,
+             CAST((c_custkey*71) % 3200 AS DOUBLE) AS fcy,
+             CAST(10 + c_custkey % 40 AS DOUBLE) AS hw,
+             CAST(10 + c_custkey % 23 AS DOUBLE) AS hh
+      FROM customer),
+j AS (SELECT tile_id,
+             CAST(greatest(fcx-hw, x0) - x0 AS BIGINT) AS ca,
+             CAST(least(fcx+hw, x1) - x0 AS BIGINT) AS cb,
+             CAST(y1 - least(fcy+hh, y1) AS BIGINT) AS ra,
+             CAST(y1 - greatest(fcy-hh, y0) AS BIGINT) AS rb
+      FROM tl JOIN f ON fcx-hw < x1 AND fcx+hw > x0 AND fcy-hh < y1 AND fcy+hh > y0
+      WHERE least(fcx+hw, x1) > greatest(fcx-hw, x0)
+        AND least(fcy+hh, y1) > greatest(fcy-hh, y0)),
+px AS (SELECT i FROM range(0, 64) r(i)),
+fp AS (SELECT DISTINCT tile_id, ri.i AS i, rj.i AS jx
+       FROM j, px ri, px rj
+       WHERE ri.i >= ra AND ri.i < rb AND rj.i >= ca AND rj.i < cb),
+cover AS (SELECT tile_id, ri.i AS i, rj.i AS jx, count(*) AS cnt
+          FROM j, px ri, px rj
+          WHERE ri.i >= greatest(ra-5, 0) AND ri.i < least(rb+5, 64)
+            AND rj.i >= greatest(ca-5, 0) AND rj.i < least(cb+5, 64)
+          GROUP BY 1, 2, 3),
+offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(di, dj)),
+bpix AS (
+  SELECT DISTINCT nb.tile_id, nb.i, nb.jx
+  FROM (SELECT f1.tile_id, f1.i, f1.jx,
+               least(greatest(f1.i + di, 0), 63) AS ni,
+               least(greatest(f1.jx + dj, 0), 63) AS nj
+        FROM fp f1, offs) nb
+  LEFT JOIN fp f2 ON f2.tile_id = nb.tile_id AND f2.i = nb.ni AND f2.jx = nb.nj
+  WHERE f2.i IS NULL),
+nfeat AS (SELECT tile_id, count(*) AS n_features FROM j GROUP BY 1),
+fpc AS (SELECT tile_id, count(*) AS footprint_px FROM fp GROUP BY 1),
+bdc AS (SELECT tile_id, count(*) AS boundary_px FROM bpix GROUP BY 1),
+ctc AS (SELECT c.tile_id, count(*) AS contact_px
+        FROM cover c LEFT JOIN fp ON fp.tile_id = c.tile_id AND fp.i = c.i AND fp.jx = c.jx
+        WHERE c.cnt >= 2 AND fp.i IS NULL GROUP BY 1)
+SELECT n.tile_id, n.n_features,
+       COALESCE(fpc.footprint_px, 0) AS footprint_px,
+       COALESCE(bdc.boundary_px, 0) AS boundary_px,
+       COALESCE(ctc.contact_px, 0) AS contact_px,
+       CAST(0 AS BIGINT) AS road_px
+FROM nfeat n
+LEFT JOIN fpc ON fpc.tile_id = n.tile_id
+LEFT JOIN bdc ON bdc.tile_id = n.tile_id
+LEFT JOIN ctc ON ctc.tile_id = n.tile_id
+""",
     "cell_assign": f"""
 WITH pts AS ({_PTS})
 SELECT point_id,
@@ -1332,6 +1716,87 @@ WITH pts AS ({_PTS})
 SELECT (CAST(16 AS BIGINT) << 58) | (CAST(floor((x + 8388608)/256) AS BIGINT) << 29) | CAST(floor((y + 8388608)/256) AS BIGINT) AS cell16,
        count(*) AS n
 FROM pts GROUP BY 1
+""",
+    "eval_scores": """
+WITH g AS (SELECT c_custkey AS c,
+                  'img_' || CAST(c_custkey % 40 AS VARCHAR) AS image_id,
+                  CAST(5 + c_custkey % 18 AS DOUBLE) AS hw,
+                  CAST(5 + c_custkey % 11 AS DOUBLE) AS hh,
+                  CAST(abs(c_custkey % 7 - 3) AS DOUBLE) AS adx,
+                  CAST(abs(c_custkey % 5 - 2) AS DOUBLE) AS ady,
+                  c_custkey % 3 <> 0 AS has_prop,
+                  c_custkey % 11 = 0 AS has_fp
+           FROM customer),
+m AS (SELECT image_id, has_prop, has_fp,
+             (2*hw - adx) * (2*hh - ady) AS inter,
+             2 * (2*hw) * (2*hh) - (2*hw - adx) * (2*hh - ady) AS uni
+      FROM g),
+cnt AS (SELECT image_id,
+               count(*) FILTER (has_prop AND inter/uni > 0.5) AS tp,
+               count(*) FILTER (has_prop AND NOT (inter/uni > 0.5)) + count(*) FILTER (has_fp) AS fp,
+               count(*) FILTER (NOT has_prop) + count(*) FILTER (has_prop AND NOT (inter/uni > 0.5)) AS fn
+        FROM m GROUP BY 1)
+SELECT image_id, tp, fp, fn,
+       CASE WHEN tp+fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END AS "precision",
+       CASE WHEN tp+fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END AS recall,
+       CASE WHEN tp+fp = 0 OR tp+fn = 0 OR (CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn)) = 0 THEN 0.0
+            ELSE 2 * (CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn))
+                 / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn))) END AS f1
+FROM cnt
+""",
+    "eval_rollup": """
+WITH g AS (SELECT c_custkey AS c,
+                  'aoi' || CAST(c_custkey % 4 AS VARCHAR) AS aoi,
+                  CAST(5 + c_custkey % 18 AS DOUBLE) AS hw,
+                  CAST(5 + c_custkey % 11 AS DOUBLE) AS hh,
+                  CAST(abs(c_custkey % 7 - 3) AS DOUBLE) AS adx,
+                  CAST(abs(c_custkey % 5 - 2) AS DOUBLE) AS ady,
+                  c_custkey % 3 <> 0 AS has_prop,
+                  c_custkey % 11 = 0 AS has_fp
+           FROM customer),
+m AS (SELECT aoi, has_prop, has_fp,
+             (2*hw - adx) * (2*hh - ady) AS inter,
+             2 * (2*hw) * (2*hh) - (2*hw - adx) * (2*hh - ady) AS uni
+      FROM g),
+cnt AS (SELECT aoi,
+               count(*) FILTER (has_prop AND inter/uni > 0.5) AS tp,
+               count(*) FILTER (has_prop AND NOT (inter/uni > 0.5)) + count(*) FILTER (has_fp) AS fp,
+               count(*) FILTER (NOT has_prop) + count(*) FILTER (has_prop AND NOT (inter/uni > 0.5)) AS fn
+        FROM m GROUP BY 1)
+SELECT aoi, tp, fp, fn,
+       CASE WHEN tp+fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END AS "precision",
+       CASE WHEN tp+fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END AS recall,
+       CASE WHEN tp+fp = 0 OR tp+fn = 0 OR (CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn)) = 0 THEN 0.0
+            ELSE 2 * (CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn))
+                 / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn))) END AS f1
+FROM cnt
+""",
+    "map_101": """
+WITH g AS (SELECT c_custkey AS c,
+                  CAST(5 + c_custkey % 18 AS DOUBLE) AS hw,
+                  CAST(5 + c_custkey % 11 AS DOUBLE) AS hh,
+                  CAST(abs(c_custkey % 7 - 3) AS DOUBLE) AS adx,
+                  CAST(abs(c_custkey % 5 - 2) AS DOUBLE) AS ady
+           FROM customer),
+p AS (
+  SELECT c AS pid, CAST((c*13) % 20 AS DOUBLE)/20.0 AS conf,
+         CASE WHEN ((2*hw - adx)*(2*hh - ady))
+                   / (2*(2*hw)*(2*hh) - (2*hw - adx)*(2*hh - ady)) > 0.5
+              THEN 1 ELSE 0 END AS is_tp
+  FROM g WHERE c % 3 <> 0
+  UNION ALL
+  SELECT c + 10000000 AS pid, CAST((c*17) % 20 AS DOUBLE)/20.0 AS conf, 0 AS is_tp
+  FROM g WHERE c % 11 = 0),
+s AS (SELECT row_number() OVER w AS rn,
+             SUM(is_tp) OVER (w ROWS UNBOUNDED PRECEDING) AS cum_tp
+      FROM p WINDOW w AS (ORDER BY conf DESC, pid)),
+pr AS (SELECT CAST(cum_tp AS DOUBLE)/rn AS prec,
+              CAST(cum_tp AS DOUBLE)/(SELECT count(*) FROM customer) AS recall
+       FROM s),
+levels AS (SELECT CAST(k AS DOUBLE)/100.0 AS r FROM range(0, 101) t(k)),
+ap AS (SELECT SUM(COALESCE((SELECT max(prec) FROM pr WHERE recall >= levels.r), 0.0))/101.0 AS a
+       FROM levels)
+SELECT 'all' AS klass, round(a, 9) AS ap9 FROM ap
 """,
     "f1_rollup": """
 WITH c AS (SELECT user_id % 10 AS bucket,
@@ -1519,3 +1984,7 @@ WINDOW w AS (PARTITION BY q.vec_id
 QUALIFY row_number() OVER w <= 5
 """,
 }
+
+ORACLES.update(_ORACLES_BASE)
+for _alias, _src in _SHARED_ORACLES:
+    ORACLES[_alias] = ORACLES[_src]

@@ -289,7 +289,10 @@ def average_precision_101(is_tp: np.ndarray, n_gt: int) -> float:
     recall = cum_tp / n_gt
     precision = cum_tp / (cum_tp + cum_fp)
     ap = 0.0
-    for r in np.linspace(0, 1, 101):
+    # r = k/100 computed by correctly-rounded division (NOT linspace,
+    # whose k*0.01 products can be 1 ulp off the k/100 value a SQL
+    # oracle computes, flipping recall >= r at exact boundaries)
+    for r in (np.arange(101) / 100.0).tolist():
         mask = recall >= r
         ap += precision[mask].max() if mask.any() else 0.0
     return ap / 101.0
