@@ -454,18 +454,91 @@ def q_lsh_ann(sf_dir: str):
     return ann.lsh_topk(ds, qids, qmat, k=5)
 
 
+def _formula_gray_images(sf_dir: str, limit: int, base: int = 0, mod: int = 251,
+                         fixed_size: int | None = None):
+    """part rows -> real PNG images whose pixel values follow the
+    closed-form ``v(x, y) = base + (x*7 + y*13 + p*31) % mod`` — every
+    decoded-pixel statistic downstream is exact integer arithmetic a
+    DuckDB oracle reproduces, while the Ray side exercises the real
+    codec round-trip.  Unit-pixel georeferencing on the 64-grid."""
+    p_ds = _read(sf_dir, "part", ["p_partkey"])
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        from ..raster import codec as _codec
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < limit]
+        rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption",
+                                "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f", "nodata")}
+        for k in p.tolist():
+            if fixed_size is not None:
+                w = h = fixed_size
+            else:
+                w = 64 * (1 + k % 3)
+                h = 64 * (1 + k % 2)
+            yy, xx = np.indices((h, w))
+            v = (base + (xx * 7 + yy * 13 + k * 31) % mod).astype(np.uint8)
+            rows["image_id"].append(f"img_{k}")
+            rows["bytes"].append(_codec.encode(v, "png"))
+            rows["w"].append(w)
+            rows["h"].append(h)
+            rows["fmt"].append("png")
+            rows["caption"].append(f"formula {k}")
+            rows["gt_a"].append(1.0)
+            rows["gt_b"].append(0.0)
+            rows["gt_c"].append(float((k % GRID) * TILE))
+            rows["gt_d"].append(0.0)
+            rows["gt_e"].append(-1.0)
+            rows["gt_f"].append(float((k // GRID % GRID) * TILE + h))
+            rows["nodata"].append(0.0)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "bytes": pa.array(rows["bytes"], pa.binary()),
+                "w": pa.array(rows["w"], pa.int32()),
+                "h": pa.array(rows["h"], pa.int32()),
+                "fmt": pa.array(rows["fmt"], pa.string()),
+                "caption": pa.array(rows["caption"], pa.string()),
+                **{f"gt_{c_}": pa.array(rows[f"gt_{c_}"], pa.float64()) for c_ in "abcdef"},
+                "nodata": pa.array(rows["nodata"], pa.float64()),
+            }
+        )
+
+    return p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=512)
+
+
+def _px_sum_cols(mask_col: str = "bytes", fmt_col: str = "fmt"):
+    """map_batches body factory: decode + integer pixel sum/zero-count."""
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        from ..raster import codec as _codec
+
+        sums, zeros = [], []
+        for i in range(batch.num_rows):
+            img = _codec.decode(batch[mask_col][i].as_py(), batch[fmt_col][i].as_py())
+            sums.append(int(img.astype(np.int64).sum()))
+            zeros.append(int((img == 0).sum()))
+        return batch.append_column("px_sum", pa.array(sums, pa.int64())).append_column(
+            "n_zero", pa.array(zeros, pa.int64())
+        )
+
+    return _stats
+
+
 def q_tiles_pipeline(sf_dir: str):
-    """Flagship raster tiler on the synthetic image corpus (input_hint
-    schema) — decode + slice + encode; bytes dropped from the result."""
-    import ray
-
-    from ..sources import synth
-
-    n = 16
-    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    ds = ray.data.from_arrow(images)
-    tiles = tiler.cut_tiles(ds, tile_size=128, batch_size=4)
-    return tiles.drop_columns(["bytes"])
+    """Flagship raster tiler, SQL-oracled end to end: formula-pixel PNGs
+    (real codec round-trip) -> decode + slice + re-encode -> per-tile
+    integer pixel sum / zero count the DuckDB twin enumerates."""
+    images = _formula_gray_images(sf_dir, limit=400)
+    tiles = tiler.cut_tiles(images, tile_size=64, batch_size=8)
+    stats = tiles.map_batches(_px_sum_cols(), batch_format="pyarrow", batch_size=16)
+    return stats.map_batches(
+        lambda b: _i64(
+            b.select(["tile_id", "image_id", "col", "row", "px_sum", "n_zero"]),
+            ["col", "row"],
+        ),
+        batch_format="pyarrow",
+    )
 
 
 _JOIN_OUT_COLS = ["tile_id", "feature_id", "origarea", "origlen", "partialDec", "truncated"]
@@ -672,50 +745,75 @@ def q_map_101(sf_dir: str):
 
 
 def q_image_stats(sf_dir: str):
-    """Per-image pixel stats over the synthetic corpus (decode stage)."""
-    import ray
-
-    from ..sources import synth
+    """Per-image pixel stats (actor-pool decode stage), SQL-oracled:
+    min/max/mean are exact (integer sums / exact counts); mean and std
+    rounded to 6 dp on both sides (the only float-summation-order
+    sensitivity, bounded ~1e-12)."""
     from ..stages import multimodal
 
-    n = 16
-    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    return ray.data.from_arrow(images).map_batches(
-        multimodal.ImageStats(), batch_format="pyarrow", batch_size=4
+    images = _formula_gray_images(sf_dir, limit=200, fixed_size=128)
+    stats = images.map_batches(
+        multimodal.ImageStats(), batch_format="pyarrow", batch_size=8
+    )
+    return stats.map_batches(
+        lambda b: pa.table(
+            {
+                "image_id": b["image_id"],
+                "px_min": pc.cast(b["px_min"], pa.int64()),
+                "px_max": pc.cast(b["px_max"], pa.int64()),
+                "mean6": pc.round(b["px_mean"], ndigits=6),
+                "std6": pc.round(b["px_std"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
 def q_image_resize(sf_dir: str):
-    import ray
-
-    from ..sources import synth
+    """Nearest-neighbor resize 128 -> 32 (actor-pool decode/encode),
+    SQL-oracled via the integer source-index formula yi = i*128//32."""
     from ..stages import multimodal
 
-    n = 8
-    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    out = ray.data.from_arrow(images).map_batches(
-        multimodal.ImageResizer(64, 64), batch_format="pyarrow", batch_size=4
+    images = _formula_gray_images(sf_dir, limit=200, fixed_size=128)
+    out = images.map_batches(
+        multimodal.ImageResizer(32, 32), batch_format="pyarrow", batch_size=8
     )
-    return out.drop_columns(["bytes"])
+    stats = out.map_batches(_px_sum_cols(), batch_format="pyarrow", batch_size=16)
+    return stats.map_batches(
+        lambda b: _i64(b.select(["image_id", "w", "h", "px_sum"]), ["w", "h"]),
+        batch_format="pyarrow",
+    )
 
 
 def q_frame_sample(sf_dir: str):
-    """Video frame-sampling plumbing (decode stubbed, fan-out real)."""
-    import ray
-
+    """Video frame-sampling plumbing (decode stubbed, fan-out real) —
+    vids derived from part rows so the every-k fan-out is SQL-oracled."""
     from ..stages import multimodal
 
-    vids = pa.Table.from_pylist(
-        [
-            {"media_id": f"v{i}", "bytes": b"video" + bytes([i]), "fmt": "mp4",
-             "n_frames": 30 + i * 7, "w": 32, "h": 32}
-            for i in range(6)
-        ]
+    p_ds = _read(sf_dir, "part", ["p_partkey"])
+
+    def _vids(batch: pa.Table) -> pa.Table:
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 300]
+        return pa.table(
+            {
+                "media_id": pa.array(["v" + str(int(k)) for k in p], pa.string()),
+                "bytes": pa.array([b"video" + int(k).to_bytes(4, "little") for k in p], pa.binary()),
+                "fmt": pa.array(["mp4"] * len(p), pa.string()),
+                "n_frames": pa.array((30 + p % 77).astype(np.int32)),
+                "w": pa.array(np.full(len(p), 16, dtype=np.int32)),
+                "h": pa.array(np.full(len(p), 16, dtype=np.int32)),
+            }
+        )
+
+    vids = p_ds.map_batches(_vids, batch_format="pyarrow", batch_size=4096)
+    out = vids.map_batches(
+        multimodal.FrameSampler(every_k=10), batch_format="pyarrow", batch_size=64
     )
-    out = ray.data.from_arrow(vids).map_batches(
-        multimodal.FrameSampler(every_k=10), batch_format="pyarrow"
+    return out.map_batches(
+        lambda b: _i64(b.select(["media_id", "frame_idx", "w", "h"]), ["frame_idx", "w", "h"]),
+        batch_format="pyarrow",
     )
-    return out.drop_columns(["bytes"])
 
 
 def q_embed_extract_ann(sf_dir: str):
@@ -940,18 +1038,18 @@ def q_polygonize_holes(sf_dir: str):
 
 
 def q_chip_stitch(sf_dir: str):
-    """InferenceTiler + stitch_images roundtrip: chip fan-out ->
-    groupby(image_id) reassembly; PSNR vs source gated in pytest."""
-    import ray
-
-    from ..sources import synth
+    """InferenceTiler + stitch_images roundtrip, SQL-oracled: the
+    average-stitch of identical overlapping chips reproduces the source
+    exactly, so the stitched pixel sum equals the formula sum."""
     from ..stages import chips as chips_stage
 
-    n = 6
-    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    chipped = chips_stage.cut_chips(ray.data.from_arrow(images), chip=96, step=64)
+    images = _formula_gray_images(sf_dir, limit=150, fixed_size=96)
+    chipped = chips_stage.cut_chips(images, chip=64, step=32)
     out = chips_stage.stitch(chipped, method="average")
-    return out.drop_columns(["bytes"])
+    stats = out.map_batches(_px_sum_cols(), batch_format="pyarrow", batch_size=16)
+    return stats.map_batches(
+        lambda b: b.select(["image_id", "px_sum"]), batch_format="pyarrow"
+    )
 
 
 def q_graph_build(sf_dir: str):
@@ -1001,19 +1099,61 @@ def q_graph_build(sf_dir: str):
 
 
 def q_preproc_ops(sf_dir: str):
-    """Band select/swap + HSV roundtrip as a composed decode stage."""
-    import ray
-
-    from ..sources import synth
+    """Composed decode -> band select/swap -> encode stage, SQL-oracled
+    via per-band pixel sums of 3-band formula images.  (The HSV
+    roundtrip — float kernels with <=1-level rounding — stays
+    pytest-gated.)"""
+    from ..raster import codec as _codec
     from ..stages import preproc as pp
 
-    n = 6
-    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    p_ds = _read(sf_dir, "part", ["p_partkey"])
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 150]
+        rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+        for k in p.tolist():
+            yy, xx = np.indices((64, 64))
+            bands = [
+                ((xx * 7 + yy * 13 + k * 31 + b * 17) % 251).astype(np.uint8)
+                for b in range(3)
+            ]
+            rows["image_id"].append(f"img_{k}")
+            rows["bytes"].append(_codec.encode(np.stack(bands, axis=2), "png"))
+            rows["fmt"].append("png")
+            rows["w"].append(64)
+            rows["h"].append(64)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "bytes": pa.array(rows["bytes"], pa.binary()),
+                "fmt": pa.array(rows["fmt"], pa.string()),
+                "w": pa.array(rows["w"], pa.int32()),
+                "h": pa.array(rows["h"], pa.int32()),
+            }
+        )
+
+    images = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=4096)
     out = pp.apply_image_ops(
-        ray.data.from_arrow(images),
-        [(pp.rgb_to_hsv, {}), (pp.hsv_to_rgb, {}), (pp.select_bands, {"bands": [0, 1]})],
+        images,
+        [(pp.select_bands, {"bands": [2, 0]}), (pp.swap_channels, {"a": 0, "b": 1})],
     )
-    return out.drop_columns(["bytes"])
+
+    def _band_sums(batch: pa.Table) -> pa.Table:
+        s0, s1 = [], []
+        for i in range(batch.num_rows):
+            img = _codec.decode(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            s0.append(int(img[:, :, 0].astype(np.int64).sum()))
+            s1.append(int(img[:, :, 1].astype(np.int64).sum()))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "band0_sum": pa.array(s0, pa.int64()),
+                "band1_sum": pa.array(s1, pa.int64()),
+            }
+        )
+
+    return out.map_batches(_band_sums, batch_format="pyarrow", batch_size=16)
 
 
 def q_coco_export(sf_dir: str):
@@ -1104,18 +1244,48 @@ def q_match_join(sf_dir: str):
 
 
 def q_fill_nodata(sf_dir: str):
-    """Mean nodata fill: grouped per-image channel means broadcast into
-    the fill pass (fill_all_nodata semantics)."""
-    import ray
-
-    from ..sources import synth
+    """Mean nodata fill on padded edge tiles, SQL-oracled on the exact
+    integer invariants: pre-fill zero counts (padding), pre-fill valid
+    sums, and zero nodata pixels AFTER the fill (fill value >= 1 since
+    source pixels are 1..250).  The fill VALUE itself (np.rint
+    banker's rounding) stays pytest-covered."""
     from ..stages import fill as fill_stage
 
-    n = 8
-    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=200)  # non-128-multiple -> padded edge tiles
-    tiles = tiler.cut_tiles(ray.data.from_arrow(images), tile_size=128)
-    filled = fill_stage.fill_nodata_mean(tiles, nodata=0.0)
-    return filled.drop_columns(["bytes", "caption"])
+    # 96x96 source, 64-tiles -> edge tiles padded with nodata=0; pixels
+    # 1 + (...)%250 are never 0, so nodata == padding exactly
+    images = _formula_gray_images(sf_dir, limit=150, base=1, mod=250, fixed_size=96)
+    tiles = tiler.cut_tiles(images, tile_size=64, batch_size=8)
+    pre = tiles.map_batches(_px_sum_cols(), batch_format="pyarrow", batch_size=16)
+    pre = pre.map_batches(
+        lambda b: pa.table(
+            {
+                "tile_id": b["tile_id"],
+                "image_id": b["image_id"],
+                "col": pc.cast(b["col"], pa.int64()),
+                "row": pc.cast(b["row"], pa.int64()),
+                "bytes": b["bytes"],
+                "fmt": b["fmt"],
+                "sum_pre": b["px_sum"],
+                "n_zero_pre": b["n_zero"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    filled = fill_stage.fill_nodata_mean(pre, nodata=0.0)
+    post = filled.map_batches(_px_sum_cols(), batch_format="pyarrow", batch_size=16)
+    return post.map_batches(
+        lambda b: pa.table(
+            {
+                "tile_id": b["tile_id"],
+                "col": b["col"],
+                "row": b["row"],
+                "sum_pre": b["sum_pre"],
+                "n_zero_pre": b["n_zero_pre"],
+                "n_zero_post": b["n_zero"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def q_scot(sf_dir: str):
@@ -1582,6 +1752,96 @@ SELECT tile_id, feature_id, origarea, origlen,
        (iw*ih)/origarea AS "partialDec",
        CAST(CASE WHEN iw*ih < origarea THEN 1 ELSE 0 END AS BIGINT) AS truncated
 FROM j WHERE iw > 0 AND ih > 0
+""",
+    "tiles_pipeline": f"""
+WITH img AS (
+  SELECT p_partkey AS p, 64*(1 + p_partkey % 3) AS w, 64*(1 + p_partkey % 2) AS h,
+         CAST((p_partkey % {GRID}) * 64 AS DOUBLE) AS cx,
+         CAST(((p_partkey // {GRID}) % {GRID}) * 64 AS DOUBLE) AS cy
+  FROM part WHERE p_partkey < 400),
+t AS (
+  SELECT p, col, row, cx + 64*col AS x0, cy + h - 64*(row+1) AS y0
+  FROM img, range(0,3) rc(col), range(0,2) rr(row)
+  WHERE col < w // 64 AND row < h // 64),
+px AS (SELECT i FROM range(0, 64) r(i)),
+s AS (SELECT p, col, row, x0, y0,
+             SUM(((col*64 + rj.i)*7 + (row*64 + ri.i)*13 + p*31) % 251) AS px_sum,
+             SUM(CASE WHEN ((col*64 + rj.i)*7 + (row*64 + ri.i)*13 + p*31) % 251 = 0 THEN 1 ELSE 0 END) AS n_zero
+      FROM t, px ri, px rj
+      GROUP BY 1, 2, 3, 4, 5)
+SELECT 'img_' || CAST(p AS VARCHAR) || '_' || CAST(CAST(round(x0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(round(y0) AS BIGINT) AS VARCHAR) AS tile_id,
+       'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(col AS BIGINT) AS col, CAST(row AS BIGINT) AS row,
+       CAST(px_sum AS BIGINT) AS px_sum, CAST(n_zero AS BIGINT) AS n_zero
+FROM s
+""",
+    "image_stats": """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 200),
+px AS (SELECT i FROM range(0, 128) r(i)),
+v AS (SELECT p, ((rx.i*7 + ry.i*13 + p*31) % 251) AS val FROM img, px rx, px ry),
+s AS (SELECT p, min(val) AS mn, max(val) AS mx,
+             SUM(val) AS sm, SUM(CAST(val AS BIGINT)*val) AS ss
+      FROM v GROUP BY 1)
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(mn AS BIGINT) AS px_min, CAST(mx AS BIGINT) AS px_max,
+       round(CAST(sm AS DOUBLE)/16384.0, 6) AS mean6,
+       round(sqrt(CAST(ss AS DOUBLE)/16384.0 - (CAST(sm AS DOUBLE)/16384.0)*(CAST(sm AS DOUBLE)/16384.0)), 6) AS std6
+FROM s
+""",
+    "image_resize": """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 200),
+px AS (SELECT i FROM range(0, 32) r(i))
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(32 AS BIGINT) AS w, CAST(32 AS BIGINT) AS h,
+       CAST(SUM((4*rx.i*7 + 4*ry.i*13 + p*31) % 251) AS BIGINT) AS px_sum
+FROM img, px rx, px ry
+GROUP BY 1
+""",
+    "chip_stitch": """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 150),
+px AS (SELECT i FROM range(0, 96) r(i))
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(SUM((rx.i*7 + ry.i*13 + p*31) % 251) AS BIGINT) AS px_sum
+FROM img, px rx, px ry
+GROUP BY 1
+""",
+    "fill_nodata": """
+WITH img AS (SELECT p_partkey AS p,
+                    CAST((p_partkey % 50) * 64 AS DOUBLE) AS cx,
+                    CAST(((p_partkey // 50) % 50) * 64 AS DOUBLE) AS cy
+             FROM part WHERE p_partkey < 150),
+t AS (SELECT p, col, row, cx + 64*col AS x0, cy + 96 - 64*(row+1) AS y0,
+             least(64, 96 - 64*col) AS vw, least(64, 96 - 64*row) AS vh
+      FROM img, range(0,2) rc(col), range(0,2) rr(row)),
+px AS (SELECT i FROM range(0, 64) r(i)),
+s AS (SELECT p, col, row, x0, y0, vw, vh,
+             SUM(CASE WHEN rj.i < vw AND ri.i < vh
+                      THEN 1 + ((col*64 + rj.i)*7 + (row*64 + ri.i)*13 + p*31) % 250
+                      ELSE 0 END) AS sum_pre
+      FROM t, px ri, px rj
+      GROUP BY 1, 2, 3, 4, 5, 6, 7)
+SELECT 'img_' || CAST(p AS VARCHAR) || '_' || CAST(CAST(round(x0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(round(y0) AS BIGINT) AS VARCHAR) AS tile_id,
+       CAST(col AS BIGINT) AS col, CAST(row AS BIGINT) AS row,
+       CAST(sum_pre AS BIGINT) AS sum_pre,
+       CAST(4096 - vw*vh AS BIGINT) AS n_zero_pre,
+       CAST(0 AS BIGINT) AS n_zero_post
+FROM s
+""",
+    "frame_sample": """
+SELECT 'v' || CAST(p_partkey AS VARCHAR) AS media_id,
+       CAST(f.i AS BIGINT) AS frame_idx,
+       CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h
+FROM part, range(0, 110, 10) f(i)
+WHERE p_partkey < 300 AND f.i < 30 + p_partkey % 77
+""",
+    "preproc_ops": """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 150),
+px AS (SELECT i FROM range(0, 64) r(i))
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(SUM((rx.i*7 + ry.i*13 + p*31) % 251) AS BIGINT) AS band0_sum,
+       CAST(SUM((rx.i*7 + ry.i*13 + p*31 + 34) % 251) AS BIGINT) AS band1_sum
+FROM img, px rx, px ry
+GROUP BY 1
 """,
     "polygonize": f"""
 WITH img AS (
