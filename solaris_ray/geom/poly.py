@@ -195,16 +195,21 @@ def clip_ring_to_box(ring: np.ndarray, minx: float, miny: float, maxx: float, ma
             continue
         nxt = np.roll(np.arange(len(out)), -1)
         pieces = []
+
+        def _isect(i, j):
+            t = (bound - vals[i]) / (vals[j] - vals[i])
+            p = out[i] + t * (out[j] - out[i])
+            p[axis] = bound  # pin the constrained coordinate exactly
+            return p
+
         for i in range(len(out)):
             j = nxt[i]
             if inside[i]:
                 pieces.append(out[i])
                 if not inside[j]:
-                    t = (bound - vals[i]) / (vals[j] - vals[i])
-                    pieces.append(out[i] + t * (out[j] - out[i]))
+                    pieces.append(_isect(i, j))
             elif inside[j]:
-                t = (bound - vals[i]) / (vals[j] - vals[i])
-                pieces.append(out[i] + t * (out[j] - out[i]))
+                pieces.append(_isect(i, j))
         out = np.asarray(pieces, dtype=np.float64).reshape(-1, 2)
     return out
 
@@ -327,6 +332,10 @@ def clip_polys_to_boxes_batch(
         vj = vals_j[r2, c2]
         t = (bound[r2] - vi) / (vj - vi)
         pt = P[r2, c2] + t[:, None] * (P_j[r2, c2] - P[r2, c2])
+        # the constrained coordinate IS the boundary: pin it exactly
+        # (kills the t-interpolation ulp; axis-aligned inputs clip
+        # bit-exactly, which the SQL join oracles rely on)
+        pt[:, axis] = bound[r2]
         out[r2, start[r2, c2] + emit_cur[r2, c2]] = pt
         P, nv = out, nv_out
     return P, nv

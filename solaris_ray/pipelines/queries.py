@@ -193,13 +193,7 @@ def q_clip_join(sf_dir: str):
 
     tiles = p.map_batches(_tiles, batch_format="pyarrow", batch_size=4096)
     joined = broadcast_spatial_join(tiles, _customer_rects(sf_dir))
-    return joined.map_batches(
-        lambda b: _i64(
-            b.select(["tile_id", "feature_id", "origarea", "origlen", "partialDec", "truncated"]),
-            ["truncated"],
-        ),
-        batch_format="pyarrow",
-    )
+    return joined.map_batches(_join_out, batch_format="pyarrow")
 
 
 def q_knn_join(sf_dir: str):
@@ -219,6 +213,47 @@ def q_knn_partitioned(sf_dir: str):
     feats = ray.data.from_arrow(_customer_centroids(sf_dir))
     out = knn.cell_partitioned_knn_join(pts, feats, k=3, cell_res=16)
     return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
+
+
+def q_aoi_tile_plan(sf_dir: str):
+    """restrict_to_aoi grid restriction (raster_tile.py:169-181 +
+    split_geom AOI ∩ bounds): planned tiles intersecting a fixed AOI
+    rectangle — SQL-oracled bbox filter."""
+    images = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        _part_images, batch_format="pyarrow", batch_size=4096
+    )
+    aoi = (200.0, 150.0, 1800.0, 1500.0)
+    tiles = tiler.plan_tiles_ds(images, tile_size=128, cell_res=13, aoi=aoi)
+    return tiles.map_batches(
+        lambda b: _i64(b.select(["tile_id", "image_id", "col", "row", "x0", "y0", "x1", "y1"]), ["col", "row"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_warp_nearest(sf_dir: str):
+    """Raster warp kernel (affine resample, nearest) as a gate query:
+    2x upsample of formula images -> SQL twin samples src(j//2, i//2).
+    Bilinear + CRS warps are PSNR-gated in pytest (tests/test_warp.py)."""
+    from ..geom.affine import Affine
+    from ..raster import codec as _codec
+    from ..raster.warp import warp_affine
+
+    images = _formula_gray_images(sf_dir, limit=200, fixed_size=64)
+
+    def _warp(batch: pa.Table) -> pa.Table:
+        ids, sums = [], []
+        for i in range(batch.num_rows):
+            img = _codec.decode(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            t = Affine(*(batch[f"gt_{k}"][i].as_py() for k in "abcdef"))
+            dst = Affine(t.a / 2, t.b, t.c, t.d, t.e / 2, t.f)
+            out = warp_affine(img, t, dst, (128, 128), method="nearest")
+            ids.append(batch["image_id"][i].as_py())
+            sums.append(int(out.astype(np.int64).sum()))
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()), "px_sum": pa.array(sums, pa.int64())}
+        )
+
+    return images.map_batches(_warp, batch_format="pyarrow", batch_size=8)
 
 
 def q_cell_assign(sf_dir: str):
@@ -451,7 +486,8 @@ def q_lsh_ann(sf_dir: str):
     qids = q["vec_id"].to_numpy().astype(np.int64)
     qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ann.lsh_topk(ds, qids, qmat, k=5)
+    out = ann.lsh_topk(ds, qids, qmat, k=5)
+    return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
 
 
 def _formula_gray_images(sf_dir: str, limit: int, base: int = 0, mod: int = 251,
@@ -544,6 +580,13 @@ def q_tiles_pipeline(sf_dir: str):
 _JOIN_OUT_COLS = ["tile_id", "feature_id", "origarea", "origlen", "partialDec", "truncated"]
 
 
+def _join_out(b: pa.Table) -> pa.Table:
+    """Join gate output columns (partialDec is EXACT for axis-aligned
+    fixtures: the clipper pins constrained coordinates to the boundary,
+    so clipped areas are bit-identical to the oracle's iw*ih)."""
+    return _i64(b.select(_JOIN_OUT_COLS), ["truncated"])
+
+
 def q_tile_feature_join(sf_dir: str):
     """Flagship composition, fully oracled: plan_tiles grid over
     part-derived imagery x customer-derived rectangle features through
@@ -555,10 +598,7 @@ def q_tile_feature_join(sf_dir: str):
     )
     specs = tiler.plan_tiles_ds(images, tile_size=128, cell_res=13)
     joined = broadcast_spatial_join(specs, _customer_rects(sf_dir))
-    return joined.map_batches(
-        lambda b: _i64(b.select(_JOIN_OUT_COLS), ["truncated"]),
-        batch_format="pyarrow",
-    )
+    return joined.map_batches(_join_out, batch_format="pyarrow")
 
 
 def _part_images_px(batch: pa.Table, limit: int = 800) -> pa.Table:
@@ -1156,57 +1196,35 @@ def q_preproc_ops(sf_dir: str):
     return out.map_batches(_band_sums, batch_format="pyarrow", batch_size=16)
 
 
+def _px_feature_rects(sf_dir: str):
+    """customer rects as pixel-space features with image ids."""
+    tbl = _customer_rects(sf_dir)
+    c = tbl["feature_id"].to_numpy()
+    img = pa.array(["img_" + str(int(v % 40)) for v in c], pa.string())
+    return tbl.set_column(tbl.schema.get_field_index("image_id"), "image_id", img)
+
+
 def q_coco_export(sf_dir: str):
-    """geojson2coco analogue: annotations table (pixel-space bboxes)."""
+    """geojson2coco annotation rows (pixel-space bboxes + shoelace
+    areas) over customer rects — pure arithmetic, SQL-oracled."""
     import ray
 
-    from ..geom.wkt import parse_wkt_batch
-    from ..sources import synth
     from ..stages import export as export_stage
 
-    n = 12
-    _, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    buildings = features.filter(pc.equal(features["class"], "building"))
-    coords, offsets, kinds = parse_wkt_batch(buildings["wkt_pix"].to_pylist())
-    px_feats = pa.table(
-        {
-            "feature_id": buildings["feature_id"],
-            "image_id": buildings["image_id"],
-            "class": buildings["class"],
-            "xs": pa.ListArray.from_arrays(
-                pa.array(offsets.astype(np.int32)), pa.array(coords[:, 0])
-            ),
-            "ys": pa.ListArray.from_arrays(
-                pa.array(offsets.astype(np.int32)), pa.array(coords[:, 1])
-            ),
-        }
-    )
-    cats = {"building": 1}
-    return export_stage.coco_annotations(ray.data.from_arrow(px_feats), cats)
+    feats = _px_feature_rects(sf_dir)
+    return export_stage.coco_annotations(ray.data.from_arrow(feats), {"building": 1})
 
 
 def q_yolo_export(sf_dir: str):
+    """gdf_to_yolo rows (normalized clipped bboxes + min_overlap drop
+    rule) over customer rects — SQL-oracled with identical divisions."""
     import ray
 
-    from ..geom.wkt import parse_wkt_batch
-    from ..sources import synth
     from ..stages import export as export_stage
 
-    n = 12
-    _, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    buildings = features.filter(pc.equal(features["class"], "building"))
-    coords, offsets, _ = parse_wkt_batch(buildings["wkt_pix"].to_pylist())
-    px_feats = pa.table(
-        {
-            "feature_id": buildings["feature_id"],
-            "image_id": buildings["image_id"],
-            "class": buildings["class"],
-            "xs": pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32)), pa.array(coords[:, 0])),
-            "ys": pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32)), pa.array(coords[:, 1])),
-        }
-    )
+    feats = _px_feature_rects(sf_dir)
     return export_stage.yolo_rows(
-        ray.data.from_arrow(px_feats), img_w=256, img_h=256, categories={"building": 0}
+        ray.data.from_arrow(feats), img_w=3200, img_h=3200, categories={"building": 0}
     )
 
 
@@ -1289,39 +1307,44 @@ def q_fill_nodata(sf_dir: str):
 
 
 def q_scot(sf_dir: str):
-    """SCOT multi-temporal optimal matching over synthetic AOIs."""
+    """SCOT multi-temporal optimal matching, SQL-oracled: isolated-grid
+    GT rects per customer (aoi = c%20), 1-unit-shifted proposals
+    (always IoU > 0.25 -> all matched), with track-id swaps planted at
+    t1 between c and c+20 when c%7 == 0 — each planted swap yields
+    exactly 2 tracking mismatches the oracle counts in closed form.
+    (Contested/overlapping Hungarian cases stay pytest-covered.)"""
     import ray
 
-    from ..sources import synth
     from ..stages import evaluate
 
-    n = 8
-    _, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    b = features.filter(pc.equal(features["class"], "building"))
-    xs = b["xs"].to_pylist()
-    ys = b["ys"].to_pylist()
-    fid = b["feature_id"].to_numpy()
-    aoi = b["image_id"].to_pylist()
+    c = _pq(sf_dir, "customer", ["c_custkey"])["c_custkey"].to_numpy().astype(np.int64)
+    c = c[c < 3000]
+    cmax = int(c.max()) if len(c) else 0
+    cset = set(c.tolist())
+    cx = ((c % 56) * 57 + 28).astype(np.float64)
+    cy = (((c // 56) % 56) * 57 + 28).astype(np.float64)
+    hw = (5 + c % 18).astype(np.float64)
+    hh = (5 + c % 11).astype(np.float64)
     gt_rows, prop_rows = [], []
-    for ts_i, ts in enumerate(("t0", "t1")):
-        for j in range(len(fid)):
-            gt_rows.append(
-                {"aoi": aoi[j], "timestep": ts, "gt_id": int(fid[j]), "xs": xs[j], "ys": ys[j]}
-            )
-            # proposals jittered; at t1 every 7th feature's track id is
-            # swapped with its neighbor (planted identity swaps)
-            track = int(fid[j])
-            if ts_i == 1 and j % 7 == 0 and j + 1 < len(fid) and aoi[j] == aoi[j + 1]:
-                track = int(fid[j + 1])
-            dx = 0.5 + (j % 3) * 0.3
+    for i in range(len(c)):
+        k = int(c[i])
+        aoi = f"a{k % 20}"
+        xs = [cx[i] - hw[i], cx[i] + hw[i], cx[i] + hw[i], cx[i] - hw[i]]
+        ys = [cy[i] - hh[i], cy[i] - hh[i], cy[i] + hh[i], cy[i] + hh[i]]
+        pxs = [v + 1.0 for v in xs]
+        pys = [v + 1.0 for v in ys]
+        for ts in ("t0", "t1"):
+            gt_rows.append({"aoi": aoi, "timestep": ts, "gt_id": k, "xs": xs, "ys": ys})
+            track = k
+            if ts == "t1":
+                # planted swap pair (k, k+20) — same aoi; 20 % 7 != 0
+                # guarantees the partner is never itself a swap origin
+                if k % 7 == 0 and (k + 20) in cset:
+                    track = k + 20
+                elif k % 7 == 6 and k >= 20 and (k - 20) % 7 == 0 and (k - 20) in cset:
+                    track = k - 20
             prop_rows.append(
-                {
-                    "aoi": aoi[j],
-                    "timestep": ts,
-                    "track_id": track,
-                    "xs": [v + dx for v in xs[j]],
-                    "ys": [v + dx for v in ys[j]],
-                }
+                {"aoi": aoi, "timestep": ts, "track_id": track, "xs": pxs, "ys": pys}
             )
     gt_schema = pa.schema(
         [("aoi", pa.string()), ("timestep", pa.string()), ("gt_id", pa.int64()),
@@ -1352,10 +1375,7 @@ def q_partitioned_join(sf_dir: str):
     joined = cell_partitioned_join(
         specs, ray.data.from_arrow(_customer_rects(sf_dir)), cell_res=13
     )
-    return joined.map_batches(
-        lambda b: _i64(b.select(_JOIN_OUT_COLS), ["truncated"]),
-        batch_format="pyarrow",
-    )
+    return joined.map_batches(_join_out, batch_format="pyarrow")
 
 
 def q_reproject_utm(sf_dir: str):
@@ -1373,12 +1393,15 @@ def q_reproject_utm(sf_dir: str):
         easting, northing, zone = crs.latlon_to_utm(lon, lat, zone=16)
         lon2, lat2 = crs.utm_to_latlon(easting, northing, 16)
         err = np.maximum(np.abs(lon2 - lon), np.abs(lat2 - lat))
+        if err.max() > 1e-7:  # ~1 cm roundtrip gate (pytest covers precision)
+            raise AssertionError(f"UTM roundtrip drifted: {err.max()}")
+        # cm rounding: numpy pow/trig and DuckDB's libm calls agree to
+        # ~1e-9 m; 2 decimals keeps the comparison boundary-safe
         return pa.table(
             {
                 "point_id": pa.array(e.astype(np.int64)),
-                "easting": pa.array(np.round(easting, 6)),
-                "northing": pa.array(np.round(northing, 6)),
-                "roundtrip_err_deg": pa.array(err),
+                "easting_cm": pa.array(np.round(easting, 2)),
+                "northing_cm": pa.array(np.round(northing, 2)),
             }
         )
 
@@ -1500,49 +1523,70 @@ def q_distinct_types(sf_dir: str):
 
 
 def q_zonal_stats(sf_dir: str):
-    """Zonal statistics: per-feature pixel band means across tiles."""
-    import ray
-
-    from ..sources import synth
+    """Zonal statistics (raster x vector partial+final aggregate):
+    per-feature pixel count + band mean of formula tiles under customer
+    rects — exact integer sums, SQL-oracled by pixel enumeration."""
     from ..stages import zonal
 
-    n = 8
-    images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    tiles = tiler.cut_tiles(ray.data.from_arrow(images), tile_size=128)
-    return zonal.zonal_stats(tiles, features)
+    images = _formula_gray_images(sf_dir, limit=400)
+    tiles = tiler.cut_tiles(images, tile_size=64, batch_size=8)
+    out = zonal.zonal_stats(tiles, _customer_rects(sf_dir))
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "feature_id": b["feature_id"],
+                "n_px": b["n_px"],
+                "mean_b0": b["mean_b0"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _in_cell_rects(sf_dir: str, shift_x: float = 0.0) -> pa.Table:
+    """One rect per customer, strictly inside its 64-grid cell (same
+    layout as q_polygonize); optional x shift for the 'prediction'."""
+    c = _pq(sf_dir, "customer", ["c_custkey"])["c_custkey"].to_numpy().astype(np.int64)
+    c = c[c < 2500]
+    cx = ((c % GRID) * TILE + 32 + shift_x).astype(np.float64)
+    cy = ((c // GRID % GRID) * TILE + 32).astype(np.float64)
+    hw = (5 + c % 20).astype(np.float64)
+    hh = (5 + c % 13).astype(np.float64)
+    xs = np.stack([cx - hw, cx + hw, cx + hw, cx - hw], axis=1)
+    ys = np.stack([cy - hh, cy - hh, cy + hh, cy + hh], axis=1)
+    return pa.table(
+        {
+            "feature_id": pa.array(c),
+            "image_id": pa.array([""] * len(c), pa.string()),
+            "class": pa.array(["building"] * len(c), pa.string()),
+            "xs": pa.array(xs.tolist(), pa.list_(pa.float64())),
+            "ys": pa.array(ys.tolist(), pa.list_(pa.float64())),
+            "minx": pa.array(cx - hw),
+            "miny": pa.array(cy - hh),
+            "maxx": pa.array(cx + hw),
+            "maxy": pa.array(cy + hh),
+        }
+    )
 
 
 def q_pixel_eval(sf_dir: str):
-    """Pixel IoU/F1 + relaxed (rho-neighborhood) variants over mask
-    pairs derived from the corpus (pred = footprint of a jittered
-    proposal set rendered through the same mask stage)."""
-    import ray
-
-    from ..sources import synth
+    """Pixel IoU/F1 + relaxed (rho=3) metrics, SQL-oracled: truth =
+    in-cell rects, pred = the same rects shifted +4 px, so every
+    confusion count and square-dilation overlap is closed-form rect
+    arithmetic (multiplicity = tiles covering each cell, same join as
+    the masks oracle)."""
     from ..stages import evaluate, masks as masks_stage
 
-    n = 8
-    images, features = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
-    specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
+    images = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        _part_images_px, batch_format="pyarrow", batch_size=4096
+    )
+    specs = tiler.plan_tiles_ds(images, tile_size=64)
     truth = masks_stage.masks_from_join(
-        broadcast_spatial_join(specs, features)
+        broadcast_spatial_join(specs, _in_cell_rects(sf_dir)), tile_size=64
     ).select_columns(["tile_id", "footprint"])
-
-    # jitter the feature layer 2 units and re-render -> the "prediction"
-    shifted = features.set_column(
-        features.schema.get_field_index("xs"), "xs",
-        pa.array([[v + 2.0 for v in row] for row in features["xs"].to_pylist()], pa.list_(pa.float64())),
-    )
-    shifted = shifted.set_column(
-        shifted.schema.get_field_index("minx"), "minx", pc.add(shifted["minx"], 2.0)
-    )
-    shifted = shifted.set_column(
-        shifted.schema.get_field_index("maxx"), "maxx", pc.add(shifted["maxx"], 2.0)
-    )
-    specs2 = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
+    specs2 = tiler.plan_tiles_ds(images, tile_size=64)
     pred = masks_stage.masks_from_join(
-        broadcast_spatial_join(specs2, shifted)
+        broadcast_spatial_join(specs2, _in_cell_rects(sf_dir, shift_x=4.0)), tile_size=64
     ).select_columns(["tile_id", "footprint"])
 
     # grouped pairing (no driver materialization of mask bytes): each
@@ -1578,6 +1622,8 @@ QUERIES = {
     "knn_join": q_knn_join,
     "knn_partitioned": q_knn_partitioned,
     "cell_assign": q_cell_assign,
+    "aoi_tile_plan": q_aoi_tile_plan,
+    "warp_nearest": q_warp_nearest,
     "cell_hist": q_cell_hist,
     "f1_rollup": q_f1_rollup,
     "events_window": q_events_window,
@@ -1752,6 +1798,99 @@ SELECT tile_id, feature_id, origarea, origlen,
        (iw*ih)/origarea AS "partialDec",
        CAST(CASE WHEN iw*ih < origarea THEN 1 ELSE 0 END AS BIGINT) AS truncated
 FROM j WHERE iw > 0 AND ih > 0
+""",
+    "coco_export": """
+SELECT c_custkey AS annotation_id,
+       'img_' || CAST(c_custkey % 40 AS VARCHAR) AS image_id,
+       CAST(1 AS BIGINT) AS category_id,
+       CAST((c_custkey*97) % 3200 AS DOUBLE) - (10 + c_custkey % 40) AS bbox_x,
+       CAST((c_custkey*71) % 3200 AS DOUBLE) - (10 + c_custkey % 23) AS bbox_y,
+       CAST(2*(10 + c_custkey % 40) AS DOUBLE) AS bbox_w,
+       CAST(2*(10 + c_custkey % 23) AS DOUBLE) AS bbox_h,
+       CAST(2*(10 + c_custkey % 40) AS DOUBLE) * (2*(10 + c_custkey % 23)) AS area
+FROM customer
+""",
+    "yolo_export": """
+WITH f AS (SELECT c_custkey AS c,
+                  CAST((c_custkey*97) % 3200 AS DOUBLE) AS fcx,
+                  CAST((c_custkey*71) % 3200 AS DOUBLE) AS fcy,
+                  CAST(10 + c_custkey % 40 AS DOUBLE) AS hw,
+                  CAST(10 + c_custkey % 23 AS DOUBLE) AS hh
+           FROM customer),
+cl AS (SELECT c, greatest(fcx-hw, 0) AS cx0, least(fcx+hw, 3200) AS cx1,
+              greatest(fcy-hh, 0) AS cy0, least(fcy+hh, 3200) AS cy1,
+              (2*hw)*(2*hh) AS farea
+       FROM f)
+SELECT 'img_' || CAST(c % 40 AS VARCHAR) AS image_id,
+       CAST(0 AS BIGINT) AS class_id,
+       (cx0+cx1)/2/3200 AS cx, (cy0+cy1)/2/3200 AS cy,
+       (cx1-cx0)/3200 AS w, (cy1-cy0)/3200 AS h
+FROM cl
+WHERE (cx1-cx0)*(cy1-cy0)/farea >= 0.66
+""",
+    "zonal_stats": f"""
+WITH img AS (
+  SELECT p_partkey AS p, 64*(1 + p_partkey % 3) AS w, 64*(1 + p_partkey % 2) AS h,
+         CAST((p_partkey % {GRID}) * 64 AS DOUBLE) AS cx,
+         CAST(((p_partkey // {GRID}) % {GRID}) * 64 AS DOUBLE) AS cy
+  FROM part WHERE p_partkey < 400),
+t AS (
+  SELECT p, col, row, cx + 64*col AS x0, cy + h - 64*(row+1) AS y0
+  FROM img, range(0,3) rc(col), range(0,2) rr(row)
+  WHERE col < w // 64 AND row < h // 64),
+f AS (SELECT c_custkey AS feature_id,
+             CAST((c_custkey*97) % 3200 AS DOUBLE) AS fcx,
+             CAST((c_custkey*71) % 3200 AS DOUBLE) AS fcy,
+             CAST(10 + c_custkey % 40 AS DOUBLE) AS hw,
+             CAST(10 + c_custkey % 23 AS DOUBLE) AS hh
+      FROM customer),
+j AS (SELECT p, col, row, feature_id,
+             CAST(greatest(fcx-hw, x0) - x0 AS BIGINT) AS ca,
+             CAST(least(fcx+hw, x0+64) - x0 AS BIGINT) AS cb,
+             CAST((y0+64) - least(fcy+hh, y0+64) AS BIGINT) AS ra,
+             CAST((y0+64) - greatest(fcy-hh, y0) AS BIGINT) AS rb
+      FROM t JOIN f ON fcx-hw < x0+64 AND fcx+hw > x0 AND fcy-hh < y0+64 AND fcy+hh > y0
+      WHERE least(fcx+hw, x0+64) > greatest(fcx-hw, x0)
+        AND least(fcy+hh, y0+64) > greatest(fcy-hh, y0)),
+px AS (SELECT i FROM range(0, 64) r(i)),
+s AS (SELECT feature_id,
+             SUM(((col*64 + rj.i)*7 + (row*64 + ri.i)*13 + p*31) % 251) AS sm,
+             count(*) AS n
+      FROM j, px ri, px rj
+      WHERE ri.i >= ra AND ri.i < rb AND rj.i >= ca AND rj.i < cb
+      GROUP BY 1)
+SELECT feature_id, CAST(n AS BIGINT) AS n_px, CAST(sm AS DOUBLE)/n AS mean_b0
+FROM s
+""",
+    "pixel_eval": f"""
+WITH img AS (
+  SELECT p_partkey AS p, 1 + p_partkey % 3 AS nx, 1 + p_partkey % 2 AS ny,
+         (p_partkey % {GRID}) AS gx0, ((p_partkey // {GRID}) % {GRID}) AS gy0
+  FROM part WHERE p_partkey < 800),
+tl AS (
+  SELECT gx0 + col AS gx, gy0 + ny - 1 - row AS gy
+  FROM img, range(0,3) rc(col), range(0,2) rr(row)
+  WHERE col < nx AND row < ny),
+f AS (SELECT c_custkey % {GRID} AS gx, (c_custkey // {GRID}) % {GRID} AS gy,
+             CAST(2*(5 + c_custkey % 20) AS BIGINT) AS tw,
+             CAST(2*(5 + c_custkey % 13) AS BIGINT) AS th
+      FROM customer WHERE c_custkey < 2500),
+pairs AS (SELECT tw, th FROM tl JOIN f ON f.gx = tl.gx AND f.gy = tl.gy),
+s AS (SELECT SUM((tw-4)*th) AS tp, SUM(4*th) AS fp, SUM(4*th) AS fn,
+             SUM((tw-1)*th) AS tp_p, SUM(tw*th) AS n_p,
+             SUM((tw-1)*th) AS tp_r, SUM(tw*th) AS n_r
+      FROM pairs),
+d AS (SELECT CAST(tp AS DOUBLE)/(tp+fp) AS p_, CAST(tp AS DOUBLE)/(tp+fn) AS r_,
+             CAST(tp AS DOUBLE)/(tp+fp+fn) AS iou_,
+             CAST(tp_p AS DOUBLE)/n_p AS rp, CAST(tp_r AS DOUBLE)/n_r AS rr
+      FROM s)
+SELECT 'precision' AS metric, p_ AS value FROM d
+UNION ALL SELECT 'recall', r_ FROM d
+UNION ALL SELECT 'f1', 2*p_*r_/(p_+r_) FROM d
+UNION ALL SELECT 'iou', iou_ FROM d
+UNION ALL SELECT 'relaxed_precision', rp FROM d
+UNION ALL SELECT 'relaxed_recall', rr FROM d
+UNION ALL SELECT 'relaxed_f1', 2*rp*rr/(rp+rr) FROM d
 """,
     "tiles_pipeline": f"""
 WITH img AS (
@@ -1964,6 +2103,32 @@ LEFT JOIN fpc ON fpc.tile_id = n.tile_id
 LEFT JOIN bdc ON bdc.tile_id = n.tile_id
 LEFT JOIN ctc ON ctc.tile_id = n.tile_id
 """,
+    "aoi_tile_plan": f"""
+WITH img AS (
+  SELECT 'img_' || CAST(p_partkey AS VARCHAR) AS image_id,
+         1 + p_partkey % 3 AS nx, 1 + p_partkey % 2 AS ny,
+         CAST((p_partkey % {GRID}) * 64 AS DOUBLE) AS cx,
+         CAST(((p_partkey // {GRID}) % {GRID}) * 64 AS DOUBLE) AS cy
+  FROM part),
+t AS (
+  SELECT image_id, col, row,
+         cx + 64*col AS x0, cy - 64*(row+1) AS y0,
+         cx + 64*(col+1) AS x1, cy - 64*row AS y1
+  FROM img, range(0,3) rc(col), range(0,2) rr(row)
+  WHERE col < nx AND row < ny)
+SELECT image_id || '_' || CAST(CAST(round(x0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(round(y0) AS BIGINT) AS VARCHAR) AS tile_id,
+       image_id, col, row, x0, y0, x1, y1
+FROM t
+WHERE x0 < 1800.0 AND x1 > 200.0 AND y0 < 1500.0 AND y1 > 150.0
+""",
+    "warp_nearest": """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 200),
+px AS (SELECT i FROM range(0, 64) r(i))
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(4 * SUM((rx.i*7 + ry.i*13 + p*31) % 251) AS BIGINT) AS px_sum
+FROM img, px rx, px ry
+GROUP BY 1
+""",
     "cell_assign": f"""
 WITH pts AS ({_PTS})
 SELECT point_id,
@@ -2057,6 +2222,20 @@ levels AS (SELECT CAST(k AS DOUBLE)/100.0 AS r FROM range(0, 101) t(k)),
 ap AS (SELECT SUM(COALESCE((SELECT max(prec) FROM pr WHERE recall >= levels.r), 0.0))/101.0 AS a
        FROM levels)
 SELECT 'all' AS klass, round(a, 9) AS ap9 FROM ap
+""",
+    "scot": """
+WITH c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 3000),
+base AS (SELECT k, 'a' || CAST(k % 20 AS VARCHAR) AS aoi FROM c),
+n AS (SELECT aoi, count(*) AS n_gt FROM base GROUP BY 1),
+sw AS (SELECT 'a' || CAST(k % 20 AS VARCHAR) AS aoi, count(*) AS n_swaps
+       FROM c WHERE k % 7 = 0 AND EXISTS (SELECT 1 FROM c c2 WHERE c2.k = c.k + 20)
+       GROUP BY 1)
+SELECT n.aoi,
+       CAST(2*n_gt AS BIGINT) AS tp, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn,
+       CAST(COALESCE(2*n_swaps, 0) AS BIGINT) AS mismatches,
+       1.0 AS "precision", 1.0 AS recall, 1.0 AS f1,
+       greatest(0.0, 1.0 - CAST(2*COALESCE(2*n_swaps, 0) AS DOUBLE)/(2*n_gt)) AS tracking_score
+FROM n LEFT JOIN sw ON sw.aoi = n.aoi
 """,
     "f1_rollup": """
 WITH c AS (SELECT user_id % 10 AS bucket,
@@ -2207,6 +2386,96 @@ FROM s, (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) qs(q)
 WHERE rk = CAST(floor(q*(n-1)) AS BIGINT)
 """,
     "dedup_exact": "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
+    "simhash": """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+hx AS (SELECT doc_id, md5(tok) AS h FROM toks),
+hv AS (SELECT doc_id,
+              (SELECT SUM(CAST((strpos('0123456789abcdef', substr(h, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16
+                              + (strpos('0123456789abcdef', substr(h, CAST(2*j+2 AS INTEGER), 1)) - 1) AS HUGEINT)
+                          * CAST(pow(256, j) AS HUGEINT))
+               FROM range(0, 8) r(j)) AS v
+       FROM hx),
+bits AS (SELECT doc_id, b.i AS b,
+                CASE WHEN (v // CAST(pow(2, b.i) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END AS s
+         FROM hv, range(0, 64) b(i)),
+score AS (SELECT doc_id, b, SUM(s) AS sc FROM bits GROUP BY 1, 2),
+sim AS (SELECT doc_id,
+               SUM(CASE WHEN sc > 0 THEN CAST(pow(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS u
+        FROM score GROUP BY 1)
+SELECT doc_id,
+       CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END AS BIGINT) AS simhash,
+       CAST((u // CAST(1 AS HUGEINT)) % 65536 AS BIGINT) AS band0,
+       CAST((u // CAST(65536 AS HUGEINT)) % 65536 AS BIGINT) AS band1,
+       CAST((u // CAST(4294967296 AS HUGEINT)) % 65536 AS BIGINT) AS band2,
+       CAST((u // CAST(281474976710656 AS HUGEINT)) % 65536 AS BIGINT) AS band3
+FROM sim
+""",
+    "winnow": """
+WITH m AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS M,
+                  CAST(1000003 AS HUGEINT) AS B,
+                  CAST(1000006000009 AS HUGEINT) AS B2,
+                  CAST(1000009000027000027 AS HUGEINT) AS B3,
+                  CAST(1000009000027000027 AS HUGEINT) * 1000003 % CAST(18446744073709551616 AS HUGEINT) AS B4),
+d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+pos AS (SELECT doc_id, i, CAST(unicode(substr(text, CAST(i + 1 AS INTEGER), 1)) AS HUGEINT) AS cp
+        FROM d, range(0, 1000) r(i) WHERE i < n),
+h AS (SELECT p0.doc_id, p0.i,
+             (p0.cp*B4 + p1.cp*B3 + p2.cp*B2 + p3.cp*B + p4.cp) % M AS hv
+      FROM pos p0
+      JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1
+      JOIN pos p2 ON p2.doc_id = p0.doc_id AND p2.i = p0.i + 2
+      JOIN pos p3 ON p3.doc_id = p0.doc_id AND p3.i = p0.i + 3
+      JOIN pos p4 ON p4.doc_id = p0.doc_id AND p4.i = p0.i + 4
+      CROSS JOIN m),
+ng AS (SELECT doc_id, count(*) AS n_grams FROM h GROUP BY 1),
+w AS (SELECT doc_id, i,
+             min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM h),
+fps AS (SELECT DISTINCT doc_id, wmin FROM w
+        WHERE n_grams < 4 AND i = 0 OR n_grams >= 4 AND i <= n_grams - 4),
+agg AS (SELECT doc_id, count(*) AS n_fps, min(wmin) AS mn FROM fps GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(ng.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(agg.n_fps, 0) AS BIGINT) AS n_fps,
+       CAST(CASE WHEN agg.mn IS NULL THEN 0
+                 WHEN agg.mn >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN agg.mn - CAST(18446744073709551616 AS HUGEINT)
+                 ELSE agg.mn END AS BIGINT) AS min_fp
+FROM d
+LEFT JOIN ng ON ng.doc_id = d.doc_id
+LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
+    "reproject_utm": """
+WITH k AS (SELECT 6378137.0 AS A, 1.0/298.257223563 AS f, 0.9996 AS k0),
+k2 AS (SELECT A, k0, f*(2-f) AS e2, f*(2-f)/(1-f*(2-f)) AS ep2 FROM k),
+pts AS (SELECT event_id,
+               radians(-86.99 + (event_id % 1000) * 0.001) - radians(16*6.0 - 183.0) AS lam,
+               radians(30.0 + (event_id % 1500) * 0.01) AS phi
+        FROM events),
+tm AS (SELECT event_id, A, k0, e2, ep2, lam, phi,
+              sin(phi) AS sp, cos(phi) AS cp, tan(phi) AS tp
+       FROM pts, k2),
+tm2 AS (SELECT *,
+               A / sqrt(1 - e2*sp*sp) AS n,
+               tp*tp AS t, ep2*cp*cp AS c, cp*lam AS a_,
+               A * ((1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256) * phi
+                    - (3*e2/8 + 3*e2*e2/32 + 45*e2*e2*e2/1024) * sin(2*phi)
+                    + (15*e2*e2/256 + 45*e2*e2*e2/1024) * sin(4*phi)
+                    - (35*e2*e2*e2/3072) * sin(6*phi)) AS m
+        FROM tm)
+SELECT event_id AS point_id,
+       round(500000.0 + k0 * n * (a_ + (1 - t + c) * pow(a_, 3) / 6
+             + (5 - 18*t + t*t + 72*c - 58*ep2) * pow(a_, 5) / 120), 2) AS easting_cm,
+       round(k0 * (m + n * tp * (a_*a_/2
+             + (5 - t + 9*c + 4*c*c) * pow(a_, 4) / 24
+             + (61 - 58*t + t*t + 600*c - 330*ep2) * pow(a_, 6) / 720)), 2) AS northing_cm
+FROM tm2
+""",
     "jaccard_adjacent": f"""
 WITH l AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
@@ -2244,6 +2513,111 @@ WINDOW w AS (PARTITION BY q.vec_id
 QUALIFY row_number() OVER w <= 5
 """,
 }
+
+def _minhash_oracle_sql(n_perm: int = 64, bands: int = 16, seed: int = 42,
+                        est_threshold: float = 0.5) -> str:
+    """DuckDB twin of dedup.MinHasher + minhash_candidate_pairs.
+
+    The permutation constants come from the SAME seeded generator the
+    engine uses and are inlined as literals; uint64-wraparound products
+    are emulated with the split-multiply trick (lo/hi 32-bit halves)
+    in HUGEINT arithmetic.  Shingle hash = md5 low 8 bytes LE.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
+    r = n_perm // bands
+    F = np.uint64(1099511628211)
+    weights = F ** np.arange(r, dtype=np.uint64)  # wraps mod 2^64 like the engine
+    M = (1 << 61) - 1
+    M64 = 1 << 64
+    P32 = 1 << 32
+    perm_rows = ",".join(
+        f"({j}, {int(a[j]) % P32}, {int(a[j]) // P32}, {int(b[j])})" for j in range(n_perm)
+    )
+    w_rows = ",".join(
+        f"({i}, {int(weights[i]) % P32}, {int(weights[i]) // P32})" for i in range(r)
+    )
+    return f"""
+WITH sh0 AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+  FROM sh0, range(1, 2000) r(i) WHERE i + 2 <= len(toks)),
+hx AS (SELECT doc_id, md5(s) AS h FROM sh),
+hv AS (SELECT doc_id,
+              (SELECT SUM(CAST((strpos('0123456789abcdef', substr(h, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16
+                              + (strpos('0123456789abcdef', substr(h, CAST(2*j+2 AS INTEGER), 1)) - 1) AS HUGEINT)
+                          * CAST(pow(256, j) AS HUGEINT))
+               FROM range(0, 8) r(j)) AS hval
+       FROM hx),
+perm AS (SELECT * FROM (VALUES {perm_rows}) p(j, alo, ahi, bb)),
+ph AS (SELECT doc_id, j,
+              min((((hval * alo) % {M64} + ((hval * ahi) % {P32}) * {P32}) % {M64} + bb) % {M64} % {M}) AS sig
+       FROM hv, perm GROUP BY 1, 2),
+sig AS (SELECT d.doc_id, p.j, COALESCE(ph.sig, {M}) AS sig
+        FROM documents d CROSS JOIN perm p
+        LEFT JOIN ph ON ph.doc_id = d.doc_id AND ph.j = p.j),
+w AS (SELECT * FROM (VALUES {w_rows}) w(r, wlo, whi)),
+bk AS (SELECT doc_id, j // {r} AS band,
+              SUM(((sig * wlo) % {M64} + ((sig * whi) % {P32}) * {P32}) % {M64} % {M}) % {M} AS key
+       FROM sig JOIN w ON w.r = sig.j % {r}
+       GROUP BY 1, 2),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bk x JOIN bk y ON y.band = x.band AND y.key = x.key AND y.doc_id > x.doc_id),
+est AS (SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / {n_perm} AS e
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+        GROUP BY 1, 2)
+SELECT doc_a, doc_b, e AS "max(est_jaccard)" FROM est WHERE e >= {est_threshold}
+"""
+
+
+_ORACLES_BASE["minhash_pairs"] = _minhash_oracle_sql()
+
+
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = 12, seed: int = 42, k: int = 5) -> str:
+    """DuckDB twin of ann.lsh_topk: the seeded hyperplane matrix is
+    inlined as literals; buckets = sign-pattern codes, probes = query
+    codes plus all 1- and 2-bit flips, final ranking identical to the
+    brute oracle over the probed subset."""
+    from ..stages.ann import hyperplanes
+
+    P = hyperplanes(dim, n_planes, seed)
+    plane_rows = ",".join(
+        f"({j}, {d}, {P[j, d]!r})" for j in range(n_planes) for d in range(dim)
+    )
+    return f"""
+WITH planes AS (SELECT * FROM (VALUES {plane_rows}) p(j, d, w)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dots AS (SELECT vec_id, j, SUM(emb[d + 1] * w) AS dp
+         FROM e, planes GROUP BY 1, 2),
+code AS (SELECT vec_id, CAST(SUM(CASE WHEN dp > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         FROM dots GROUP BY 1),
+qc AS (SELECT DISTINCT bucket FROM code WHERE vec_id < 10),
+probes AS (
+  SELECT bucket AS pb FROM qc
+  UNION SELECT xor(bucket, CAST(pow(2, b1.i) AS BIGINT)) FROM qc, range(0, {n_planes}) b1(i)
+  UNION SELECT xor(xor(bucket, CAST(pow(2, b1.i) AS BIGINT)), CAST(pow(2, b2.i) AS BIGINT))
+        FROM qc, range(0, {n_planes}) b1(i), range(0, {n_planes}) b2(i) WHERE b2.i > b1.i),
+v AS (SELECT embeddings.* FROM embeddings JOIN code USING (vec_id)
+      WHERE code.bucket IN (SELECT pb FROM probes))
+SELECT q.vec_id AS query_id,
+       CAST(row_number() OVER w AS BIGINT) AS "rank",
+       v.vec_id,
+       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) AS sim6
+FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+CROSS JOIN v
+WHERE v.vec_id <> q.vec_id
+WINDOW w AS (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id)
+QUALIFY row_number() OVER w <= {k}
+"""
+
+
+_ORACLES_BASE["lsh_ann"] = _lsh_oracle_sql()
 
 ORACLES.update(_ORACLES_BASE)
 for _alias, _src in _SHARED_ORACLES:

@@ -23,7 +23,6 @@ Distributed shapes (SURVEY.md §2.7 / §7.3):
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -92,8 +91,16 @@ def word_shingles(text_arr: pa.ChunkedArray | pa.Array, n: int = 3) -> list[np.n
 
 
 def _crc_hash(shingles: np.ndarray) -> np.ndarray:
+    """Shingle -> 64-bit hash: MD5 low 8 bytes little-endian.
+
+    (MD5-based, not crc32, so the DuckDB oracle can recompute the
+    identical values from ``md5(shingle)`` hex.)"""
     return np.asarray(
-        [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64
+        [
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+            for s in shingles
+        ],
+        dtype=np.uint64,
     )
 
 

@@ -133,11 +133,11 @@ def winnow_fingerprints(
 ) -> pa.Table:
     """(doc_id, n_grams, n_fps, min_fp) — winnowing document fingerprint.
 
-    Rolling polynomial hash over k-grams of characters, then the
-    winnowing rule (min hash per sliding window, dedup'd) — the
-    standard document-fingerprint sketch (Schleimer et al., SIGMOD'03).
-    Engine-only (no SQL oracle): outputs are deterministic counts + the
-    minimum fingerprint value for spot checks.
+    Rolling polynomial hash (base 1000003, mod 2^64) over k-grams of
+    UNICODE CODEPOINTS, then the winnowing rule (min hash per sliding
+    window, dedup'd) — the standard document-fingerprint sketch
+    (Schleimer et al., SIGMOD'03).  Codepoints (not UTF-8 bytes) so the
+    DuckDB oracle can reproduce the hashes exactly via unicode().
     """
     np.seterr(over="ignore")  # uint64 wraparound IS the hash ring
     B = np.uint64(1000003)
@@ -145,7 +145,7 @@ def winnow_fingerprints(
     n_grams_out, n_fps_out, min_fp_out = [], [], []
     powk = B ** np.uint64(k - 1)
     for t in texts:
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        b = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
         if len(b) < k:
             n_grams_out.append(0)
             n_fps_out.append(0)
