@@ -93,31 +93,39 @@ def main() -> None:
 
     if args.scaling:
         lo, hi = (int(v) for v in args.scaling_cpus.split(","))
-        results = {}
-        for cpus in (lo, hi):
-            best = None
-            for _ in range(max(1, args.scaling_repeats)):
-                out = subprocess.run(
-                    [sys.executable, __file__, "--flagship-only",
-                     "--num-cpus", str(cpus), "--n-images", str(args.scaling_images)],
-                    capture_output=True, text=True, timeout=1800,
-                    env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
-                )
-                line = out.stdout.strip().splitlines()[-1]
-                r = json.loads(line)
-                if best is None or r["tiles_join_rows_per_sec"] > best["tiles_join_rows_per_sec"]:
-                    best = r
-            results[cpus] = best
-        r_lo, r_hi = results[lo], results[hi]
-        eff = (r_hi["tiles_join_rows_per_sec"] / r_lo["tiles_join_rows_per_sec"]) / (hi / lo)
+
+        def _one(cpus: int) -> dict:
+            out = subprocess.run(
+                [sys.executable, __file__, "--flagship-only",
+                 "--num-cpus", str(cpus), "--n-images", str(args.scaling_images)],
+                capture_output=True, text=True, timeout=1800,
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+            )
+            return json.loads(out.stdout.strip().splitlines()[-1])
+
+        # paired repeats: each repeat runs lo then hi back-to-back so a
+        # shared-box load spike hits both legs of that repeat; report
+        # the MEDIAN efficiency plus the full band (honest noise view)
+        reps = []
+        for _ in range(max(1, args.scaling_repeats)):
+            r_lo = _one(lo)
+            r_hi = _one(hi)
+            eff = (r_hi["tiles_join_rows_per_sec"] / r_lo["tiles_join_rows_per_sec"]) / (hi / lo)
+            reps.append({"eff": round(eff, 3), str(lo): r_lo, str(hi): r_hi})
+        effs = sorted(r["eff"] for r in reps)
+        median = effs[len(effs) // 2] if len(effs) % 2 else (effs[len(effs)//2 - 1] + effs[len(effs)//2]) / 2
+        best = max(reps, key=lambda r: r["eff"])
         print(json.dumps({
             "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
-            "value": round(eff, 3),
+            "value": round(median, 3),
             "unit": "ratio",
-            f"rows_per_sec_{lo}cpu": r_lo["tiles_join_rows_per_sec"],
-            f"rows_per_sec_{hi}cpu": r_hi["tiles_join_rows_per_sec"],
+            "band": [effs[0], effs[-1]],
+            "best": best["eff"],
+            f"rows_per_sec_{lo}cpu": best[str(lo)]["tiles_join_rows_per_sec"],
+            f"rows_per_sec_{hi}cpu": best[str(hi)]["tiles_join_rows_per_sec"],
             "n_images": args.scaling_images,
-            "detail": {str(lo): r_lo, str(hi): r_hi},
+            "repeats": [r["eff"] for r in reps],
+            "detail": {str(lo): best[str(lo)], str(hi): best[str(hi)]},
         }))
         return
 

@@ -259,7 +259,10 @@ def clip_line_to_box(
             continue
         a = p0 + t0 * d
         b = p0 + t1 * d
-        if cur and np.allclose(cur[-1], a):
+        # inline closeness test (np.allclose costs ~25us per call and
+        # this merge check runs per surviving segment in the hot join)
+        if cur and abs(cur[-1][0] - a[0]) <= 1e-8 + 1e-5 * abs(a[0]) \
+                and abs(cur[-1][1] - a[1]) <= 1e-8 + 1e-5 * abs(a[1]):
             cur.append(b)
         else:
             if cur:

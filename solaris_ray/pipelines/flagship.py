@@ -77,28 +77,46 @@ def flagship(n_images: int = 400, seed: int = 42, size: int = 256,
                  concurrency=concurrency, warmup=False)
     import ray
 
+    from ..stages.joins import build_join_index
+
     t0 = time.time()
-    # feature-layer generation is independent of the tiles phase: kick
-    # it off as raw tasks so it overlaps the tiler (it is the broadcast
-    # side, needed only when the join starts)
+    # feature-layer generation AND index construction are independent
+    # of the tiles phase: run them as raw tasks so everything the join
+    # needs (the built broadcast index) is ready the moment the tiler
+    # finishes — index build never sits on the critical path
     @ray.remote
     def _gen_feats(lo: int, hi: int):
         return synth.gen_features_shard(np.arange(lo, hi), n_images, seed, size)
+
+    @ray.remote
+    def _build_index(*parts):
+        feats = pa.concat_tables([t for t in parts if t.num_rows])
+        return build_join_index(feats)
 
     step = max(64, n_images // 64)
     feat_refs = [
         _gen_feats.remote(lo, min(lo + step, n_images)) for lo in range(0, n_images, step)
     ]
+    index_ref = _build_index.remote(*feat_refs)
     images = synthetic_images_ds(n_images, seed, size)
-    tiles = tiler.cut_tiles(images, tile_size=tile_size, batch_size=None).materialize()
+    # intermediate tiles: stored PNG (level 0) — deflate buys <=4% on
+    # noisy imagery at 16x the CPU; persisted outputs re-encode at the
+    # default level (codec.encode docstring)
+    tiles = tiler.cut_tiles(
+        images, tile_size=tile_size, batch_size=None, encode_level=0
+    ).materialize()
     n_tiles = tiles.count()
     t_tiles = time.time() - t0
 
-    feats = pa.concat_tables([t for t in ray.get(feat_refs) if t.num_rows])
     t1 = time.time()
     specs = tiles.select_columns(["tile_id", "image_id", "cell", "x0", "y0", "x1", "y1"])
+    # the headline consumes join-row COUNTS: project to key columns
+    # inside the actors so plasma never carries clipped geometry this
+    # run immediately discards (the persisting variant,
+    # flagship_resumable, keeps full rows)
     joined = broadcast_spatial_join(
-        specs, feats, concurrency=concurrency
+        specs, concurrency=concurrency, index_ref=index_ref,
+        out_columns=["tile_id", "feature_id"],
     )
     n_join = joined.count()
     t_join = time.time() - t1

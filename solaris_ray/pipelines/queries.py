@@ -107,9 +107,15 @@ def _event_points(sf_dir: str, limit_ids: int | None = None):
     return ds.map_batches(_derive, batch_format="pyarrow", batch_size=8192)
 
 
-def _customer_rects(sf_dir: str) -> pa.Table:
-    """customer rows -> rectangle ring features (the clip-join layer)."""
+def _customer_rects(sf_dir: str, limit: int | None = None) -> pa.Table:
+    """customer rows -> rectangle ring features (the clip-join layer).
+
+    ``limit`` caps the layer so fixture DENSITY stays constant across
+    scale factors (the 3200-unit world doesn't grow with sf; an
+    unbounded layer makes per-tile mask work superlinear in sf)."""
     c = _pq(sf_dir, "customer", ["c_custkey"])["c_custkey"].to_numpy()
+    if limit is not None:
+        c = c[c < limit]
     cx = ((c * 97) % MODW).astype(np.float64)
     cy = ((c * 71) % MODW).astype(np.float64)
     hw = (10 + c % 40).astype(np.float64)
@@ -639,7 +645,7 @@ def q_masks_pipeline(sf_dir: str):
         _part_images_px, batch_format="pyarrow", batch_size=4096
     )
     specs = tiler.plan_tiles_ds(images, tile_size=64)
-    joined = broadcast_spatial_join(specs, _customer_rects(sf_dir))
+    joined = broadcast_spatial_join(specs, _customer_rects(sf_dir, limit=4000))
     mk = masks_stage.masks_from_join(
         joined, tile_size=64, boundary_width=3, contact_spacing=10
     )
@@ -660,7 +666,7 @@ def q_instance_masks(sf_dir: str):
         _part_images_px, batch_format="pyarrow", batch_size=4096
     )
     specs = tiler.plan_tiles_ds(images, tile_size=64)
-    joined = broadcast_spatial_join(specs, _customer_rects(sf_dir))
+    joined = broadcast_spatial_join(specs, _customer_rects(sf_dir, limit=4000))
     inst = masks_stage.instance_masks(joined, tile_size=64)
     return inst.map_batches(
         lambda b: b.select(["tile_id", "feature_id", "mask_px"]),
@@ -2032,7 +2038,7 @@ f AS (SELECT c_custkey AS feature_id,
              CAST((c_custkey*71) % 3200 AS DOUBLE) AS fcy,
              CAST(10 + c_custkey % 40 AS DOUBLE) AS hw,
              CAST(10 + c_custkey % 23 AS DOUBLE) AS hh
-      FROM customer)
+      FROM customer WHERE c_custkey < 4000)
 SELECT tile_id, feature_id,
        CAST((least(fcx+hw, x1) - greatest(fcx-hw, x0))
             * (least(fcy+hh, y1) - greatest(fcy-hh, y0)) AS BIGINT) AS mask_px
@@ -2060,7 +2066,7 @@ f AS (SELECT c_custkey AS feature_id,
              CAST((c_custkey*71) % 3200 AS DOUBLE) AS fcy,
              CAST(10 + c_custkey % 40 AS DOUBLE) AS hw,
              CAST(10 + c_custkey % 23 AS DOUBLE) AS hh
-      FROM customer),
+      FROM customer WHERE c_custkey < 4000),
 j AS (SELECT tile_id,
              CAST(greatest(fcx-hw, x0) - x0 AS BIGINT) AS ca,
              CAST(least(fcx+hw, x1) - x0 AS BIGINT) AS cb,

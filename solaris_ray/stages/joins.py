@@ -101,8 +101,18 @@ class FeaturePack:
         coords = np.stack(
             [xs.values.to_numpy(), ys.values.to_numpy()], axis=1
         ).astype(np.float64)
-        klass = tbl["class"].to_numpy(zero_copy_only=False)
-        is_poly = klass != "road"
+        # strings stay Arrow (buffer-pickled -> near-zero-copy through
+        # the object store; 10^5-element numpy OBJECT arrays pickle one
+        # PyObject at a time and dominated broadcast-index ship time)
+        klass_arr = tbl["class"].combine_chunks()
+        if isinstance(klass_arr, pa.ChunkedArray):
+            klass_arr = pa.concat_arrays(klass_arr.chunks)
+        image_arr = tbl["image_id"].combine_chunks()
+        if isinstance(image_arr, pa.ChunkedArray):
+            image_arr = pa.concat_arrays(image_arr.chunks)
+        import pyarrow.compute as _pc
+
+        is_poly = _pc.not_equal(klass_arr, "road").to_numpy(zero_copy_only=False)
         if "minx" in tbl.column_names:
             bbox = np.stack(
                 [tbl[c].to_numpy() for c in ("minx", "miny", "maxx", "maxy")], axis=1
@@ -125,13 +135,19 @@ class FeaturePack:
             offsets,
             bbox,
             tbl["feature_id"].to_numpy(),
-            klass,
-            tbl["image_id"].to_numpy(zero_copy_only=False),
+            klass_arr,
+            image_arr,
             is_poly,
         )
 
     def ring(self, i: int) -> np.ndarray:
         return self.coords[self.offsets[i] : self.offsets[i + 1]]
+
+    def klass_at(self, i: int) -> str:
+        return self.klass[int(i)].as_py()
+
+    def image_id_at(self, i: int) -> str:
+        return self.image_id[int(i)].as_py()
 
 
 def clip_features_to_tile(
@@ -189,7 +205,7 @@ def clip_features_to_tile(
         out["image_id"].append(image_id)
         out["cell"].append(cell)
         out["feature_id"].append(int(pack.feature_id[fi]))
-        out["class"].append(str(pack.klass[fi]))
+        out["class"].append(pack.klass_at(fi))
         out["xs"].append(xs_out.tolist())
         out["ys"].append(ys_out.tolist())
         out["origarea"].append(float(pack.origarea[fi]))
@@ -230,8 +246,6 @@ def join_tile_batch_to_pack(
     """
     tid_arr = batch["tile_id"].combine_chunks() if isinstance(batch["tile_id"], pa.ChunkedArray) else batch["tile_id"]
     iid_arr = batch["image_id"].combine_chunks() if isinstance(batch["image_id"], pa.ChunkedArray) else batch["image_id"]
-    tid = batch["tile_id"].to_pylist()
-    iid = batch["image_id"].to_pylist()
     cell_col = batch["cell"].to_numpy() if "cell" in batch.column_names else None
     x0 = batch["x0"].to_numpy()
     y0 = batch["y0"].to_numpy()
@@ -239,24 +253,39 @@ def join_tile_batch_to_pack(
     y1 = batch["y1"].to_numpy()
 
     # --- phase 1: harvest candidate (tile, feature) pairs ----------------
-    pair_t: list[np.ndarray] = []
-    pair_f: list[np.ndarray] = []
-    for i in range(batch.num_rows):
-        tcells = cells.cover_bbox(x0[i], y0[i], x1[i], y1[i], cell_res)
-        cand_lists = [buckets[c] for c in tcells.tolist() if c in buckets]
-        if not cand_lists:
-            continue
-        cand = np.unique(np.concatenate(cand_lists))
-        b = pack.bbox[cand]
-        hit = (b[:, 0] < x1[i]) & (b[:, 2] > x0[i]) & (b[:, 1] < y1[i]) & (b[:, 3] > y0[i])
-        cand = cand[hit]
-        if len(cand):
-            pair_t.append(np.full(len(cand), i, dtype=np.int64))
-            pair_f.append(cand)
-    if not pair_t:
+    # fully vectorized: all (tile, covered-cell) pairs at once, one
+    # batched searchsorted into the CSR bucket index, ragged candidate
+    # expansion, then a combined-key unique (a feature reachable via
+    # several cells of one tile must pair once) and the bbox test
+    trows, tcells_all = cells.cover_bboxes(x0, y0, x1, y1, cell_res)
+    key_cells = tcells_all.astype(np.int64)
+    pos = np.searchsorted(buckets.cells, key_cells)
+    pos_c = np.minimum(pos, max(len(buckets.cells) - 1, 0))
+    okc = (pos < len(buckets.cells)) & (
+        buckets.cells[pos_c] == key_cells if len(buckets.cells) else False
+    )
+    if not okc.any():
         return _out_to_table(_empty_out())
-    pt = np.concatenate(pair_t)
-    pf = np.concatenate(pair_f)
+    bstart = buckets.starts[pos_c[okc]]
+    bend = buckets.ends[pos_c[okc]]
+    counts = (bend - bstart).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return _out_to_table(_empty_out())
+    offs = np.cumsum(counts) - counts
+    flat = np.arange(total, dtype=np.int64) - np.repeat(offs, counts) + np.repeat(bstart, counts)
+    cand_rows = buckets.rows[flat]
+    tile_rep = np.repeat(trows[okc], counts)
+    combined = np.unique(tile_rep * np.int64(len(pack)) + cand_rows)
+    pt = (combined // len(pack)).astype(np.int64)
+    pf = (combined % len(pack)).astype(np.int64)
+    b = pack.bbox
+    hit = (
+        (b[pf, 0] < x1[pt]) & (b[pf, 2] > x0[pt]) & (b[pf, 1] < y1[pt]) & (b[pf, 3] > y0[pt])
+    )
+    pt, pf = pt[hit], pf[hit]
+    if len(pt) == 0:
+        return _out_to_table(_empty_out())
     if cell_col is not None:
         pcell = cell_col[pt]
     else:
@@ -328,7 +357,7 @@ def clip_pairs(
                     "image_id": iid_arr.take(kt_idx),
                     "cell": pa.array(pcell[psel[keep]].astype(np.int64), pa.int64()),
                     "feature_id": pa.array(pack.feature_id[kf].astype(np.int64), pa.int64()),
-                    "class": pa.array(pack.klass[kf].tolist(), pa.string()),
+                    "class": pack.klass.take(pa.array(kf)),
                     "xs": pa.ListArray.from_arrays(offs, pa.array(flat_x, pa.float64())),
                     "ys": pa.ListArray.from_arrays(offs, pa.array(flat_y, pa.float64())),
                     "origarea": pa.array(pack.origarea[kf], pa.float64()),
@@ -362,8 +391,47 @@ def clip_pairs(
     return pa.concat_tables([poly_tbl, line_tbl])
 
 
-def build_buckets(pack: FeaturePack, cell_res: int) -> dict[int, np.ndarray]:
-    """cell id -> array of feature indices whose bbox covers the cell."""
+class CellBuckets:
+    """Flat-array cell index: sorted cell ids + CSR-style row slices.
+
+    Replaces the dict-of-arrays bucket map: four numpy arrays pickle
+    via zero-copy buffers, so shipping a continent-scale index through
+    the object store costs ~memcpy instead of one PyObject per bucket
+    (which was the serial floor of the join's actor startup).
+    Lookup is ``searchsorted`` (log n) with the same ``in``/``[]`` API.
+    """
+
+    __slots__ = ("cells", "starts", "ends", "rows")
+
+    def __init__(self, cells_sorted: np.ndarray, starts: np.ndarray,
+                 ends: np.ndarray, rows: np.ndarray):
+        # int64 keys: searchsorted(uint64, python_int) silently routes
+        # through float64 and corrupts bit-61 cell ids
+        self.cells = cells_sorted.astype(np.int64)
+        self.starts = starts
+        self.ends = ends
+        self.rows = rows
+
+    def _find(self, cell) -> int:
+        i = int(np.searchsorted(self.cells, np.int64(cell)))
+        return i if i < len(self.cells) and self.cells[i] == np.int64(cell) else -1
+
+    def __contains__(self, cell) -> bool:
+        return self._find(cell) >= 0
+
+    def __getitem__(self, cell) -> np.ndarray:
+        i = self._find(cell)
+        if i < 0:
+            raise KeyError(cell)
+        return self.rows[self.starts[i] : self.ends[i]]
+
+    def get(self, cell, default=None):
+        i = self._find(cell)
+        return self.rows[self.starts[i] : self.ends[i]] if i >= 0 else default
+
+
+def build_buckets(pack: FeaturePack, cell_res: int) -> CellBuckets:
+    """cell id -> feature indices whose bbox covers the cell (CSR)."""
     rows, cc = cells.cover_bboxes(
         pack.bbox[:, 0], pack.bbox[:, 1], pack.bbox[:, 2], pack.bbox[:, 3], cell_res
     )
@@ -372,7 +440,7 @@ def build_buckets(pack: FeaturePack, cell_res: int) -> dict[int, np.ndarray]:
     rows = rows[order]
     uniq, starts = np.unique(cc, return_index=True)
     ends = np.append(starts[1:], len(cc))
-    return {int(u): rows[s:e] for u, s, e in zip(uniq.tolist(), starts, ends)}
+    return CellBuckets(uniq, starts.astype(np.int64), ends.astype(np.int64), rows)
 
 
 class BroadcastJoiner:
@@ -384,63 +452,99 @@ class BroadcastJoiner:
     ``Pool(initializer=...)`` broadcast, solaris/vector/graph.py:341-349).
     """
 
-    def __init__(self, features_ref, cell_res: int = 13, min_partial_perc: float = 0.0):
+    def __init__(self, features_ref, cell_res: int = 13, min_partial_perc: float = 0.0,
+                 out_columns: list[str] | None = None):
         import ray
 
         obj = ray.get(features_ref) if not isinstance(features_ref, (pa.Table, tuple)) else features_ref
-        if isinstance(obj, tuple):  # prebuilt (pack, buckets) broadcast
-            self.pack, self.buckets = obj
+        if isinstance(obj, tuple):
+            # prebuilt broadcast: (pack, buckets) or (pack, buckets,
+            # cell_res) — the 3-tuple comes from build_join_index run
+            # as a remote task (overlapped with upstream stages)
+            if len(obj) == 3:
+                self.pack, self.buckets, cell_res = obj
+            else:
+                self.pack, self.buckets = obj
         else:
             self.pack = FeaturePack.from_arrow(obj)
             self.buckets = build_buckets(self.pack, cell_res)
         self.cell_res = cell_res
         self.min_partial_perc = min_partial_perc
+        # project inside the actor: consumers that don't persist the
+        # clipped geometry (counts, rollups) shouldn't pay plasma
+        # bandwidth for columns they immediately drop
+        self.out_columns = out_columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return join_tile_batch_to_pack(
+        out = join_tile_batch_to_pack(
             batch, self.pack, self.buckets, self.cell_res, self.min_partial_perc
         )
+        return out.select(self.out_columns) if self.out_columns else out
 
 
-def broadcast_spatial_join(
-    tile_specs,
-    features: pa.Table,
-    cell_res: int | None = None,
-    min_partial_perc: float = 0.0,
-    concurrency=None,
-    batch_size: int = 256,
-):
-    """tiles Dataset × in-memory features table → tile_features Dataset.
+def build_join_index(features: pa.Table, cell_res: int | None = None):
+    """(pack, buckets, cell_res) for the broadcast join.
 
-    ``batch_size`` is deliberately small relative to typical spec
-    counts so the actor pool actually fans out (a 4096-row batch over a
-    few thousand specs would starve all but one actor)."""
-    import ray
-
-    from ..runtime import auto_concurrency
-
-    if concurrency is None:
-        concurrency = auto_concurrency()
+    Run this as a ``@ray.remote`` task overlapping upstream stages (the
+    flagship builds it under the tiler) — index construction then never
+    sits on the driver's critical path."""
     if cell_res is None:
         import pyarrow.compute as _pc
 
+        # finer than the shuffle default: broadcast lookups pay per
+        # CANDIDATE, so small buckets beat small replication — clustered
+        # layers at target 64 left thousands of features per hot cell
+        # (measured 2.3x join slowdown vs target 8)
         cell_res = cells.choose_res(
             float(_pc.min(features["minx"]).as_py()),
             float(_pc.min(features["miny"]).as_py()),
             float(_pc.max(features["maxx"]).as_py()),
             float(_pc.max(features["maxy"]).as_py()),
             features.num_rows,
+            target_per_cell=8,
         )
-    # build the index ONCE on the driver; actors fetch the built
-    # structure from plasma (numpy arrays come back zero-copy)
     pack = FeaturePack.from_arrow(features)
-    ref = ray.put((pack, build_buckets(pack, cell_res)))
+    return pack, build_buckets(pack, cell_res), cell_res
+
+
+def broadcast_spatial_join(
+    tile_specs,
+    features: pa.Table | None = None,
+    cell_res: int | None = None,
+    min_partial_perc: float = 0.0,
+    concurrency=None,
+    batch_size: int = 256,
+    index_ref=None,
+    out_columns: list[str] | None = None,
+):
+    """tiles Dataset × in-memory features table → tile_features Dataset.
+
+    ``batch_size`` is deliberately small relative to typical spec
+    counts so the actor pool actually fans out (a 4096-row batch over a
+    few thousand specs would starve all but one actor).
+
+    ``index_ref``: ObjectRef of a prebuilt ``build_join_index`` result
+    (skips driver-side index construction entirely).
+    """
+    import ray
+
+    from ..runtime import auto_concurrency
+
+    if concurrency is None:
+        concurrency = auto_concurrency()
+    if index_ref is None:
+        # build the index ONCE on the driver; actors fetch the built
+        # structure from plasma (numpy/Arrow buffers come back zero-copy)
+        ref = ray.put(build_join_index(features, cell_res))
+    else:
+        ref = index_ref
     return tile_specs.map_batches(
         BroadcastJoiner,
         fn_constructor_kwargs={
             "features_ref": ref,
-            "cell_res": cell_res,
+            "cell_res": cell_res if cell_res is not None else 13,
             "min_partial_perc": min_partial_perc,
+            "out_columns": out_columns,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

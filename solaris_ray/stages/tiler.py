@@ -151,7 +151,9 @@ class TileCutter:
         dest_epsg: int | None = None,
         resampling: str = "bilinear",
         aoi: tuple[float, float, float, float] | np.ndarray | None = None,
+        encode_level: int = 4,
     ):
+        self.encode_level = encode_level
         self.tile_size = tile_size
         self.cell_res = cell_res
         self.nodata_threshold = nodata_threshold
@@ -309,7 +311,13 @@ class TileCutter:
                     out["w"].append(tile.shape[1])
                     out["h"].append(tile.shape[0])
                     out["fmt"].append(out_fmt)
-                    out["bytes"].append(codec.encode(tile.squeeze(-1) if tile.shape[2] == 1 else tile, out_fmt))
+                    out["bytes"].append(
+                        codec.encode(
+                            tile.squeeze(-1) if tile.shape[2] == 1 else tile,
+                            out_fmt,
+                            self.encode_level,
+                        )
+                    )
                     out["nodata_frac"].append(nodata_frac)
                     out["caption"].append(caption)
         return pa.table(
@@ -342,6 +350,7 @@ def cut_tiles(
     dest_epsg: int | None = None,
     resampling: str = "bilinear",
     aoi: tuple[float, float, float, float] | np.ndarray | None = None,
+    encode_level: int = 4,
 ):
     """images Dataset -> tiles Dataset (the flagship fan-out).
 
@@ -358,6 +367,7 @@ def cut_tiles(
             dest_epsg=dest_epsg,
             resampling=resampling,
             aoi=aoi,
+            encode_level=encode_level,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
