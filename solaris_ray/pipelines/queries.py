@@ -657,6 +657,45 @@ def q_masks_pipeline(sf_dir: str):
     )
 
 
+def q_road_masks(sf_dir: str):
+    """Road-mask channel (centerline rasterize + width dilation +
+    line-clip join path), SQL-oracled: one horizontal in-cell polyline
+    per customer -> dilated mask is a closed-form pixel rectangle."""
+    from ..stages import masks as masks_stage
+
+    images = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        _part_images_px, batch_format="pyarrow", batch_size=4096
+    )
+    specs = tiler.plan_tiles_ds(images, tile_size=64)
+
+    c = _pq(sf_dir, "customer", ["c_custkey"])["c_custkey"].to_numpy().astype(np.int64)
+    c = c[c < 2500]
+    bx = ((c % GRID) * TILE).astype(np.float64)
+    by = ((c // GRID % GRID) * TILE).astype(np.float64)
+    ys = by + 10.0 + (c % 40)
+    xs = np.stack([bx + 8.0, bx + 30.0, bx + 56.0], axis=1)
+    yy = np.stack([ys, ys, ys], axis=1)
+    roads = pa.table(
+        {
+            "feature_id": pa.array(c),
+            "image_id": pa.array([""] * len(c), pa.string()),
+            "class": pa.array(["road"] * len(c), pa.string()),
+            "xs": pa.array(xs.tolist(), pa.list_(pa.float64())),
+            "ys": pa.array(yy.tolist(), pa.list_(pa.float64())),
+            "minx": pa.array(bx + 8.0),
+            "miny": pa.array(ys),
+            "maxx": pa.array(bx + 56.0),
+            "maxy": pa.array(ys),
+        }
+    )
+    joined = broadcast_spatial_join(specs, roads)
+    mk = masks_stage.masks_from_join(joined, tile_size=64, road_width=4)
+    return mk.map_batches(
+        lambda b: b.select(["tile_id", "n_features", "road_px", "footprint_px"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_instance_masks(sf_dir: str):
     """Sparse per-(tile, feature) instance masks on the unit-pixel rect
     grid — mask_px is the exact clipped-rect pixel count, SQL-oracled."""
@@ -863,25 +902,29 @@ def q_frame_sample(sf_dir: str):
 
 
 def q_embed_extract_ann(sf_dir: str):
-    """Composition: image corpus -> actor-pool embedding extractor ->
-    brute-force cosine top-k (the scorer + ANN pipeline)."""
+    """Composition: formula image corpus -> actor-pool embedding
+    extractor (seeded random projection, the model-scorer shape) ->
+    brute-force cosine top-k.  SQL-oracled end to end: the projection
+    matrix is inlined into the DuckDB twin and the downsampled pixel
+    features are closed-form, so the whole scorer+ANN pipeline is
+    hash-checked (sims rounded to 6 dp on both sides)."""
     import ray
 
-    from ..sources import synth
     from ..stages import ann as ann_stage
     from ..stages import multimodal
 
-    n = 32
-    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=256)
-    emb = multimodal.extract_embeddings(ray.data.from_arrow(images), dim=32, concurrency=2)
+    images = _formula_gray_images(sf_dir, limit=40, fixed_size=64)
+    emb = multimodal.extract_embeddings(images, dim=8, pool=8, concurrency=2, dtype=np.float64)
     tbl = pa.concat_tables(
-        [b for b in __import__("ray").get(emb.to_arrow_refs()) if b.num_rows]
+        [b for b in ray.get(emb.to_arrow_refs()) if b.num_rows]
     )
-    ids = np.arange(len(tbl), dtype=np.int64)
+    ids = np.asarray([int(v[4:]) for v in tbl["image_id"].to_pylist()], dtype=np.int64)
     tbl = tbl.append_column("vec_id", pa.array(ids))
-    q = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[:4]
-    out = ann_stage.brute_topk(ray.data.from_arrow(tbl), ids[:4], q, k=3)
-    return out
+    qsel = np.argsort(ids)[:4]
+    qids = ids[qsel]
+    q = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[qsel]
+    out = ann_stage.brute_topk(ray.data.from_arrow(tbl), qids, q, k=3)
+    return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
 
 
 def q_resume_manifest(sf_dir: str):
@@ -1415,20 +1458,64 @@ def q_reproject_utm(sf_dir: str):
 
 
 def q_augment(sf_dir: str):
-    """Deterministic per-row augmentation pipeline (rotate/flip/scale)."""
-    import ray
-
-    from ..sources import synth
+    """Augmentation pipeline through the full Augmenter machinery
+    (registry, config dict, per-row seeding), SQL-oracled: the
+    deterministic subset flip_lr -> rotate90 -> swap_channels composes
+    to a transpose + band swap of formula images, verified by
+    POSITION-WEIGHTED pixel checksums (sums alone are permutation-
+    invariant).  RNG-driven rotate/scale stay pytest-determinism-gated."""
+    from ..raster import codec as _codec
     from ..stages import augment as aug
 
-    n = 6
-    images, _ = synth.gen_shard(np.arange(n), n, seed=42, size=256)
+    p_ds = _read(sf_dir, "part", ["p_partkey"])
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 150]
+        rows = {"image_id": [], "bytes": [], "fmt": []}
+        for k in p.tolist():
+            yy, xx = np.indices((64, 64))
+            bands = [
+                ((xx * 7 + yy * 13 + k * 31 + b * 17) % 251).astype(np.uint8)
+                for b in range(3)
+            ]
+            rows["image_id"].append(f"img_{k}")
+            rows["bytes"].append(_codec.encode(np.stack(bands, axis=2), "png"))
+            rows["fmt"].append("png")
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "bytes": pa.array(rows["bytes"], pa.binary()),
+                "fmt": pa.array(rows["fmt"], pa.string()),
+            }
+        )
+
+    images = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=4096)
     out = aug.augment(
-        ray.data.from_arrow(images),
-        {"rotate": {"limit": 30.0, "p": 1.0}, "flip_lr": {"p": 0.5}, "random_scale": {"p": 0.5}},
+        images,
+        {"flip_lr": {"p": 1.0}, "rotate90": {"k": 1, "p": 1.0},
+         "swap_channels": {"a": 0, "b": 1, "p": 1.0}},
         seed=7,
     )
-    return out.drop_columns(["bytes"])
+
+    def _wsums(batch: pa.Table) -> pa.Table:
+        ids, w0, w1 = [], [], []
+        for i in range(batch.num_rows):
+            img = _codec.decode(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            yy, xx = np.indices(img.shape[:2])
+            w = (yy * 64 + xx).astype(np.int64)
+            ids.append(batch["image_id"][i].as_py())
+            w0.append(int((w * img[:, :, 0].astype(np.int64)).sum()))
+            w1.append(int((w * img[:, :, 1].astype(np.int64)).sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "wsum_b0": pa.array(w0, pa.int64()),
+                "wsum_b1": pa.array(w1, pa.int64()),
+            }
+        )
+
+    return out.map_batches(_wsums, batch_format="pyarrow", batch_size=16)
 
 
 def q_group_topk(sf_dir: str):
@@ -1651,6 +1738,7 @@ QUERIES = {
     "tile_feature_join": q_tile_feature_join,
     "masks_pipeline": q_masks_pipeline,
     "instance_masks": q_instance_masks,
+    "road_masks": q_road_masks,
     "eval_scores": q_eval_scores,
     "eval_rollup": q_eval_rollup,
     "map_101": q_map_101,
@@ -1988,6 +2076,15 @@ SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
 FROM img, px rx, px ry
 GROUP BY 1
 """,
+    "augment": """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 150),
+px AS (SELECT i FROM range(0, 64) r(i))
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(SUM((rc.i*64 + rr.i) * ((rc.i*7 + rr.i*13 + p*31 + 17) % 251)) AS BIGINT) AS wsum_b0,
+       CAST(SUM((rc.i*64 + rr.i) * ((rc.i*7 + rr.i*13 + p*31) % 251)) AS BIGINT) AS wsum_b1
+FROM img, px rr, px rc
+GROUP BY 1
+""",
     "polygonize": f"""
 WITH img AS (
   SELECT p_partkey AS p, 1 + p_partkey % 3 AS nx, 1 + p_partkey % 2 AS ny,
@@ -2017,6 +2114,29 @@ SELECT CAST(k AS VARCHAR) AS tile_id,
        CAST(1 AS BIGINT) AS n_holes,
        CAST(4 AS BIGINT) AS n_verts
 FROM c
+""",
+    "road_masks": f"""
+WITH img AS (
+  SELECT p_partkey AS p, 1 + p_partkey % 3 AS nx, 1 + p_partkey % 2 AS ny,
+         (p_partkey % {GRID}) AS gx0, ((p_partkey // {GRID}) % {GRID}) AS gy0,
+         CAST((p_partkey % {GRID}) * 64 AS DOUBLE) AS cx,
+         CAST(((p_partkey // {GRID}) % {GRID}) * 64 AS DOUBLE) AS cy
+  FROM part WHERE p_partkey < 800),
+t AS (
+  SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+         cx + 64*col AS x0, cy + 64*ny - 64*(row+1) AS y0,
+         gx0 + col AS gx, gy0 + ny - 1 - row AS gy
+  FROM img, range(0,3) rc(col), range(0,2) rr(row)
+  WHERE col < nx AND row < ny),
+tl AS (
+  SELECT image_id || '_' || CAST(CAST(round(x0) AS BIGINT) AS VARCHAR) || '_' || CAST(CAST(round(y0) AS BIGINT) AS VARCHAR) AS tile_id,
+         gx, gy FROM t),
+f AS (SELECT c_custkey % {GRID} AS gx, (c_custkey // {GRID}) % {GRID} AS gy
+      FROM customer WHERE c_custkey < 2500)
+SELECT tile_id, CAST(1 AS BIGINT) AS n_features,
+       CAST(4 * 52 AS BIGINT) AS road_px,
+       CAST(0 AS BIGINT) AS footprint_px
+FROM tl JOIN f ON f.gx = tl.gx AND f.gy = tl.gy
 """,
     "instance_masks": f"""
 WITH img AS (
@@ -2624,6 +2744,44 @@ QUALIFY row_number() OVER w <= {k}
 
 
 _ORACLES_BASE["lsh_ann"] = _lsh_oracle_sql()
+
+
+def _embed_ann_oracle_sql(dim: int = 8, pool: int = 8, seed: int = 42,
+                          k: int = 3, limit: int = 40) -> str:
+    """DuckDB twin of q_embed_extract_ann: the seeded projection matrix
+    is inlined; downsampled formula-pixel features are closed-form, so
+    the scorer's matmul and the cosine top-k replay exactly (float64)."""
+    rng = np.random.default_rng(seed)
+    P = rng.standard_normal((dim, pool * pool * 3))
+    w_rows = ",".join(
+        f"({d},{kk},{P[d, kk]!r})" for d in range(dim) for kk in range(pool * pool * 3)
+    )
+    return f"""
+WITH proj AS (SELECT * FROM (VALUES {w_rows}) p(d, kk, w)),
+imgs AS (SELECT p_partkey AS p FROM part WHERE p_partkey < {limit}),
+e AS (SELECT p, d,
+             SUM(w * ((((kk // 3) % {pool}) * 8 * 7 + (kk // {3 * pool}) * 8 * 13 + p * 31) % 251) / 255.0) AS v
+      FROM imgs, proj GROUP BY 1, 2),
+nrm AS (SELECT p, sqrt(SUM(v * v)) AS n FROM e GROUP BY 1),
+qs AS (SELECT p FROM imgs ORDER BY p LIMIT 4),
+sims AS (SELECT q.p AS query_id, t.p AS vec_id,
+                round(SUM(eq.v * et.v) / (nq.n * nt.n), 6) AS sim6
+         FROM qs q
+         CROSS JOIN imgs t
+         JOIN e eq ON eq.p = q.p
+         JOIN e et ON et.p = t.p AND et.d = eq.d
+         JOIN nrm nq ON nq.p = q.p
+         JOIN nrm nt ON nt.p = t.p
+         WHERE t.p <> q.p
+         GROUP BY q.p, t.p, nq.n, nt.n)
+SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS "rank", vec_id, sim6
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY sim6 DESC, vec_id)
+QUALIFY row_number() OVER w <= {k}
+"""
+
+
+_ORACLES_BASE["embed_extract_ann"] = _embed_ann_oracle_sql()
 
 ORACLES.update(_ORACLES_BASE)
 for _alias, _src in _SHARED_ORACLES:

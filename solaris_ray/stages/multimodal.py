@@ -173,10 +173,12 @@ class EmbeddingExtractor:
     swap ``self.proj @ x`` for a forward pass and nothing else changes.
     """
 
-    def __init__(self, dim: int = 64, seed: int = 42, strict: bool = False):
+    def __init__(self, dim: int = 64, seed: int = 42, strict: bool = False, pool: int = 16,
+                 dtype=np.float32):
         rng = np.random.default_rng(seed)
-        self.pool = 16  # downsample to 16x16x3
-        self.proj = rng.standard_normal((dim, self.pool * self.pool * 3)).astype(np.float32)
+        self.pool = pool  # downsample to pool x pool x 3
+        self.dtype = np.dtype(dtype)
+        self.proj = rng.standard_normal((dim, pool * pool * 3)).astype(self.dtype)
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -184,29 +186,31 @@ class EmbeddingExtractor:
         fmts = batch["fmt"].to_pylist()
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
-        feats = np.empty((batch.num_rows, self.pool * self.pool * 3), dtype=np.float32)
+        feats = np.empty((batch.num_rows, self.pool * self.pool * 3), dtype=self.dtype)
         for i, (buf, fmt, w, h) in enumerate(zip(bufs, fmts, ws, hs)):
             img = decode_any(buf, fmt, int(w), int(h), self.strict)
             if img.shape[2] == 1:
                 img = np.repeat(img, 3, axis=2)
             yi = (np.arange(self.pool) * img.shape[0] // self.pool)
             xi = (np.arange(self.pool) * img.shape[1] // self.pool)
-            feats[i] = img[yi][:, xi, :3].astype(np.float32).ravel() / 255.0
+            feats[i] = img[yi][:, xi, :3].astype(self.dtype).ravel() / 255.0
         emb = feats @ self.proj.T  # one matmul per batch — the batched-inference shape
+        arrow_t = pa.float64() if self.dtype == np.float64 else pa.float32()
         return pa.table(
             {
                 "image_id": batch["image_id"],
-                "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+                "embedding": pa.array(emb.tolist(), pa.list_(arrow_t)),
             }
         )
 
 
-def extract_embeddings(images, dim: int = 64, concurrency=None, batch_size: int = 32):
+def extract_embeddings(images, dim: int = 64, concurrency=None, batch_size: int = 32,
+                       pool: int = 16, dtype=np.float32):
     from ..runtime import auto_concurrency
 
     return images.map_batches(
         EmbeddingExtractor,
-        fn_constructor_kwargs={"dim": dim},
+        fn_constructor_kwargs={"dim": dim, "pool": pool, "dtype": dtype},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or auto_concurrency(),
