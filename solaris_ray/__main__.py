@@ -55,6 +55,12 @@ def main(argv=None) -> int:
     p_res.add_argument("--n-images", type=int, default=400)
     p_res.add_argument("--partitions", type=int, default=8)
 
+    p_warp = sub.add_parser("warp", help="reproject an images parquet to a dst CRS")
+    p_warp.add_argument("--input", required=True)
+    p_warp.add_argument("--output", required=True)
+    p_warp.add_argument("--dst-epsg", type=int, required=True)
+    p_warp.add_argument("--method", default="bilinear", choices=["bilinear", "nearest"])
+
     args = ap.parse_args(argv)
     owns_session = _init_ray(args.num_cpus)
     import ray
@@ -75,6 +81,15 @@ def main(argv=None) -> int:
 
         print(json.dumps(flagship_resumable(args.output, n_images=args.n_images,
                                             n_partitions=args.partitions)))
+    elif args.cmd == "warp":
+        from .raster.warp import reproject_raster
+
+        ds = ray.data.read_parquet(args.input)
+        out = reproject_raster(ds, args.dst_epsg, method=args.method)
+        os.makedirs(args.output, exist_ok=True)
+        out.write_parquet(args.output)
+        print(json.dumps({"output": args.output, "rows": _count_dir(args.output),
+                          "dst_epsg": args.dst_epsg}))
     if owns_session:
         ray.shutdown()
     return 0

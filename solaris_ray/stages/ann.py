@@ -159,35 +159,49 @@ def add_lsh_bucket(batch: pa.Table, planes: np.ndarray, vec_col: str = "embeddin
 
 def lsh_topk(ds, queries_ids: np.ndarray, queries_mat: np.ndarray, k: int = 5,
              n_planes: int = 12, n_probe_flips: int = 2, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding", concurrency=None):
+             id_col: str = "vec_id", vec_col: str = "embedding", concurrency=None,
+             n_tables: int = 1):
     """LSH-bucketed approximate top-k.
 
-    Vectors tagged with their bucket; each query probes its own bucket
-    plus all single-bit flips (multi-probe).  Implementation reuses the
-    brute kernel per probed bucket: the Dataset is filtered to probed
-    buckets before scoring, so compute scales with bucket occupancy,
-    not corpus size.  Recall vs ``brute_topk`` is measured in tests.
+    Vectors tagged with their bucket per hash table; each query probes
+    its own bucket plus all 1-/2-bit flips (multi-probe).  A vector is
+    a candidate when it matches ANY table's probe set (``n_tables`` > 1
+    is the standard recall upgrade: independent plane sets make the
+    miss probability multiplicative).  The Dataset is filtered to
+    candidates before the brute kernel, so compute scales with bucket
+    occupancy, not corpus size.  Recall vs ``brute_topk`` and the
+    multi-table recall ordering are measured in tests.
     """
-    planes = hyperplanes(np.asarray(queries_mat).shape[1], n_planes, seed)
+    dim = np.asarray(queries_mat).shape[1]
+    # table 0 keeps the historical seed so single-table results (and
+    # the SQL oracle) are unchanged
+    planes_list = [
+        hyperplanes(dim, n_planes, seed if t == 0 else seed + 1000 * t)
+        for t in range(n_tables)
+    ]
     Q = _normalize(np.asarray(queries_mat, dtype=np.float64))
-    qcodes = lsh_code(Q, planes)
-    probes = {int(c) for c in qcodes}
-    if n_probe_flips >= 1:
-        for c in qcodes:
-            for b in range(n_planes):
-                probes.add(int(c) ^ (1 << b))
-                if n_probe_flips >= 2:
-                    for b2 in range(b + 1, n_planes):
-                        probes.add(int(c) ^ (1 << b) ^ (1 << b2))
-    tagged = ds.map_batches(
-        lambda b: add_lsh_bucket(b, planes, vec_col), batch_format="pyarrow", batch_size=4096
-    )
-    import pyarrow.compute as pc  # noqa: F401 (expression path below)
+    probe_arrs = []
+    for planes in planes_list:
+        qcodes = lsh_code(Q, planes)
+        probes = {int(c) for c in qcodes}
+        if n_probe_flips >= 1:
+            for c in qcodes:
+                for b in range(n_planes):
+                    probes.add(int(c) ^ (1 << b))
+                    if n_probe_flips >= 2:
+                        for b2 in range(b + 1, n_planes):
+                            probes.add(int(c) ^ (1 << b) ^ (1 << b2))
+        probe_arrs.append(pa.array(sorted(probes), pa.int64()))
 
-    probe_arr = pa.array(sorted(probes), pa.int64())
-    filtered = tagged.map_batches(
-        lambda b: b.filter(pc.is_in(b["bucket"], value_set=probe_arr)),
-        batch_format="pyarrow",
-        batch_size=4096,
-    )
+    import pyarrow.compute as pc
+
+    def _filter(b: pa.Table) -> pa.Table:
+        V = _normalize(list_col_to_matrix(b[vec_col], np.float64))
+        keep = None
+        for planes, probe_arr in zip(planes_list, probe_arrs):
+            m = pc.is_in(pa.array(lsh_code(V, planes), pa.int64()), value_set=probe_arr)
+            keep = m if keep is None else pc.or_(keep, m)
+        return b.filter(keep)
+
+    filtered = ds.map_batches(_filter, batch_format="pyarrow", batch_size=4096)
     return brute_topk(filtered, queries_ids, queries_mat, k, id_col, vec_col, concurrency)

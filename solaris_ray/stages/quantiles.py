@@ -96,9 +96,9 @@ class TDigest:
 
     Not bit-compatible with any reference output (the reference's is a
     stub); accuracy is tested against numpy percentiles in pytest.
+    (No ``__slots__``: Ray's aggregate machinery pickles accumulator
+    state via ``__dict__``.)
     """
-
-    __slots__ = ("means", "weights", "delta", "_buf")
 
     def __init__(self, delta: int = 100):
         self.delta = delta
@@ -161,28 +161,38 @@ class TDigest:
         return float(np.interp(target, cum, self.means))
 
 
-def tdigest_aggregate(ds, col: str, qs: list[float], delta: int = 200) -> pa.Table:
-    """One-pass sketch quantiles via partial digests + driver merge.
+def tdigest_aggfn(col: str, delta: int = 200):
+    """The t-digest as a genuine Ray ``AggregateFn``: per-block
+    accumulate + tree merge run inside the engine's aggregation
+    machinery (SURVEY.md §2.3 "custom AggregateFn (merge-able digest)
+    — partial+final"); only the finalized sketch reaches the driver.
+    Composes with ``groupby(...).aggregate(...)`` like any built-in."""
+    from ray.data.aggregate import AggregateFn
 
-    Each batch builds/merges a digest (map-only, streaming); the tiny
-    per-block digests are merged on the driver — the classic
-    partial+final sketch aggregate (SURVEY.md §2.5 t-digest row).
-    """
-    import pickle
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        d = TDigest(delta)
-        d.add(batch[col].to_numpy().astype(np.float64))
+    def _accumulate(d: TDigest, block) -> TDigest:
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pydict(block)
+        d.add(tbl[col].to_numpy(zero_copy_only=False).astype(np.float64))
         d.compress()
-        return pa.table({"digest": pa.array([pickle.dumps((d.means, d.weights))], pa.binary())})
+        return d
 
-    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536).take_all()
-    final = TDigest(delta)
-    for row in parts:
-        means, weights = pickle.loads(row["digest"])
-        d = TDigest(delta)
-        d.means, d.weights = means, weights
-        final = final.merge(d)
+    def _merge(a: TDigest, b: TDigest) -> TDigest:
+        return a.merge(b)
+
+    return AggregateFn(
+        init=lambda k: TDigest(delta),
+        accumulate_block=_accumulate,
+        merge=_merge,
+        finalize=lambda d: d,
+        name=f"tdigest({col})",
+    )
+
+
+def tdigest_aggregate(ds, col: str, qs: list[float], delta: int = 200) -> pa.Table:
+    """One-pass sketch quantiles through ``Dataset.aggregate`` with the
+    t-digest AggregateFn — partial digests per block, tree-merged by the
+    engine; the driver only evaluates quantiles on the final sketch."""
+    agg = ds.aggregate(tdigest_aggfn(col, delta))
+    final: TDigest = agg[f"tdigest({col})"]
     return pa.table(
         {
             "q": pa.array(qs, pa.float64()),

@@ -91,3 +91,44 @@ def test_cli_run_and_resume(ray_session, tmp_path):
         if f.endswith(".parquet")
     )
     assert rows == 16
+
+
+def test_cli_warp_subcommand(ray_session, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from solaris_ray.raster import codec
+    from solaris_ray.geom.affine import Affine
+
+    img = np.full((32, 32), 99, dtype=np.uint8)
+    t = Affine.from_origin(733601.0, 3725139.0, 0.5, 0.5)
+    tbl = pa.table(
+        {
+            "image_id": pa.array(["a"], pa.string()),
+            "bytes": pa.array([codec.encode(img, "png")], pa.binary()),
+            "fmt": pa.array(["png"], pa.string()),
+            "epsg": pa.array([32616], pa.int32()),
+            "w": pa.array([32], pa.int32()),
+            "h": pa.array([32], pa.int32()),
+            **{f"gt_{k}": pa.array([float(v)]) for k, v in zip("abcdef", t)},
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(tbl, src / "part-0.parquet")
+    out_dir = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "solaris_ray", "--num-cpus", "2", "warp",
+         "--input", str(src), "--output", str(out_dir), "--dst-epsg", "4326"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["rows"] == 1 and res["dst_epsg"] == 4326
+    got = pq.read_table(str(out_dir))
+    assert got["epsg"][0].as_py() == 4326

@@ -191,3 +191,41 @@ def test_lsh_topk_recall(ray_session):
         a = set(approx[approx.query_id == qi]["vec_id"])
         hits += len(e & a)
     assert hits / 25 >= 0.5  # multi-probe LSH recall sanity floor
+
+
+def test_lsh_multi_table_recall(ray_session):
+    """n_tables=3 recall >= n_tables=1 recall (independent plane sets
+    make the candidate-miss probability multiplicative)."""
+    import ray
+
+    from solaris_ray.stages import ann
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    # clustered corpus: true neighbors are genuinely close (pure
+    # gaussian noise has no near neighbors for LSH to find)
+    centers = rng.normal(size=(100, dim))
+    M = np.repeat(centers, 8, axis=0) + 0.15 * rng.normal(size=(800, dim))
+    n = len(M)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(M.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    qids = np.arange(5, dtype=np.int64)
+    qmat = M[:5]
+    truth = ann.brute_topk(ray.data.from_arrow(tbl), qids, qmat, k=5).to_pandas()
+    t_set = set(zip(truth["query_id"], truth["vec_id"]))
+
+    def recall(n_tables):
+        got = ann.lsh_topk(
+            ray.data.from_arrow(tbl), qids, qmat, k=5,
+            n_probe_flips=1, n_tables=n_tables,
+        ).to_pandas()
+        g = set(zip(got["query_id"], got["vec_id"]))
+        return len(g & t_set) / len(t_set)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 >= 0.8
