@@ -34,9 +34,15 @@ BENCH_QUERIES = [
     "clip_join",
     "partitioned_join",
     "knn_join",
+    "knn_partitioned",
     "cell_hist",
+    "tiles_pipeline",
+    "warp_nearest",
     "masks_pipeline",
+    "road_masks",
     "eval_scores",
+    "map_101",
+    "graph_build",
     "lineitem_agg",
     "events_window",
     "quantiles",

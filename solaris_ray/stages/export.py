@@ -151,3 +151,95 @@ def yolo_rows(features, img_w: int, img_h: int, categories: dict[str, int],
         )
 
     return features.map_batches(_yolo, batch_format="pyarrow", batch_size=4096)
+
+
+EMPTY_GEOJSON = (
+    '{"type": "FeatureCollection", "crs": {"type": "name", "properties": '
+    '{"name": "urn:ogc:def:crs:OGC:1.3:CRS84"}}, "features": []}'
+)
+
+
+def write_tile_geojsons(tile_specs, joined, out_dir: str) -> "object":
+    """VectorTiler sink: one GeoJSON FeatureCollection per tile
+    (solaris/tile/vector_tile.py:94-112), empty tiles get the
+    empty-geojson template (solaris/utils/tile.py:13-31 —
+    ``save_empty_geojson``).
+
+    Distributed: joined rows co-shuffle by tile_id and each group
+    writes its own file; tiles with no features (anti-join of the spec
+    table against the join output via the same union+groupby) write
+    the empty template.  Returns a manifest Dataset
+    (tile_id, path, n_features) — no driver-side feature rows.
+    """
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _spec_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "tile_id": b["tile_id"],
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "feature_id": pa.nulls(n, pa.int64()),
+                "class": pa.nulls(n, pa.string()),
+                "xs": pa.nulls(n, pa.list_(pa.float64())),
+                "ys": pa.nulls(n, pa.list_(pa.float64())),
+            }
+        )
+
+    def _join_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "tile_id": b["tile_id"],
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "feature_id": pc_cast_i64(b["feature_id"]),
+                "class": b["class"],
+                "xs": b["xs"],
+                "ys": b["ys"],
+            }
+        )
+
+    s = tile_specs.map_batches(_spec_side, batch_format="pyarrow")
+    j = joined.map_batches(_join_side, batch_format="pyarrow")
+
+    def _write(group: pa.Table) -> pa.Table:
+        tid = group["tile_id"][0].as_py()
+        side = group["side"].to_numpy()
+        rows = np.nonzero(side == 1)[0]
+        feats = []
+        for i in rows.tolist():
+            xs = group["xs"][i].as_py()
+            ys = group["ys"][i].as_py()
+            ring = [[x, y] for x, y in zip(xs, ys)]
+            if ring and ring[0] != ring[-1]:
+                ring.append(ring[0])
+            feats.append(
+                {
+                    "type": "Feature",
+                    "geometry": {"type": "Polygon", "coordinates": [ring]},
+                    "properties": {
+                        "feature_id": int(group["feature_id"][i].as_py()),
+                        "class": group["class"][i].as_py(),
+                    },
+                }
+            )
+        path = os.path.join(out_dir, f"{tid}.geojson")
+        if feats:
+            doc = {"type": "FeatureCollection", "features": feats}
+            with open(path, "w") as f:
+                json.dump(doc, f)
+        else:
+            with open(path, "w") as f:
+                f.write(EMPTY_GEOJSON)
+        return pa.table(
+            {
+                "tile_id": pa.array([tid], pa.string()),
+                "path": pa.array([path], pa.string()),
+                "n_features": pa.array([len(feats)], pa.int64()),
+            }
+        )
+
+    return s.union(j).groupby("tile_id").map_groups(_write, batch_format="pyarrow")

@@ -149,13 +149,27 @@ def build_graph(roads, id_col: str = "feature_id"):
         lambda b: _segments(b, id_col), batch_format="pyarrow", batch_size=2048
     ).materialize()
 
+    # Hash-bucketed joins: groups are HASH BUCKETS of the key (1024-way),
+    # not individual keys — each map_groups call vectorizes over every
+    # key in its bucket (one-group-per-key paid ~1 ms of per-group
+    # machinery per EDGE, the graph build's measured bottleneck).
+    NB = 1024
+
+    def _xy_bucket(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        return (
+            (x.view(np.int64) * np.int64(1000003)) ^ y.view(np.int64)
+        ) % NB
+
     # endpoint rows: one per (edge, role); role 0 = u (x0,y0), 1 = v
     def _endpoints(b: pa.Table) -> pa.Table:
         n = b.num_rows
+        x = np.concatenate([b["x0"].to_numpy(), b["x1"].to_numpy()])
+        y = np.concatenate([b["y0"].to_numpy(), b["y1"].to_numpy()])
         return pa.table(
             {
-                "x": pa.array(np.concatenate([b["x0"].to_numpy(), b["x1"].to_numpy()])),
-                "y": pa.array(np.concatenate([b["y0"].to_numpy(), b["y1"].to_numpy()])),
+                "bucket": pa.array(_xy_bucket(x, y), pa.int64()),
+                "x": pa.array(x),
+                "y": pa.array(y),
                 "side": pa.array(np.ones(2 * n, dtype=np.int8)),
                 "edge_id": pa.array(np.tile(b["edge_id"].to_numpy(), 2), pa.int64()),
                 "role": pa.array(
@@ -167,8 +181,11 @@ def build_graph(roads, id_col: str = "feature_id"):
 
     def _node_side(b: pa.Table) -> pa.Table:
         n = b.num_rows
+        x = b["x"].to_numpy()
+        y = b["y"].to_numpy()
         return pa.table(
             {
+                "bucket": pa.array(_xy_bucket(x, y), pa.int64()),
                 "x": b["x"],
                 "y": b["y"],
                 "side": pa.array(np.zeros(n, dtype=np.int8)),
@@ -182,6 +199,8 @@ def build_graph(roads, id_col: str = "feature_id"):
     ns = nodes.map_batches(_node_side, batch_format="pyarrow")
 
     def _resolve(group: pa.Table) -> pa.Table:
+        """One hash bucket: stamp node ids onto endpoint rows by exact
+        (x, y) match — vectorized searchsorted over the bucket's nodes."""
         side = group["side"].to_numpy()
         nrow = np.nonzero(side == 0)[0]
         erow = np.nonzero(side == 1)[0]
@@ -189,23 +208,34 @@ def build_graph(roads, id_col: str = "feature_id"):
             return pa.schema(
                 [("edge_id", pa.int64()), ("role", pa.int8()), ("node_id", pa.int64())]
             ).empty_table()
-        nid = group["node_id"][int(nrow[0])].as_py()
-        idx = pa.array(erow)
+        x = group["x"].to_numpy()
+        y = group["y"].to_numpy()
+        key = np.stack([x, y], axis=1).view([("x", np.float64), ("y", np.float64)]).ravel()
+        nkey = key[nrow]
+        order = np.argsort(nkey, kind="stable")
+        nkey_s = nkey[order]
+        nids = group["node_id"].to_numpy(zero_copy_only=False)[nrow][order].astype(np.int64)
+        pos = np.searchsorted(nkey_s, key[erow])
+        pos = np.clip(pos, 0, len(nkey_s) - 1)
+        ok = nkey_s[pos] == key[erow]
+        er = erow[ok]
         return pa.table(
             {
-                "edge_id": group["edge_id"].take(idx),
-                "role": group["role"].take(idx),
-                "node_id": pa.array(np.full(len(erow), nid, dtype=np.int64)),
+                "edge_id": pa.array(group["edge_id"].to_numpy(zero_copy_only=False)[er].astype(np.int64), pa.int64()),
+                "role": pa.array(group["role"].to_numpy(zero_copy_only=False)[er].astype(np.int8), pa.int8()),
+                "node_id": pa.array(nids[pos[ok]], pa.int64()),
             }
         )
 
-    resolved = ep.union(ns).groupby(["x", "y"]).map_groups(_resolve, batch_format="pyarrow")
+    resolved = ep.union(ns).groupby("bucket").map_groups(_resolve, batch_format="pyarrow")
 
-    # reassemble: edge attrs + its two resolved endpoints
+    # reassemble buckets of edges: attrs + their two resolved endpoints
     def _attr_side(b: pa.Table) -> pa.Table:
         n = b.num_rows
+        eid = b["edge_id"].to_numpy()
         return pa.table(
             {
+                "bucket": pa.array(eid % NB, pa.int64()),
                 "edge_id": b["edge_id"],
                 "kind": pa.array(np.zeros(n, dtype=np.int8)),
                 "role": pa.nulls(n, pa.int8()),
@@ -218,8 +248,10 @@ def build_graph(roads, id_col: str = "feature_id"):
 
     def _res_side(b: pa.Table) -> pa.Table:
         n = b.num_rows
+        eid = b["edge_id"].to_numpy()
         return pa.table(
             {
+                "bucket": pa.array(eid % NB, pa.int64()),
                 "edge_id": b["edge_id"],
                 "kind": pa.array(np.ones(n, dtype=np.int8)),
                 "role": b["role"],
@@ -233,31 +265,43 @@ def build_graph(roads, id_col: str = "feature_id"):
     attrs = segs.map_batches(_attr_side, batch_format="pyarrow")
     rs = resolved.map_batches(_res_side, batch_format="pyarrow")
 
-    def _edge(group: pa.Table) -> pa.Table:
+    def _edges_bucket(group: pa.Table) -> pa.Table:
         kind = group["kind"].to_numpy()
         a = np.nonzero(kind == 0)[0]
         r = np.nonzero(kind == 1)[0]
-        if len(a) == 0 or len(r) == 0:
+        if len(a) == 0:
             return EDGE_SCHEMA.empty_table()
-        ai = int(a[0])
-        u = v = -1
-        for i in r.tolist():
-            if group["role"][i].as_py() == 0:
-                u = group["node_id"][i].as_py()
-            else:
-                v = group["node_id"][i].as_py()
+        eid = group["edge_id"].to_numpy()
+        order = np.argsort(eid[a], kind="stable")
+        a = a[order]
+        aeid = eid[a]
+        u = np.full(len(a), -1, dtype=np.int64)
+        v = np.full(len(a), -1, dtype=np.int64)
+        if len(r):
+            role = group["role"].to_numpy(zero_copy_only=False)[r].astype(np.int8)
+            nid = group["node_id"].to_numpy(zero_copy_only=False)[r].astype(np.int64)
+            pos = np.searchsorted(aeid, eid[r])
+            pos = np.clip(pos, 0, len(aeid) - 1)
+            ok = aeid[pos] == eid[r]
+            m0 = ok & (role == 0)
+            m1 = ok & (role == 1)
+            u[pos[m0]] = nid[m0]
+            v[pos[m1]] = nid[m1]
+        idx = pa.array(a)
         return pa.table(
             {
-                "edge_id": pa.array([group["edge_id"][ai].as_py()], pa.int64()),
-                "road_id": pa.array([group["road_id"][ai].as_py()], pa.int64()),
-                "seq": pa.array([group["seq"][ai].as_py()], pa.int32()),
-                "u": pa.array([u], pa.int64()),
-                "v": pa.array([v], pa.int64()),
-                "length": pa.array([group["length"][ai].as_py()], pa.float64()),
+                "edge_id": group["edge_id"].take(idx),
+                "road_id": group["road_id"].take(idx),
+                "seq": group["seq"].take(idx),
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "length": group["length"].take(idx),
             }
         )
 
-    edges = attrs.union(rs).groupby("edge_id").map_groups(_edge, batch_format="pyarrow")
+    edges = attrs.union(rs).groupby("bucket").map_groups(
+        _edges_bucket, batch_format="pyarrow"
+    )
     return nodes, edges
 
 

@@ -57,3 +57,32 @@ def test_extract_key_and_join(ray_session):
         ["img_1.png", "lbl_1_v2.geojson"],
         ["img_2.png", "lbl_2.geojson"],
     ]
+
+
+def test_write_tile_geojsons(ray_session, tmp_path):
+    import json
+
+    import ray
+
+    from solaris_ray.sources import synth
+    from solaris_ray.stages import export, tiler
+    from solaris_ray.stages.joins import broadcast_spatial_join
+
+    images, features = synth.gen_shard(np.arange(4), 4, seed=42, size=256)
+    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
+    specs = tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128)
+    joined = broadcast_spatial_join(specs, features).materialize()
+    out = export.write_tile_geojsons(
+        tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128),
+        joined, str(tmp_path / "vt"),
+    ).to_pandas()
+    # every planned tile got a file (16 tiles for 4 images of 256/128)
+    assert len(out) == 16
+    n_joined = joined.to_pandas().groupby("tile_id").size()
+    for _, r in out.iterrows():
+        doc = json.load(open(r["path"]))
+        assert doc["type"] == "FeatureCollection"
+        expect = int(n_joined.get(r["tile_id"], 0))
+        assert len(doc["features"]) == expect == r["n_features"]
+        if expect == 0:
+            assert "crs" in doc  # empty-tile template (save_empty_geojson)
