@@ -117,7 +117,9 @@ def main() -> None:
             r_lo = _one(lo)
             r_hi = _one(hi)
             eff = (r_hi["tiles_join_rows_per_sec"] / r_lo["tiles_join_rows_per_sec"]) / (hi / lo)
-            reps.append({"eff": round(eff, 3), str(lo): r_lo, str(hi): r_hi})
+            reps.append({"eff": round(eff, 3), str(lo): r_lo, str(hi): r_hi,
+                         "lo_rps": r_lo["tiles_join_rows_per_sec"],
+                         "hi_rps": r_hi["tiles_join_rows_per_sec"]})
         effs = sorted(r["eff"] for r in reps)
         median = effs[len(effs) // 2] if len(effs) % 2 else (effs[len(effs)//2 - 1] + effs[len(effs)//2]) / 2
         best = max(reps, key=lambda r: r["eff"])
@@ -131,6 +133,13 @@ def main() -> None:
             f"rows_per_sec_{hi}cpu": best[str(hi)]["tiles_join_rows_per_sec"],
             "n_images": args.scaling_images,
             "repeats": [r["eff"] for r in reps],
+            # per-repeat leg throughputs: the hi-leg rate is the
+            # external-load tell on a shared box (an impeded hi leg
+            # measures the neighbors, not the engine)
+            "repeats_detail": [
+                {"eff": r["eff"], "lo_rps": r["lo_rps"], "hi_rps": r["hi_rps"]}
+                for r in reps
+            ],
             "detail": {str(lo): best[str(lo)], str(hi): best[str(hi)]},
         }))
         return
