@@ -46,14 +46,15 @@ class CentroidIndex:
             [tbl[x_col].to_numpy().astype(np.float64), tbl[y_col].to_numpy().astype(np.float64)],
             axis=1,
         )
+        from .joins import CellBuckets
+
         cc = cells.cell_of_point(self.xy[:, 0], self.xy[:, 1], cell_res)
         order = np.argsort(cc, kind="stable")
         cc = cc[order]
         uniq, starts = np.unique(cc, return_index=True)
         ends = np.append(starts[1:], len(cc))
-        self.buckets = {
-            int(u): order[s:e] for u, s, e in zip(uniq.tolist(), starts, ends)
-        }
+        # CSR flat arrays -> zero-copy broadcast (see joins.CellBuckets)
+        self.buckets = CellBuckets(uniq, starts.astype(np.int64), ends.astype(np.int64), order)
 
     def candidates(self, cell: int, ring: int) -> np.ndarray:
         """Feature rows in cells at exactly ring distance ``ring``."""

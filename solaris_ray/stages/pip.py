@@ -81,6 +81,10 @@ class BoxIndex:
         else:
             self.coords = None
             self.offsets = None
+        # CSR flat-array buckets (joins.CellBuckets): zero-copy plasma
+        # ship instead of one pickled PyObject per bucket
+        from .joins import CellBuckets
+
         rows, cc = cells.cover_bboxes(
             self.bbox[:, 0], self.bbox[:, 1], self.bbox[:, 2], self.bbox[:, 3], cell_res
         )
@@ -88,7 +92,7 @@ class BoxIndex:
         cc, rows = cc[order], rows[order]
         uniq, starts = np.unique(cc, return_index=True)
         ends = np.append(starts[1:], len(cc))
-        self.buckets = {int(u): rows[s:e] for u, s, e in zip(uniq.tolist(), starts, ends)}
+        self.buckets = CellBuckets(uniq, starts.astype(np.int64), ends.astype(np.int64), rows)
 
     def ring(self, i: int) -> np.ndarray:
         return self.coords[self.offsets[i] : self.offsets[i + 1]]
