@@ -648,27 +648,36 @@ def cell_partitioned_join(
     cell_res: int = 13,
     min_partial_perc: float = 0.0,
     hot_cell_factor: float = 8.0,
+    hist_sample: float = 0.25,
 ):
     """Both-sides-large spatial join via groupby(cell) co-shuffle.
 
     Features are replicated to covered cells (duplication factor =
     replicated/count); tiles are replicated via bbox cover so
-    boundary-straddling tiles stay exact.  SKEW: a cheap pre-pass
+    boundary-straddling tiles stay exact.  SKEW: a SAMPLED pre-pass
+    (deterministic hash of feature_id, ``hist_sample`` keep fraction)
     counts features per cell; cells holding more than
     ``hot_cell_factor`` x the median are split one resolution finer
     (urban-density salting, SURVEY.md §4) before the shuffle — group
-    sizes stay bounded without changing results (owner-cell dedup is
-    resolution-aware).
+    sizes stay bounded without changing RESULTS (owner-cell dedup is
+    resolution-aware; the hot set only shapes the physical plan, so
+    sampling error costs at most balance, never correctness).
     """
-    # pass 0: feature-count histogram -> hot-cell set (tiny, driver-side)
+    # pass 0: sampled feature-count histogram -> hot-cell set (tiny,
+    # driver-side); deterministic hash sampling so plans are stable
     from ray.data.aggregate import Count
 
+    def _sampled_cells(b: pa.Table) -> pa.Table:
+        if hist_sample < 1.0:
+            fid = b["feature_id"].to_numpy().astype(np.uint64)
+            keep = (fid * np.uint64(2654435761)) % np.uint64(1000) < np.uint64(
+                int(hist_sample * 1000)
+            )
+            b = b.filter(pa.array(keep))
+        return _tag_features_with_cells(b, cell_res).select(["cell"])
+
     hist = (
-        features.map_batches(
-            lambda b: _tag_features_with_cells(b, cell_res).select(["cell"]),
-            batch_format="pyarrow",
-            batch_size=8192,
-        )
+        features.map_batches(_sampled_cells, batch_format="pyarrow", batch_size=8192)
         .groupby("cell")
         .aggregate(Count())
         .to_pandas()
