@@ -257,3 +257,34 @@ def test_spatial_join_auto_select_parity(ray_session):
     assert len(small) == len(forced) > 0
     assert (small["feature_id"].values == forced["feature_id"].values).all()
     assert np.allclose(small["partialDec"].values, forced["partialDec"].values, atol=0)
+
+
+def test_spatial_join_dataset_input(ray_session):
+    """Dataset-typed feature layer: small -> gathered broadcast path;
+    forced tiny limit -> partitioned path; identical rows."""
+    import ray
+
+    from solaris_ray.sources import synth
+    from solaris_ray.stages import tiler
+    from solaris_ray.stages.joins import spatial_join
+
+    images, features = synth.gen_shard(np.arange(6), 6, seed=42, size=256)
+    meta = images.select(["image_id", "w", "h", "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f"])
+    cols = ["tile_id", "feature_id", "partialDec"]
+    a = (
+        spatial_join(
+            tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128),
+            ray.data.from_arrow(features).materialize(),
+        )
+        .to_pandas()[cols].sort_values(cols[:2]).reset_index(drop=True)
+    )
+    b = (
+        spatial_join(
+            tiler.plan_tiles_ds(ray.data.from_arrow(meta), tile_size=128),
+            ray.data.from_arrow(features).materialize(),
+            broadcast_limit_bytes=1,
+        )
+        .to_pandas()[cols].sort_values(cols[:2]).reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    assert (a["feature_id"].values == b["feature_id"].values).all()
