@@ -1986,6 +1986,15 @@ UNION ALL SELECT 'relaxed_precision', rp FROM d
 UNION ALL SELECT 'relaxed_recall', rr FROM d
 UNION ALL SELECT 'relaxed_f1', 2*rp*rr/(rp+rr) FROM d
 """,
+    "resume_manifest": """
+WITH img AS (SELECT p_partkey AS p, 1 + p_partkey % 3 AS nx, 1 + p_partkey % 2 AS ny
+             FROM part WHERE p_partkey < 400),
+n AS (SELECT SUM(least(nx, 2) * ny) AS c FROM img)
+SELECT CAST(1 AS BIGINT) AS run, CAST(2 AS BIGINT) AS n_processed,
+       CAST(0 AS BIGINT) AS n_skipped, CAST((SELECT c FROM n) AS BIGINT) AS rows_written
+UNION ALL
+SELECT 2, 0, 2, 0
+""",
     "tiles_pipeline": f"""
 WITH img AS (
   SELECT p_partkey AS p, 64*(1 + p_partkey % 3) AS w, 64*(1 + p_partkey % 2) AS h,
