@@ -723,6 +723,7 @@ def _eval_grid_inputs(sf_dir: str) -> tuple[pa.Table, pa.Table]:
     corpus — this fixture verifies the distributed matcher end to end.)
     """
     c = _pq(sf_dir, "customer", ["c_custkey"])["c_custkey"].to_numpy().astype(np.int64)
+    c = c[c < 3100]  # unique 56x56 grid cell per customer (isolation invariant)
     cx = ((c % 56) * 57 + 28).astype(np.float64)
     cy = (((c // 56) % 56) * 57 + 28).astype(np.float64)
     hw = (5 + c % 18).astype(np.float64)
@@ -2286,7 +2287,7 @@ WITH g AS (SELECT c_custkey AS c,
                   CAST(abs(c_custkey % 5 - 2) AS DOUBLE) AS ady,
                   c_custkey % 3 <> 0 AS has_prop,
                   c_custkey % 11 = 0 AS has_fp
-           FROM customer),
+           FROM customer WHERE c_custkey < 3100),
 m AS (SELECT image_id, has_prop, has_fp,
              (2*hw - adx) * (2*hh - ady) AS inter,
              2 * (2*hw) * (2*hh) - (2*hw - adx) * (2*hh - ady) AS uni
@@ -2313,7 +2314,7 @@ WITH g AS (SELECT c_custkey AS c,
                   CAST(abs(c_custkey % 5 - 2) AS DOUBLE) AS ady,
                   c_custkey % 3 <> 0 AS has_prop,
                   c_custkey % 11 = 0 AS has_fp
-           FROM customer),
+           FROM customer WHERE c_custkey < 3100),
 m AS (SELECT aoi, has_prop, has_fp,
              (2*hw - adx) * (2*hh - ady) AS inter,
              2 * (2*hw) * (2*hh) - (2*hw - adx) * (2*hh - ady) AS uni
@@ -2337,7 +2338,7 @@ WITH g AS (SELECT c_custkey AS c,
                   CAST(5 + c_custkey % 11 AS DOUBLE) AS hh,
                   CAST(abs(c_custkey % 7 - 3) AS DOUBLE) AS adx,
                   CAST(abs(c_custkey % 5 - 2) AS DOUBLE) AS ady
-           FROM customer),
+           FROM customer WHERE c_custkey < 3100),
 p AS (
   SELECT c AS pid, CAST((c*13) % 20 AS DOUBLE)/20.0 AS conf,
          CASE WHEN ((2*hw - adx)*(2*hh - ady))
@@ -2351,7 +2352,7 @@ s AS (SELECT row_number() OVER w AS rn,
              SUM(is_tp) OVER (w ROWS UNBOUNDED PRECEDING) AS cum_tp
       FROM p WINDOW w AS (ORDER BY conf DESC, pid)),
 pr AS (SELECT CAST(cum_tp AS DOUBLE)/rn AS prec,
-              CAST(cum_tp AS DOUBLE)/(SELECT count(*) FROM customer) AS recall
+              CAST(cum_tp AS DOUBLE)/(SELECT count(*) FROM customer WHERE c_custkey < 3100) AS recall
        FROM s),
 levels AS (SELECT CAST(k AS DOUBLE)/100.0 AS r FROM range(0, 101) t(k)),
 ap AS (SELECT SUM(COALESCE((SELECT max(prec) FROM pr WHERE recall >= levels.r), 0.0))/101.0 AS a
