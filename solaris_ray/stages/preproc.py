@@ -56,6 +56,74 @@ def drop_channel(img: np.ndarray, idx: int) -> np.ndarray:
     return img[:, :, keep]
 
 
+def crop(img: np.ndarray, x0: int, y0: int, w: int, h: int) -> np.ndarray:
+    """Pixel-window crop (Crop, preproc/image.py:380-414; the geo
+    variant resolves the window through the affine first)."""
+    return img[y0 : y0 + h, x0 : x0 + w]
+
+
+def scale_mult(img: np.ndarray, factor: float) -> np.ndarray:
+    """Multiply pixel values (Scale, preproc/image.py:360-377)."""
+    return img.astype(np.float64) * factor
+
+
+def get_mask(img: np.ndarray) -> np.ndarray:
+    """Validity mask: 1 where finite, 0 where NaN (GetMask,
+    preproc/image.py:430-445)."""
+    return np.isfinite(img.astype(np.float64)).all(axis=2).astype(np.uint8)[:, :, None]
+
+
+def set_mask(img: np.ndarray, mask: np.ndarray, flag: float = np.nan) -> np.ndarray:
+    """Write ``flag`` where mask == 0 (SetMask, preproc/image.py:448-470)."""
+    out = img.astype(np.float64).copy()
+    m = mask[:, :, 0] if mask.ndim == 3 else mask
+    out[m == 0] = flag
+    return out
+
+
+def invert_mask(mask: np.ndarray) -> np.ndarray:
+    """Flip a 0/1 mask (InvertMask, preproc/image.py:473-480)."""
+    return (1 - (mask > 0).astype(np.uint8)) * 1
+
+
+def rgb_to_hsl(img: np.ndarray) -> np.ndarray:
+    """Vectorized RGB->HSL on [0,255] uint8 -> float64 [0,1] channels
+    (preproc/optical.py:9-50 runs colorsys per pixel)."""
+    f = img.astype(np.float64) / 255.0
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    mx = f.max(axis=2)
+    mn = f.min(axis=2)
+    d = mx - mn
+    ell = (mx + mn) / 2.0
+    s = np.zeros_like(mx)
+    nz = d > 0
+    denom = 1.0 - np.abs(2.0 * ell - 1.0)
+    s[nz] = d[nz] / np.where(denom[nz] > 0, denom[nz], 1.0)
+    h = np.zeros_like(mx)
+    rmax = nz & (mx == r)
+    gmax = nz & (mx == g) & ~rmax
+    bmax = nz & ~rmax & ~gmax
+    h[rmax] = ((g - b)[rmax] / d[rmax]) % 6
+    h[gmax] = (b - r)[gmax] / d[gmax] + 2
+    h[bmax] = (r - g)[bmax] / d[bmax] + 4
+    h /= 6.0
+    return np.stack([h, s, ell], axis=2)
+
+
+def hsl_to_rgb(img: np.ndarray) -> np.ndarray:
+    """Inverse of ``rgb_to_hsl`` back to uint8."""
+    h, s, ell = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    c = (1.0 - np.abs(2.0 * ell - 1.0)) * s
+    hp = h * 6.0
+    x = c * (1.0 - np.abs(hp % 2 - 1.0))
+    m = ell - c / 2.0
+    i = np.floor(hp).astype(np.int64) % 6
+    r = np.choose(i, [c, x, np.zeros_like(c), np.zeros_like(c), x, c])
+    g = np.choose(i, [x, c, c, x, np.zeros_like(c), np.zeros_like(c)])
+    b = np.choose(i, [np.zeros_like(c), np.zeros_like(c), x, c, c, x])
+    return np.clip(np.rint((np.stack([r, g, b], axis=2) + m[:, :, None]) * 255.0), 0, 255).astype(np.uint8)
+
+
 def rgb_to_hsv(img: np.ndarray) -> np.ndarray:
     """Vectorized RGB->HSV on [0,255] uint8 -> float64 [0,1] channels."""
     f = img.astype(np.float64) / 255.0
@@ -268,6 +336,13 @@ def orthorectify(img: np.ndarray, gcps: np.ndarray, method: str = "bilinear",
     h, w = img.shape[:2]
     dst_t, dw, dh = calculate_default_transform(src_t, w, h, lambda x, y: (x, y))
     return warp_affine(img, src_t, dst_t, (dh, dw), method, nodata), dst_t
+
+
+def multilook_complex(img: np.ndarray, k: int) -> np.ndarray:
+    """Box-filter multilook of complex (re, im) channel pairs
+    (MultilookComplex, preproc/sar.py:158-169): the complex mean is
+    the channel-pair mean, so it reuses the real multilook kernel."""
+    return multilook(img, k)
 
 
 def multilook(img: np.ndarray, k: int) -> np.ndarray:

@@ -194,3 +194,36 @@ def test_graph_to_geojson(ray_session):
         a, b = f["geometry"]["coordinates"]
         assert tuple(a) in node_coords and tuple(b) in node_coords
         assert f["properties"]["length"] > 0
+
+
+def test_hsl_roundtrip():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    back = preproc.hsl_to_rgb(preproc.rgb_to_hsl(img))
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_crop_scale_mask_ops():
+    img = np.arange(48, dtype=np.float64).reshape(4, 4, 3)
+    c = preproc.crop(img, 1, 2, 2, 2)
+    assert c.shape == (2, 2, 3) and c[0, 0, 0] == img[2, 1, 0]
+    sc = preproc.scale_mult(img, 2.0)
+    assert (sc == img * 2).all()
+    bad = img.copy()
+    bad[0, 0] = np.nan
+    m = preproc.get_mask(bad)
+    assert m[0, 0, 0] == 0 and m[1, 1, 0] == 1
+    inv = preproc.invert_mask(m)
+    assert inv[0, 0, 0] == 1 and inv[1, 1, 0] == 0
+    filled = preproc.set_mask(img, m, flag=-1.0)
+    assert filled[0, 0, 0] == -1.0 and filled[1, 1, 0] == img[1, 1, 0]
+
+
+def test_multilook_complex_is_complex_mean():
+    rng = np.random.default_rng(7)
+    z = rng.normal(size=(8, 8, 1)) + 1j * rng.normal(size=(8, 8, 1))
+    pairs = preproc._from_complex(z)
+    ml = preproc.multilook_complex(pairs, 3)
+    # center pixel = mean of the 3x3 complex neighborhood
+    expect = z[3:6, 3:6, 0].mean()
+    assert abs((ml[4, 4, 0] + 1j * ml[4, 4, 1]) - expect) < 1e-12
