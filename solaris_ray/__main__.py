@@ -61,6 +61,15 @@ def main(argv=None) -> int:
     p_warp.add_argument("--dst-epsg", type=int, required=True)
     p_warp.add_argument("--method", default="bilinear", choices=["bilinear", "nearest"])
 
+    p_eval = sub.add_parser(
+        "eval", help="proposals x truth greedy IoU eval (spacenet_eval analogue)"
+    )
+    p_eval.add_argument("--proposals", required=True)
+    p_eval.add_argument("--truth", required=True)
+    p_eval.add_argument("--output", required=True)
+    p_eval.add_argument("--miniou", type=float, default=0.5)
+    p_eval.add_argument("--by-class", action="store_true")
+
     args = ap.parse_args(argv)
     owns_session = _init_ray(args.num_cpus)
     import ray
@@ -90,6 +99,31 @@ def main(argv=None) -> int:
         out.write_parquet(args.output)
         print(json.dumps({"output": args.output, "rows": _count_dir(args.output),
                           "dst_epsg": args.dst_epsg}))
+    elif args.cmd == "eval":
+        from .stages.evaluate import eval_scores
+
+        scores = eval_scores(
+            ray.data.read_parquet(args.proposals),
+            ray.data.read_parquet(args.truth),
+            miniou=args.miniou,
+            by_class=args.by_class,
+        )
+        os.makedirs(args.output, exist_ok=True)
+        scores.write_parquet(args.output)
+        # summary = sum counts then recompute (challenges.py:62-87 rule)
+        import pyarrow.parquet as _pq
+
+        tot = {"tp": 0, "fp": 0, "fn": 0}
+        for name in os.listdir(args.output):
+            if name.endswith(".parquet"):
+                t = _pq.read_table(os.path.join(args.output, name), columns=["tp", "fp", "fn"])
+                for k in tot:
+                    tot[k] += sum(t[k].to_pylist())
+        prec = tot["tp"] / (tot["tp"] + tot["fp"]) if tot["tp"] + tot["fp"] else 0.0
+        rec = tot["tp"] / (tot["tp"] + tot["fn"]) if tot["tp"] + tot["fn"] else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        print(json.dumps({"output": args.output, **tot, "precision": prec,
+                          "recall": rec, "f1": f1}))
     if owns_session:
         ray.shutdown()
     return 0

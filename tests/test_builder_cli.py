@@ -132,3 +132,40 @@ def test_cli_warp_subcommand(ray_session, tmp_path):
     assert res["rows"] == 1 and res["dst_epsg"] == 4326
     got = pq.read_table(str(out_dir))
     assert got["epsg"][0].as_py() == 4326
+
+
+def test_cli_eval_subcommand(ray_session, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def sq(x, y, s=10.0):
+        return ([x, x + s, x + s, x], [y, y, y + s, y + s])
+
+    props, truth = [], []
+    for i in range(4):
+        xs, ys = sq(i * 50.0, 0.0)
+        truth.append({"feature_id": i, "image_id": "a", "class": "b", "xs": xs, "ys": ys})
+        # proposals: 3 matches (1-unit shift) + 1 far miss
+        dx = 1.0 if i < 3 else 30.0
+        pxs, pys = sq(i * 50.0 + dx, 0.0)
+        props.append({"proposal_id": i, "image_id": "a", "class": "b",
+                      "xs": pxs, "ys": pys, "conf": 0.9})
+    pd_, td_ = tmp_path / "p", tmp_path / "t"
+    pd_.mkdir(); td_.mkdir()
+    pq.write_table(pa.Table.from_pylist(props), pd_ / "p.parquet")
+    pq.write_table(pa.Table.from_pylist(truth), td_ / "t.parquet")
+    r = subprocess.run(
+        [sys.executable, "-m", "solaris_ray", "--num-cpus", "2", "eval",
+         "--proposals", str(pd_), "--truth", str(td_),
+         "--output", str(tmp_path / "scores")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["tp"] == 3 and res["fp"] == 1 and res["fn"] == 1
+    assert abs(res["f1"] - 0.75) < 1e-12
