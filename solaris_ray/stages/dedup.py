@@ -365,6 +365,91 @@ class CosinePairFinder:
         )
 
 
+def embedding_neardup_pairs_bucketed(ds, tau: float = 0.4, n_planes: int = 8,
+                                     n_tables: int = 4, seed: int = 42,
+                                     id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Both-sides-large cosine near-dup: NO broadcast matrix.
+
+    Sign-random-projection buckets per hash table (groupby co-shuffle);
+    exact pairwise cosine INSIDE each bucket; distinct pairs via a
+    final groupby.  Near-identical vectors share buckets with
+    probability (1 - theta/pi)^n_planes per table, so multiple tables
+    make the miss rate multiplicative — recall measured in tests
+    against the exact broadcast path.  Scale shape: only (table,
+    bucket, id, vector) rows shuffle; no structure ever fits-on-one-
+    node; the replication factor is exactly ``n_tables``.
+    """
+    from .ann import hyperplanes, list_col_to_matrix, lsh_code
+
+    planes_cache: dict[int, list[np.ndarray]] = {}
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        V = list_col_to_matrix(batch[vec_col], np.float64)
+        dim = V.shape[1] if V.size else 0
+        if dim not in planes_cache:
+            planes_cache[dim] = [
+                hyperplanes(dim, n_planes, seed if t == 0 else seed + 1000 * t)
+                for t in range(n_tables)
+            ]
+        n = batch.num_rows
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        tables, buckets, oids, vecs = [], [], [], []
+        norm = V / np.where(
+            np.linalg.norm(V, axis=1, keepdims=True) == 0, 1.0,
+            np.linalg.norm(V, axis=1, keepdims=True),
+        )
+        for t, planes in enumerate(planes_cache[dim]):
+            code = lsh_code(norm, planes)
+            tables.append(np.full(n, t, dtype=np.int32))
+            buckets.append(code)
+            oids.append(ids)
+            vecs.append(norm)
+        return pa.table(
+            {
+                "t": pa.array(np.concatenate(tables), pa.int32()),
+                "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+                id_col: pa.array(np.concatenate(oids), pa.int64()),
+                "nvec": pa.array(
+                    np.concatenate(vecs).tolist(), pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow", batch_size=4096)
+
+    empty = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("sim6", pa.float64())]
+    ).empty_table()
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2:
+            return empty
+        ids = group[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        from .ann import list_col_to_matrix as _lcm
+
+        V = _lcm(group["nvec"], np.float64)[order]
+        sims = np.round(V @ V.T, 6)
+        ia, ib = np.triu_indices(m, k=1)
+        keep = (sims[ia, ib] >= tau) & (ids[ia] != ids[ib])
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia[keep]], pa.int64()),
+                "doc_b": pa.array(ids[ib[keep]], pa.int64()),
+                "sim6": pa.array(sims[ia[keep], ib[keep]], pa.float64()),
+            }
+        )
+
+    pairs = tagged.groupby(["t", "bucket"]).map_groups(_bucket, batch_format="pyarrow")
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("sim6"))
+
+
 def embedding_neardup_pairs(ds, embeddings_table: pa.Table, tau: float = 0.4,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             concurrency=None):

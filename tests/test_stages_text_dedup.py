@@ -229,3 +229,34 @@ def test_lsh_multi_table_recall(ray_session):
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1
     assert r3 >= 0.8
+
+
+def test_embedding_neardup_bucketed_recall(ray_session):
+    """Both-sides-large near-dup: recall vs the exact broadcast path on
+    planted near-duplicate pairs; no false positives below tau."""
+    import ray
+
+    rng = np.random.default_rng(11)
+    n, dim = 300, 16
+    base = rng.normal(size=(n, dim))
+    # plant: even ids' +1 neighbor is a near-copy
+    for i in range(0, n - 1, 2):
+        base[i + 1] = base[i] + 0.05 * rng.normal(size=dim)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(base.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    exact = dedup.embedding_neardup_pairs(
+        ray.data.from_arrow(tbl), tbl, tau=0.9
+    ).to_pandas()
+    e_set = set(zip(exact["id_a"], exact["id_b"]))
+    got = dedup.embedding_neardup_pairs_bucketed(
+        ray.data.from_arrow(tbl), tau=0.9, n_planes=8, n_tables=4
+    ).to_pandas()
+    g_set = set(zip(got["doc_a"], got["doc_b"]))
+    # no false positives: every reported pair is a true pair
+    assert g_set <= e_set
+    # recall on the planted structure
+    assert len(g_set & e_set) / max(1, len(e_set)) >= 0.8
