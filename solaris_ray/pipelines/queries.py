@@ -457,6 +457,13 @@ def q_embed_neardup(sf_dir: str):
     return dedup.embedding_neardup_pairs(ds, _pq(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.4)
 
 
+def q_embed_neardup_lsh(sf_dir: str):
+    """Both-sides-large cosine near-dup (LSH-bucketed, no broadcast) —
+    the 10^12-scale path; SQL-oracled with the inlined plane sets."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup.embedding_neardup_pairs_bucketed(ds, tau=0.4, n_planes=8, n_tables=4)
+
+
 def q_ann_topk(sf_dir: str):
     tbl = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
     mask = pc.less(tbl["vec_id"], 10)
@@ -1730,6 +1737,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "jaccard_adjacent": q_jaccard_adjacent,
     "embed_neardup": q_embed_neardup,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
@@ -2792,6 +2800,42 @@ QUALIFY row_number() OVER w <= {k}
 
 
 _ORACLES_BASE["embed_extract_ann"] = _embed_ann_oracle_sql()
+
+
+def _embed_lsh_pairs_oracle_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 4,
+                                seed: int = 42, tau: float = 0.4) -> str:
+    """DuckDB twin of embedding_neardup_pairs_bucketed: per-table
+    inlined plane sets -> bucket codes -> in-bucket pairs -> exact
+    cosine (round 6) >= tau -> distinct pairs with max sim."""
+    from ..stages.ann import hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        P = hyperplanes(dim, n_planes, seed if t == 0 else seed + 1000 * t)
+        for j in range(n_planes):
+            for d in range(dim):
+                rows.append(f"({t},{j},{d},{P[j, d]!r})")
+    plane_rows = ",".join(rows)
+    return f"""
+WITH planes AS (SELECT * FROM (VALUES {plane_rows}) p(t, j, d, w)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dots AS (SELECT vec_id, t, j, SUM(emb[d + 1] * w) AS dp
+         FROM e, planes GROUP BY 1, 2, 3),
+code AS (SELECT vec_id, t,
+                CAST(SUM(CASE WHEN dp > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         FROM dots GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+         FROM code a JOIN code b ON b.t = a.t AND b.bucket = a.bucket AND b.vec_id > a.vec_id),
+sims AS (SELECT c.doc_a, c.doc_b,
+                round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS s
+         FROM cand c
+         JOIN embeddings ea ON ea.vec_id = c.doc_a
+         JOIN embeddings eb ON eb.vec_id = c.doc_b)
+SELECT doc_a, doc_b, s AS "max(sim6)" FROM sims WHERE s >= {tau}
+"""
+
+
+_ORACLES_BASE["embed_neardup_lsh"] = _embed_lsh_pairs_oracle_sql()
 
 ORACLES.update(_ORACLES_BASE)
 for _alias, _src in _SHARED_ORACLES:
