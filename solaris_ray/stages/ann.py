@@ -205,3 +205,56 @@ def lsh_topk(ds, queries_ids: np.ndarray, queries_mat: np.ndarray, k: int = 5,
 
     filtered = ds.map_batches(_filter, batch_format="pyarrow", batch_size=4096)
     return brute_topk(filtered, queries_ids, queries_mat, k, id_col, vec_col, concurrency)
+
+
+# --- IVF variant (k-means inverted lists, the other scale path) ----------
+
+def kmeans_centroids(X: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means on normalized vectors (seeded
+    init; cosine assignment).  Small input — this trains on a SAMPLE."""
+    Xn = _normalize(np.asarray(X, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(len(Xn), size=min(k, len(Xn)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        newC = np.vstack([
+            Xn[assign == j].mean(axis=0) if (assign == j).any() else C[j]
+            for j in range(len(C))
+        ])
+        C = _normalize(newC)
+    return C
+
+
+def ivf_topk(ds, queries_ids: np.ndarray, queries_mat: np.ndarray, k: int = 5,
+             n_lists: int = 16, nprobe: int = 4, sample_size: int = 2048,
+             seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
+             concurrency=None):
+    """IVF approximate top-k: k-means inverted lists + nprobe probing.
+
+    Centroids train on a SAMPLE (driver-side, tiny — the standard IVF
+    recipe); every vector is assigned to its nearest centroid in one
+    streaming pass; each query probes its ``nprobe`` closest lists and
+    the brute kernel scores only those lists' members.  Compute scales
+    with probed-list occupancy ~ nprobe/n_lists of the corpus.  Recall
+    vs ``brute_topk`` is measured in tests; raise nprobe for recall,
+    n_lists for selectivity.
+    """
+    import pyarrow.compute as pc
+
+    sample_tbl = pa.concat_tables(
+        [b for b in __import__("ray").get(ds.limit(sample_size).to_arrow_refs()) if b.num_rows]
+    )
+    S = list_col_to_matrix(sample_tbl[vec_col], np.float64)
+    C = kmeans_centroids(S, n_lists, seed=seed)
+
+    Q = _normalize(np.asarray(queries_mat, dtype=np.float64))
+    probe_lists = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    probe_set = pa.array(sorted({int(v) for v in probe_lists.ravel()}), pa.int64())
+
+    def _filter(b: pa.Table) -> pa.Table:
+        V = _normalize(list_col_to_matrix(b[vec_col], np.float64))
+        lists = np.argmax(V @ C.T, axis=1).astype(np.int64)
+        return b.filter(pc.is_in(pa.array(lists, pa.int64()), value_set=probe_set))
+
+    filtered = ds.map_batches(_filter, batch_format="pyarrow", batch_size=4096)
+    return brute_topk(filtered, queries_ids, queries_mat, k, id_col, vec_col, concurrency)

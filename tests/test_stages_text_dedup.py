@@ -260,3 +260,33 @@ def test_embedding_neardup_bucketed_recall(ray_session):
     assert g_set <= e_set
     # recall on the planted structure
     assert len(g_set & e_set) / max(1, len(e_set)) >= 0.8
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF recall on clustered vectors; probing more lists never hurts."""
+    import ray
+
+    rng = np.random.default_rng(13)
+    dim = 16
+    centers = rng.normal(size=(50, dim))
+    M = np.repeat(centers, 10, axis=0) + 0.1 * rng.normal(size=(500, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(M), dtype=np.int64)),
+            "embedding": pa.array(M.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    qids = np.arange(5, dtype=np.int64)
+    truth = ann.brute_topk(ray.data.from_arrow(tbl), qids, M[:5], k=5).to_pandas()
+    t_set = set(zip(truth["query_id"], truth["vec_id"]))
+
+    def recall(nprobe):
+        got = ann.ivf_topk(
+            ray.data.from_arrow(tbl), qids, M[:5], k=5,
+            n_lists=16, nprobe=nprobe, sample_size=500,
+        ).to_pandas()
+        return len(set(zip(got["query_id"], got["vec_id"])) & t_set) / len(t_set)
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 >= r2
+    assert r8 >= 0.8
