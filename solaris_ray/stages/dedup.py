@@ -367,7 +367,9 @@ class CosinePairFinder:
 
 def embedding_neardup_pairs_bucketed(ds, tau: float = 0.4, n_planes: int = 8,
                                      n_tables: int = 4, seed: int = 42,
-                                     id_col: str = "vec_id", vec_col: str = "embedding"):
+                                     id_col: str = "vec_id", vec_col: str = "embedding",
+                                     max_bucket: int = 4096,
+                                     collapse_exact: bool = True):
     """Both-sides-large cosine near-dup: NO broadcast matrix.
 
     Sign-random-projection buckets per hash table (groupby co-shuffle);
@@ -378,8 +380,28 @@ def embedding_neardup_pairs_bucketed(ds, tau: float = 0.4, n_planes: int = 8,
     against the exact broadcast path.  Scale shape: only (table,
     bucket, id, vector) rows shuffle; no structure ever fits-on-one-
     node; the replication factor is exactly ``n_tables``.
+
+    Scale hardening (a dedup pass concentrates duplicate mass into one
+    bucket BY DESIGN, so the bucket emitter must be bounded):
+
+    - ``collapse_exact``: bitwise-identical vectors are collapsed to one
+      representative (min id) BEFORE LSH bucketing via a digest groupby;
+      each duplicate class emits star pairs (rep, member, sim=1.0)
+      instead of the O(k^2) clique — 1 M identical vectors cost 1 M-1
+      rows, not 5*10^11.  Member-to-other pairs are derivable
+      transitively through the representative.  With no exact
+      duplicates in the input this is a no-op and output is unchanged.
+    - ``max_bucket``: buckets larger than this are truncated with a
+      LOGGED warning (same policy as the MinHash emitter above); a
+      bucket that big after exact-collapse means a degenerate
+      projection key, and O(max_bucket^2) bounds the emitter.
     """
     from .ann import hyperplanes, list_col_to_matrix, lsh_code
+
+    if collapse_exact:
+        ds, star_pairs = _collapse_exact_vectors(ds, id_col, vec_col)
+    else:
+        star_pairs = None
 
     planes_cache: dict[int, list[np.ndarray]] = {}
 
@@ -425,6 +447,15 @@ def embedding_neardup_pairs_bucketed(ds, tau: float = 0.4, n_planes: int = 8,
         m = group.num_rows
         if m < 2:
             return empty
+        if m > max_bucket:
+            import logging
+
+            logging.getLogger("solaris_ray.dedup").warning(
+                "embedding-LSH bucket (t=%s, bucket=%s) truncated: %d of %d rows dropped",
+                group["t"][0].as_py(), group["bucket"][0].as_py(), m - max_bucket, m,
+            )
+            group = group.slice(0, max_bucket)
+            m = max_bucket
         ids = group[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
@@ -445,9 +476,65 @@ def embedding_neardup_pairs_bucketed(ds, tau: float = 0.4, n_planes: int = 8,
         )
 
     pairs = tagged.groupby(["t", "bucket"]).map_groups(_bucket, batch_format="pyarrow")
+    if star_pairs is not None:
+        pairs = pairs.union(star_pairs)
     from ray.data.aggregate import Max
 
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("sim6"))
+
+
+def _collapse_exact_vectors(ds, id_col: str, vec_col: str):
+    """Collapse bitwise-identical vectors to one representative each.
+
+    Returns ``(reps, star_pairs)``: ``reps`` has the input schema with
+    one row (min id) per distinct vector value; ``star_pairs`` is a
+    (doc_a, doc_b, sim6=1.0) Dataset linking each representative to its
+    duplicate class members.  Two independent lazy groupby pipelines:
+    the star-pair side shuffles only (digest, id) — tiny rows — while
+    the rep side carries vectors.  No materialization; with no exact
+    duplicates ``reps`` re-emits every input row and ``star_pairs`` is
+    empty, so downstream output is unchanged.
+    """
+
+    def _digest(batch: pa.Table) -> pa.Table:
+        from .ann import list_col_to_matrix
+
+        V = np.ascontiguousarray(list_col_to_matrix(batch[vec_col], np.float64))
+        keys = [hashlib.md5(V[i].tobytes()).digest()[:8] for i in range(V.shape[0])]
+        dkey = np.frombuffer(b"".join(keys), dtype=">u8").astype(np.int64) if keys else np.array([], np.int64)
+        return batch.append_column("dkey", pa.array(dkey, pa.int64()))
+
+    keyed = ds.map_batches(_digest, batch_format="pyarrow", batch_size=4096)
+
+    def _rep(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy()
+        return group.take([int(np.argmin(ids))]).drop_columns(["dkey"])
+
+    reps = keyed.groupby("dkey").map_groups(_rep, batch_format="pyarrow")
+
+    star_empty = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("sim6", pa.float64())]
+    ).empty_table()
+
+    def _stars(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2:
+            return star_empty
+        ids = np.sort(group[id_col].to_numpy().astype(np.int64))
+        return pa.table(
+            {
+                "doc_a": pa.array(np.full(m - 1, ids[0]), pa.int64()),
+                "doc_b": pa.array(ids[1:], pa.int64()),
+                "sim6": pa.array(np.ones(m - 1), pa.float64()),
+            }
+        )
+
+    stars = (
+        keyed.select_columns(["dkey", id_col])
+        .groupby("dkey")
+        .map_groups(_stars, batch_format="pyarrow")
+    )
+    return reps, stars
 
 
 def embedding_neardup_pairs(ds, embeddings_table: pa.Table, tau: float = 0.4,

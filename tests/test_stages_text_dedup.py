@@ -290,3 +290,58 @@ def test_ivf_topk_recall(ray_session):
     r2, r8 = recall(2), recall(8)
     assert r8 >= r2
     assert r8 >= 0.8
+
+
+def test_embedding_neardup_bucketed_mass_duplicates_bounded(ray_session):
+    """VERDICT r2 #1: 10k identical vectors must NOT build an O(k^2)
+    clique in one LSH bucket.  The exact-duplicate pre-collapse turns
+    the class into star pairs (rep -> member, sim=1.0) and the bucket
+    emitter is capped, so the run completes with linear output."""
+    import ray
+
+    rng = np.random.default_rng(7)
+    k, dim = 10_000, 16
+    v = rng.normal(size=dim)
+    M = np.tile(v, (k, 1))
+    M[-3:] = rng.normal(size=(3, dim))  # a few distinct rows too
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(k, dtype=np.int64)),
+            "embedding": pa.array(M.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    got = dedup.embedding_neardup_pairs_bucketed(
+        ray.data.from_arrow(tbl), tau=0.99, n_planes=8, n_tables=2,
+        max_bucket=64,
+    ).to_pandas()
+    dup = got[got["doc_a"] == 0]
+    # star pairs: representative (min id 0) linked to every duplicate
+    assert set(dup["doc_b"]) == set(range(1, k - 3))
+    assert (dup["max(sim6)"] == 1.0).all()
+    # linear, not quadratic: no clique among the duplicate class
+    assert len(got) < 2 * k
+
+
+def test_embedding_neardup_bucket_cap_logged(ray_session, caplog):
+    """Oversize buckets of DISTINCT near-identical vectors truncate
+    with a logged warning instead of emitting O(m^2) pairs."""
+    import logging
+
+    import ray
+
+    rng = np.random.default_rng(9)
+    n, dim = 200, 16
+    v = rng.normal(size=dim)
+    M = v + 1e-6 * rng.normal(size=(n, dim))  # distinct bits, same bucket
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(M.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    got = dedup.embedding_neardup_pairs_bucketed(
+        ray.data.from_arrow(tbl), tau=0.5, n_planes=4, n_tables=1,
+        max_bucket=32,
+    ).to_pandas()
+    # pairs bounded by the cap, not by n^2
+    assert len(got) <= 32 * 31 // 2
