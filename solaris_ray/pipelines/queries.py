@@ -503,6 +503,24 @@ def q_lsh_ann(sf_dir: str):
     return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
 
 
+def q_ivf_ann(sf_dir: str):
+    """IVF top-k through the full distributed machinery (assignment,
+    probe-set filter, partial top-k + merge) with FIXED seeded centroids
+    so the DuckDB oracle can inline the identical matrix.  The k-means
+    trainer itself (hash-sampled, never head-sampled) is covered by
+    recall pytests including a storage-order-clustered bias case."""
+    tbl = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = tbl.filter(pc.less(tbl["vec_id"], 10))
+    qids = q["vec_id"].to_numpy().astype(np.int64)
+    qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann.ivf_topk(
+        ds, qids, qmat, k=5, n_lists=8, nprobe=3,
+        centroids=ann.seeded_centroids(64, 8, seed=7),
+    )
+    return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
+
+
 def _formula_gray_images(sf_dir: str, limit: int, base: int = 0, mod: int = 251,
                          fixed_size: int | None = None):
     """part rows -> real PNG images whose pixel values follow the
@@ -1743,6 +1761,7 @@ QUERIES = {
     "simhash": q_simhash,
     "winnow": q_winnow,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "tiles_pipeline": q_tiles_pipeline,
     "tile_feature_join": q_tile_feature_join,
     "masks_pipeline": q_masks_pipeline,
@@ -2762,6 +2781,49 @@ QUALIFY row_number() OVER w <= {k}
 
 
 _ORACLES_BASE["lsh_ann"] = _lsh_oracle_sql()
+
+
+def _ivf_ann_oracle_sql(dim: int = 64, n_lists: int = 8, nprobe: int = 3,
+                        seed: int = 7, k: int = 5) -> str:
+    """DuckDB twin of ann.ivf_topk with fixed centroids: the seeded
+    centroid matrix is inlined; assignment = argmax-dot list per vector
+    (tie -> lowest list, matching np.argmax), probe set = UNION over all
+    queries of their top-``nprobe`` lists (ivf_topk filters the corpus
+    once with the union set), ranking identical to the brute oracle
+    over the probed subset."""
+    from ..stages.ann import seeded_centroids
+
+    C = seeded_centroids(dim, n_lists, seed)
+    cent_rows = ",".join(
+        f"({l}, {d}, {C[l, d]!r})" for l in range(n_lists) for d in range(dim)
+    )
+    return f"""
+WITH cent AS (SELECT * FROM (VALUES {cent_rows}) c(l, d, w)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dots AS (SELECT vec_id, l, SUM(emb[d + 1] * w) AS dp
+         FROM e, cent GROUP BY 1, 2),
+assign AS (SELECT vec_id, l FROM (
+    SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, l) AS rn
+    FROM dots) WHERE rn = 1),
+probes AS (SELECT DISTINCT l FROM (
+    SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, l) AS rn
+    FROM dots WHERE vec_id < 10) WHERE rn <= {nprobe}),
+v AS (SELECT embeddings.* FROM embeddings JOIN assign USING (vec_id)
+      WHERE assign.l IN (SELECT l FROM probes))
+SELECT q.vec_id AS query_id,
+       CAST(row_number() OVER w AS BIGINT) AS "rank",
+       v.vec_id,
+       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) AS sim6
+FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+CROSS JOIN v
+WHERE v.vec_id <> q.vec_id
+WINDOW w AS (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id)
+QUALIFY row_number() OVER w <= {k}
+"""
+
+
+_ORACLES_BASE["ivf_ann"] = _ivf_ann_oracle_sql()
 
 
 def _embed_ann_oracle_sql(dim: int = 8, pool: int = 8, seed: int = 42,

@@ -225,27 +225,84 @@ def kmeans_centroids(X: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> 
     return C
 
 
+def hash_sample_table(ds, sample_size: int, id_col: str = "vec_id",
+                      columns=None) -> pa.Table:
+    """Deterministic uniform sample as a small driver-side Table.
+
+    A head sample (``ds.limit``) is storage-order-biased: corpora are
+    usually time/source-clustered on disk, so training structures on
+    the head mis-covers the tail.  This draws by Knuth-hash of the id
+    column inside a ``map_batches`` filter (the ``joins.py`` hot-cell
+    histogram idiom), so every block contributes proportionally and the
+    sample is stable across runs/partitionings.  ``ds.count()`` is
+    metadata-only for file sources; the slight oversample (x1.05) is
+    trimmed after collection, never by a head ``limit`` (which would
+    re-introduce order bias among the sampled rows).
+    """
+    import ray
+
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    cnt = ds.count()
+    rate = min(1.0, (1.05 * sample_size) / max(1, cnt))
+    if rate < 1.0:
+        thresh = np.uint64(max(1, int(rate * (1 << 20))))
+
+        def _sample(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy().astype(np.uint64)
+            keep = (ids * np.uint64(2654435761)) % np.uint64(1 << 20) < thresh
+            return b.filter(pa.array(keep))
+
+        ds = ds.map_batches(_sample, batch_format="pyarrow", batch_size=4096)
+    parts = [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
+    tbl = pa.concat_tables(parts) if parts else ds.schema().base_schema.empty_table()
+    return tbl.slice(0, sample_size) if tbl.num_rows > sample_size else tbl
+
+
+def seeded_centroids(dim: int, n_lists: int, seed: int = 7) -> np.ndarray:
+    """Deterministic normalized gaussian centroid matrix — shared by the
+    SQL-oracled ``ivf_ann`` gate query and its DuckDB oracle builder
+    (data-independent so the oracle can inline the identical values)."""
+    rng = np.random.default_rng(seed)
+    return _normalize(rng.normal(size=(n_lists, dim)))
+
+
 def ivf_topk(ds, queries_ids: np.ndarray, queries_mat: np.ndarray, k: int = 5,
              n_lists: int = 16, nprobe: int = 4, sample_size: int = 2048,
              seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
-             concurrency=None):
+             concurrency=None, centroids: np.ndarray | None = None,
+             sample_mode: str = "hash"):
     """IVF approximate top-k: k-means inverted lists + nprobe probing.
 
     Centroids train on a SAMPLE (driver-side, tiny — the standard IVF
-    recipe); every vector is assigned to its nearest centroid in one
-    streaming pass; each query probes its ``nprobe`` closest lists and
-    the brute kernel scores only those lists' members.  Compute scales
-    with probed-list occupancy ~ nprobe/n_lists of the corpus.  Recall
-    vs ``brute_topk`` is measured in tests; raise nprobe for recall,
-    n_lists for selectivity.
+    recipe) drawn uniformly from the WHOLE corpus by deterministic id
+    hashing (``hash_sample_table``; ``sample_mode="head"`` keeps the
+    biased first-blocks draw for A/B tests only).  Every vector is
+    assigned to its nearest centroid in one streaming pass; each query
+    probes its ``nprobe`` closest lists and the brute kernel scores
+    only those lists' members.  Compute scales with probed-list
+    occupancy ~ nprobe/n_lists of the corpus.  Recall vs ``brute_topk``
+    is measured in tests; raise nprobe for recall, n_lists for
+    selectivity.  ``centroids`` overrides training entirely (used by
+    the SQL-oracled gate query, which inlines the same matrix).
     """
     import pyarrow.compute as pc
 
-    sample_tbl = pa.concat_tables(
-        [b for b in __import__("ray").get(ds.limit(sample_size).to_arrow_refs()) if b.num_rows]
-    )
-    S = list_col_to_matrix(sample_tbl[vec_col], np.float64)
-    C = kmeans_centroids(S, n_lists, seed=seed)
+    if centroids is not None:
+        C = _normalize(np.asarray(centroids, dtype=np.float64))
+    else:
+        if sample_mode == "head":
+            import ray
+
+            sample_tbl = pa.concat_tables(
+                [b for b in ray.get(ds.limit(sample_size).to_arrow_refs()) if b.num_rows]
+            )
+        else:
+            sample_tbl = hash_sample_table(
+                ds, sample_size, id_col=id_col, columns=[id_col, vec_col]
+            )
+        S = list_col_to_matrix(sample_tbl[vec_col], np.float64)
+        C = kmeans_centroids(S, n_lists, seed=seed)
 
     Q = _normalize(np.asarray(queries_mat, dtype=np.float64))
     probe_lists = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]

@@ -345,3 +345,42 @@ def test_embedding_neardup_bucket_cap_logged(ray_session, caplog):
     ).to_pandas()
     # pairs bounded by the cap, not by n^2
     assert len(got) <= 32 * 31 // 2
+
+
+def test_ivf_hash_sample_beats_head_sample_on_clustered_order(ray_session):
+    """VERDICT r2 #2: with a storage-order-clustered corpus (sorted by
+    cluster id) a head sample trains centroids only on the first
+    clusters — recall collapses for tail queries; the deterministic
+    hash sample covers the whole corpus."""
+    import ray
+
+    rng = np.random.default_rng(21)
+    dim, n_clusters, per = 16, 40, 25
+    centers = rng.normal(size=(n_clusters, dim)) * 1.5
+    # STORAGE-ORDER CLUSTERED: rows sorted by cluster; broad clusters so
+    # members straddle list boundaries under mis-placed centroids
+    M = np.repeat(centers, per, axis=0) + 0.6 * rng.normal(size=(n_clusters * per, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(M), dtype=np.int64)),
+            "embedding": pa.array(M.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    # queries drawn from the TAIL clusters only
+    qidx = np.arange(len(M) - 5 * per, len(M), per)
+    qids = qidx.astype(np.int64)
+    qmat = M[qidx]
+    ds = lambda: ray.data.from_arrow(tbl).repartition(10)
+    truth = ann.brute_topk(ds(), qids, qmat, k=5).to_pandas()
+    t_set = set(zip(truth["query_id"], truth["vec_id"]))
+
+    def recall(mode):
+        got = ann.ivf_topk(
+            ds(), qids, qmat, k=5, n_lists=16, nprobe=1,
+            sample_size=100, sample_mode=mode,
+        ).to_pandas()
+        return len(set(zip(got["query_id"], got["vec_id"])) & t_set) / len(t_set)
+
+    r_head, r_hash = recall("head"), recall("hash")
+    assert r_hash >= 0.8
+    assert r_hash > r_head
