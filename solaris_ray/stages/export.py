@@ -37,8 +37,13 @@ ANNO_SCHEMA = pa.schema(
 
 
 def category_registry(features) -> dict[str, int]:
-    """Distinct class -> contiguous ids (coco.py:462-495)."""
-    classes = sorted({r["class"] for r in features.select_columns(["class"]).take_all()})
+    """Distinct class -> contiguous ids (coco.py:462-495).
+
+    The distinct runs ENGINE-side (``groupby`` shuffles only the tiny
+    (class, count) pairs); the driver receives one row per distinct
+    class, never the full column."""
+    distinct = features.select_columns(["class"]).groupby("class").count().to_pandas()
+    classes = sorted(distinct["class"].tolist())
     return {c: i + 1 for i, c in enumerate(classes)}
 
 
@@ -94,6 +99,9 @@ def build_coco_dict(features, images_meta) -> dict:
     reference's single-JSON sink)."""
     cats = category_registry(features)
     annos = coco_annotations(features, cats).to_pandas()
+    # single-doc sink: every image row appears in the JSON "images"
+    # list, so this driver pull is the output itself (metadata cols
+    # only, never pixel bytes)
     imgs = images_meta.select_columns(["image_id", "w", "h"]).take_all()
     id_map = {r["image_id"]: i + 1 for i, r in enumerate(sorted(imgs, key=lambda r: r["image_id"]))}
     return {
