@@ -192,10 +192,13 @@ class RasterReprojector:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from . import codec
 
+        has_nodata = "nodata" in batch.column_names
         out_rows: dict[str, list] = {
             k: [] for k in ("image_id", "bytes", "fmt", "epsg", "w", "h",
                             "gt_a", "gt_b", "gt_c", "gt_d", "gt_e", "gt_f")
         }
+        if has_nodata:
+            out_rows["nodata"] = []
         for i in range(batch.num_rows):
             src_epsg = int(batch["epsg"][i].as_py())
             fmt = batch["fmt"][i].as_py()
@@ -222,6 +225,10 @@ class RasterReprojector:
             out_rows["h"].append(dh)
             for k, v in zip("abcdef", dst_t):
                 out_rows[f"gt_{k}"].append(float(v))
+            if has_nodata:
+                # carry nodata through so a downstream TileCutter or a
+                # second reproject keeps classifying padding correctly
+                out_rows["nodata"].append(nodata)
         return pa.table(
             {
                 "image_id": pa.array(out_rows["image_id"], pa.string()),
@@ -234,6 +241,11 @@ class RasterReprojector:
                     f"gt_{k}": pa.array(out_rows[f"gt_{k}"], pa.float64())
                     for k in "abcdef"
                 },
+                **(
+                    {"nodata": pa.array(out_rows["nodata"], pa.float64())}
+                    if has_nodata
+                    else {}
+                ),
             }
         )
 

@@ -194,6 +194,7 @@ def cell_partitioned_knn_join(
     x_col: str = "x",
     y_col: str = "y",
     max_halo_passes: int = 3,
+    brute_cutoff: int = 2048,
 ):
     """Both-sides-large kNN: groupby(cell) co-shuffle with feature halo
     replication (the cell-partitioned twin of ``broadcast_knn_join``,
@@ -211,8 +212,15 @@ def cell_partitioned_knn_join(
     Output is bit-identical to the broadcast path (parity-tested).
 
     Scale shape: halo factor (2R+1)^2 applies only at R=1 for the bulk
-    (9x replication of tiny centroid rows); later passes touch only
-    stragglers.  Neither side is ever materialized on one node.
+    (9x replication of tiny centroid rows).  Escalation passes are
+    restricted on BOTH sides: the point side re-shuffles only
+    stragglers, and the feature side keeps only replicas landing in a
+    straggler's cell (the straggler cell set is tiny and broadcast into
+    the tag kernel), so one unresolved point can never trigger a
+    (2R+1)^2 full-corpus re-replication.  When the straggler count
+    drops below ``brute_cutoff`` the join jumps straight to the
+    streaming brute pass.  Neither side is ever materialized on one
+    node.
     """
     import ray
 
@@ -220,10 +228,10 @@ def cell_partitioned_knn_join(
     results = []  # one "done" Dataset per pass, unioned at the end
     R = 1
     pts = points
+    allowed_cells: np.ndarray | None = None  # straggler target cells
     for p in range(max_halo_passes):
-        final_pass = False
 
-        def _tag_feats(batch: pa.Table, R=R) -> pa.Table:
+        def _tag_feats(batch: pa.Table, R=R, allowed=allowed_cells) -> pa.Table:
             fx = batch[fx_col].to_numpy().astype(np.float64)
             fy = batch[fy_col].to_numpy().astype(np.float64)
             fid = batch["feature_id"].to_numpy().astype(np.int64)
@@ -243,9 +251,15 @@ def cell_partitioned_knn_join(
                         | cy[ok]
                     )
             r = np.concatenate(rows)
+            oc = np.concatenate(ocells)
+            if allowed is not None:
+                # escalation pass: a feature replica is useful only in a
+                # cell where a straggler point waits — drop the rest
+                m = np.isin(oc, allowed)
+                r, oc = r[m], oc[m]
             return pa.table(
                 {
-                    "cell": pa.array(np.concatenate(ocells), pa.int64()),
+                    "cell": pa.array(oc, pa.int64()),
                     "side": pa.array(np.ones(len(r), dtype=np.int8)),
                     "pid": pa.array(fid[r], pa.int64()),
                     "x": pa.array(fx[r], pa.float64()),
@@ -282,7 +296,7 @@ def cell_partitioned_knn_join(
             ]
         )
 
-        def _group(group: pa.Table, R=R, final=final_pass) -> pa.Table:
+        def _group(group: pa.Table, R=R) -> pa.Table:
             side = group["side"].to_numpy()
             prow = np.nonzero(side == 0)[0]
             frow = np.nonzero(side == 1)[0]
@@ -296,8 +310,6 @@ def cell_partitioned_knn_join(
             fy = group["y"].to_numpy()[frow]
             rp, rf, rr, rd, dk = _topk_rows(pid, px, py, fx, fy, fid, k)
             ok = dk < R * edge
-            if final:
-                ok = np.ones(len(px), dtype=bool)
             res_map = dict(zip(pid.tolist(), ok.tolist()))
             px_map = dict(zip(pid.tolist(), px.tolist()))
             py_map = dict(zip(pid.tolist(), py.tolist()))
@@ -355,6 +367,23 @@ def cell_partitioned_knn_join(
                 batch_format="pyarrow",
             )
             .materialize()
+        )
+        if n_todo <= brute_cutoff:
+            # few enough stragglers: a streaming brute pass beats
+            # another full feature tag+shuffle round
+            results.append(_brute_knn_stream(pts, features, k, fx_col, fy_col,
+                                             id_col, x_col, y_col))
+            pts = None
+            break
+        # straggler cell set (tiny by construction): feature replicas
+        # landing anywhere else are dropped before the shuffle
+        qdf = pts.to_pandas()
+        allowed_cells = np.unique(
+            cells.cell_of_point(
+                qdf[x_col].to_numpy(np.float64),
+                qdf[y_col].to_numpy(np.float64),
+                cell_res,
+            ).astype(np.int64)
         )
         R *= 3
     else:

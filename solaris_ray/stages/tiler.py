@@ -277,13 +277,25 @@ class TileCutter:
                         gx1 = dst_t.c + dw * dst_t.a
                         gy0 = dst_t.f + dh * dst_t.e
                         gy1 = gy1t
-                        metric = False  # 4326 target -> 3-decimal names
+                        # save_tile keys naming on the DEST CRS unit
+                        # (raster_tile.py:425-434): a projected (metric)
+                        # target gets int-rounded names even after a warp
+                        from ..geom.crs import projection_unit
+
+                        metric = projection_unit(self.dest_epsg) != "degree"
                     else:
                         gx0 = t.c + xs * t.a
                         gx1 = t.c + (xs + ts) * t.a
                         gy0 = t.f + ys * t.e
                         gy1 = t.f + (ys + ts) * t.e
-                        metric = True
+                        # naming keys on the (unchanged) source CRS unit
+                        from ..geom.crs import projection_unit
+
+                        metric = (
+                            projection_unit(src_epsg) != "degree"
+                            if src_epsg is not None
+                            else True
+                        )
                     minx, maxx = min(gx0, gx1), max(gx0, gx1)
                     miny, maxy = min(gy0, gy1), max(gy0, gy1)
                     cell = int(

@@ -288,3 +288,43 @@ def test_spatial_join_dataset_input(ray_session):
     )
     assert len(a) == len(b) > 0
     assert (a["feature_id"].values == b["feature_id"].values).all()
+
+
+def test_partitioned_knn_escalation_pass_parity(ray_session):
+    """ADVICE r2: escalation passes restrict the FEATURE side to the
+    straggler cell set.  Force a real second halo pass (brute_cutoff=0)
+    on a sparse world and check bit-identical output vs broadcast."""
+    import ray
+
+    import pyarrow as pa
+
+    from solaris_ray.stages import knn
+
+    rng = np.random.default_rng(31)
+    # dense blob + far-away lonely points whose k-th neighbour is
+    # outside the R=1 halo -> guaranteed stragglers
+    nf = 300
+    feats = pa.table(
+        {
+            "feature_id": pa.array(np.arange(nf, dtype=np.int64)),
+            "cx": pa.array(rng.uniform(0, 500, nf)),
+            "cy": pa.array(rng.uniform(0, 500, nf)),
+        }
+    )
+    pts_tbl = pa.table(
+        {
+            "point_id": pa.array(np.arange(20, dtype=np.int64)),
+            "x": pa.array(np.concatenate([rng.uniform(0, 500, 15), rng.uniform(2800, 3200, 5)])),
+            "y": pa.array(np.concatenate([rng.uniform(0, 500, 15), rng.uniform(2800, 3200, 5)])),
+        }
+    )
+    a = knn.broadcast_knn_join(
+        ray.data.from_arrow(pts_tbl), feats, k=3, cell_res=16
+    ).to_pandas().sort_values(["point_id", "rank"]).reset_index(drop=True)
+    b = knn.cell_partitioned_knn_join(
+        ray.data.from_arrow(pts_tbl), ray.data.from_arrow(feats), k=3,
+        cell_res=16, brute_cutoff=0,
+    ).to_pandas().sort_values(["point_id", "rank"]).reset_index(drop=True)
+    assert len(a) == len(b) == 60
+    assert (a["feature_id"].values == b["feature_id"].values).all()
+    assert np.allclose(a["d2"].values, b["d2"].values, rtol=0, atol=0)

@@ -148,3 +148,53 @@ def test_tiler_dest_epsg_warp(ray_session):
     assert (tiles["y0"] > 25).all() and (tiles["y1"] < 40).all()
     # 3-decimal (non-metric) naming
     assert all("." in t.split("_", 2)[2] for t in tiles["tile_id"])
+
+
+def test_reproject_raster_carries_nodata(ray_session):
+    """ADVICE r2: a reprojected Dataset fed back into TileCutter must
+    keep its (nonzero) nodata value instead of falling back to 0."""
+    import ray
+
+    from solaris_ray.raster.warp import reproject_raster
+
+    img = _img(48)
+    t = Affine.from_origin(733601.0, 3725139.0, 0.5, 0.5)
+    tbl = pa.table(
+        {
+            "image_id": pa.array(["a"], pa.string()),
+            "bytes": pa.array([codec.encode(img, "png")], pa.binary()),
+            "fmt": pa.array(["png"], pa.string()),
+            "epsg": pa.array([32616], pa.int32()),
+            "w": pa.array([48], pa.int32()),
+            "h": pa.array([48], pa.int32()),
+            "gt_a": pa.array([t.a]), "gt_b": pa.array([t.b]), "gt_c": pa.array([t.c]),
+            "gt_d": pa.array([t.d]), "gt_e": pa.array([t.e]), "gt_f": pa.array([t.f]),
+            "nodata": pa.array([255.0], pa.float64()),
+        }
+    )
+    out = reproject_raster(ray.data.from_arrow(tbl), 4326).to_pandas()
+    assert "nodata" in out.columns
+    assert out["nodata"][0] == 255.0
+    # without a nodata input column the output omits it (schema-stable)
+    out2 = reproject_raster(
+        ray.data.from_arrow(tbl.drop_columns(["nodata"])), 4326
+    ).to_pandas()
+    assert "nodata" not in out2.columns
+
+
+def test_tiler_warp_to_metric_dest_uses_int_names(ray_session):
+    """ADVICE r2: save_tile naming keys on the DEST CRS unit
+    (raster_tile.py:425-434) — a projected (UTM) warp target gets
+    int-rounded tile names, not 3-decimal ones."""
+    import ray
+
+    from solaris_ray.sources import synth
+    from solaris_ray.stages import tiler
+
+    images, _ = synth.gen_shard(np.arange(1), 1, seed=42, size=128)
+    # neighbour UTM zone: projected -> projected warp
+    tiles = tiler.cut_tiles(
+        ray.data.from_arrow(images), tile_size=64, dest_epsg=32617
+    ).to_pandas()
+    assert len(tiles) == 4
+    assert all("." not in t.split("_", 2)[2] for t in tiles["tile_id"])
