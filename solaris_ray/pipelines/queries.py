@@ -1036,9 +1036,18 @@ def q_quantiles(sf_dir: str):
 
 
 def q_tdigest(sf_dir: str):
-    """One-pass t-digest sketch quantiles (engine-only; accuracy is
-    pytest-gated against numpy percentiles)."""
-    from ..stages.quantiles import tdigest_aggregate
+    """t-digest sketch quantiles as an ORACLE-CHECKABLE gate (VERDICT r2
+    #5): the sketch is approximate by nature, so the gate emits the
+    exact quantile (hash-matches the DuckDB oracle's) plus an ``ok``
+    bit asserting the digest estimate's RANK error is within the
+    t-digest bound — the oracle expects every bit to be 1, so any
+    out-of-bound sketch flips the value hash.
+
+    Rank-error bound: centroid capacity is 4*q*(1-q)*N/delta (sqrt
+    scale), so interpolation error <= ~4*q*(1-q)/delta ranks; we allow
+    3x cushion for tree-merge order variation, floored at 0.002*N.
+    """
+    from ..stages.quantiles import exact_quantiles, tdigest_aggregate
 
     li = _read(sf_dir, "lineitem", ["l_extendedprice"])
 
@@ -1048,7 +1057,30 @@ def q_tdigest(sf_dir: str):
         )
 
     ds = li.map_batches(_cents, batch_format="pyarrow", batch_size=65536)
-    return tdigest_aggregate(ds, "cents", [0.25, 0.5, 0.75, 0.9, 0.99])
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    delta = 200
+    est = tdigest_aggregate(ds, "cents", qs, delta=delta)
+    ests = est["value"].to_numpy()
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        v = batch["cents"].to_numpy()
+        cols: dict = {"n": [len(v)]}
+        for i, e in enumerate(ests):
+            cols[f"lt{i}"] = [int((v < e).sum())]
+            cols[f"le{i}"] = [int((v <= e).sum())]
+        return pa.table(cols)
+
+    names = ["n"] + [f"lt{i}" for i in range(len(qs))] + [f"le{i}" for i in range(len(qs))]
+    tot = ds.map_batches(_counts, batch_format="pyarrow", batch_size=65536).sum(names)
+    n = float(tot["sum(n)"])
+    ok = []
+    for i, q in enumerate(qs):
+        eps = max(12.0 * q * (1.0 - q) / delta, 0.002)
+        lo, hi = float(tot[f"sum(lt{i})"]), float(tot[f"sum(le{i})"])
+        target = q * n
+        ok.append(int(lo - target <= eps * n and target - hi <= eps * n))
+    exact = exact_quantiles(ds, "cents", qs)
+    return exact.append_column("ok", pa.array(ok, pa.int64()))
 
 
 def q_polygonize(sf_dir: str):
@@ -2545,6 +2577,15 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderke
 WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem),
 s AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS rk, count(*) OVER () AS n FROM v)
 SELECT q, CAST(cents AS DOUBLE) AS value
+FROM s, (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) qs(q)
+WHERE rk = CAST(floor(q*(n-1)) AS BIGINT)
+""",
+    # sketch gate: exact quantile must hash-match AND every digest
+    # rank-error bit must be 1 (see q_tdigest docstring)
+    "tdigest": """
+WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem),
+s AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS rk, count(*) OVER () AS n FROM v)
+SELECT q, CAST(cents AS DOUBLE) AS value, CAST(1 AS BIGINT) AS ok
 FROM s, (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) qs(q)
 WHERE rk = CAST(floor(q*(n-1)) AS BIGINT)
 """,
