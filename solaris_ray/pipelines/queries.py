@@ -608,6 +608,47 @@ def q_tiles_pipeline(sf_dir: str):
     )
 
 
+def q_geotiff_roundtrip(sf_dir: str):
+    """GeoTIFF container gate (VERDICT r2 #4): formula PNGs -> decode ->
+    pure-struct GeoTIFF encode with geo tags (geotransform, EPSG,
+    nodata — create_multiband_geotiff semantics,
+    /root/reference/solaris/raster/image.py:157-210) -> decode ->
+    pixel sum (closed-form, hash-matched by DuckDB) + a geo_ok bit
+    asserting pixels AND all three geo tags round-trip exactly."""
+    images = _formula_gray_images(sf_dir, limit=100)
+
+    def _rt(batch: pa.Table) -> pa.Table:
+        from ..raster import codec as _codec
+        from ..raster.gtiff import gtiff_decode, gtiff_encode
+
+        out: dict[str, list] = {"image_id": [], "px_sum": [], "geo_ok": []}
+        for i in range(batch.num_rows):
+            img = _codec.decode(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            t = tuple(batch[f"gt_{k}"][i].as_py() for k in "abcdef")
+            nodata = batch["nodata"][i].as_py()
+            buf = gtiff_encode(img, transform=t, epsg=32616, nodata=nodata)
+            dec, meta = gtiff_decode(buf)
+            dec2 = dec[:, :, 0]
+            ok = (
+                np.array_equal(dec2, img)
+                and meta["transform"] == t
+                and meta["epsg"] == 32616
+                and meta["nodata"] == nodata
+            )
+            out["image_id"].append(batch["image_id"][i].as_py())
+            out["px_sum"].append(int(dec2.astype(np.int64).sum()))
+            out["geo_ok"].append(int(ok))
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "px_sum": pa.array(out["px_sum"], pa.int64()),
+                "geo_ok": pa.array(out["geo_ok"], pa.int64()),
+            }
+        )
+
+    return images.map_batches(_rt, batch_format="pyarrow", batch_size=64)
+
+
 _JOIN_OUT_COLS = ["tile_id", "feature_id", "origarea", "origlen", "partialDec", "truncated"]
 
 
@@ -1795,6 +1836,7 @@ QUERIES = {
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
     "tiles_pipeline": q_tiles_pipeline,
+    "geotiff_roundtrip": q_geotiff_roundtrip,
     "tile_feature_join": q_tile_feature_join,
     "masks_pipeline": q_masks_pipeline,
     "instance_masks": q_instance_masks,
@@ -2076,6 +2118,16 @@ SELECT 'img_' || CAST(p AS VARCHAR) || '_' || CAST(CAST(round(x0) AS BIGINT) AS 
        CAST(col AS BIGINT) AS col, CAST(row AS BIGINT) AS row,
        CAST(px_sum AS BIGINT) AS px_sum, CAST(n_zero AS BIGINT) AS n_zero
 FROM s
+""",
+    "geotiff_roundtrip": """
+WITH img AS (SELECT p_partkey AS p, 64*(1 + p_partkey % 3) AS w, 64*(1 + p_partkey % 2) AS h
+             FROM part WHERE p_partkey < 100),
+px AS (SELECT i FROM range(0, 192) r(i))
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(SUM(CASE WHEN rx.i < w AND ry.i < h THEN (rx.i*7 + ry.i*13 + p*31) % 251 ELSE 0 END) AS BIGINT) AS px_sum,
+       CAST(1 AS BIGINT) AS geo_ok
+FROM img, px rx, px ry
+GROUP BY 1
 """,
     "image_stats": """
 WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 200),

@@ -140,6 +140,10 @@ def encode(arr: np.ndarray, fmt: str, level: int = 4) -> bytes:
         return png_encode(arr, level)
     if fmt == "qnt":
         return qnt_encode(arr, level)
+    if fmt == "gtif":
+        from .gtiff import gtiff_encode
+
+        return gtiff_encode(arr)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 
@@ -148,6 +152,11 @@ def decode(buf: bytes, fmt: str) -> np.ndarray:
         return png_decode(bytes(buf))
     if fmt == "qnt":
         return qnt_decode(bytes(buf))
+    if fmt == "gtif":
+        from .gtiff import gtiff_decode
+
+        arr, _ = gtiff_decode(bytes(buf))
+        return arr[:, :, 0] if arr.shape[2] == 1 else arr
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 

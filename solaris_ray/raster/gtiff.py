@@ -1,0 +1,238 @@
+"""Minimal uncompressed GeoTIFF codec (pure struct-packing, no GDAL).
+
+Closes the last sink-format gap vs the reference's
+``create_multiband_geotiff`` (/root/reference/solaris/raster/image.py:157-210):
+band-sequential (PlanarConfiguration=2, matching GDAL's per-band
+``WriteArray`` loop), uncompressed strips, with the GeoTIFF
+georeferencing tags the reference sets through ``SetProjection`` /
+``SetGeoTransform`` / ``SetNoDataValue``:
+
+- ModelPixelScale (33550) + ModelTiepoint (33922) for axis-aligned
+  geotransforms, ModelTransformation (34264) for rotated ones,
+- GeoKeyDirectory (34735) carrying the EPSG code (projected or
+  geographic model type),
+- GDAL_NODATA (42113, ASCII) for the nodata value.
+
+Same philosophy as the PNG codec in ``codec.py``: a real,
+spec-compliant container written byte-by-byte, so the engine's tiles /
+masks tables can round-trip through the format GIS stacks expect
+without a GDAL wheel.  dtypes: uint8/uint16/int16/float32/float64.
+
+Array convention matches ``codec.py``: [Y, X] or [Y, X, C].
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_LE = "<"
+_TYPE_ASCII, _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE = 2, 3, 4, 12
+_TYPE_SIZE = {_TYPE_ASCII: 1, _TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8}
+
+# numpy dtype -> (BitsPerSample, SampleFormat)
+_FMT = {
+    np.dtype(np.uint8): (8, 1),
+    np.dtype(np.uint16): (16, 1),
+    np.dtype(np.int16): (16, 2),
+    np.dtype(np.float32): (32, 3),
+    np.dtype(np.float64): (64, 3),
+}
+_BACK = {(8, 1): np.uint8, (16, 1): np.uint16, (16, 2): np.int16,
+         (32, 3): np.float32, (64, 3): np.float64}
+
+
+def _pack_values(type_: int, values) -> bytes:
+    if type_ == _TYPE_ASCII:
+        return values  # already bytes, NUL-terminated by caller
+    fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}[type_]
+    return struct.pack(f"{_LE}{len(values)}{fmt}", *values)
+
+
+def gtiff_encode(arr: np.ndarray, transform=None, epsg: int | None = None,
+                 nodata: float | None = None) -> bytes:
+    """[Y,X] or [Y,X,C] array -> uncompressed band-sequential GeoTIFF.
+
+    ``transform`` is an affine in the engine's (a,b,c,d,e,f) order
+    (geo_x = a*px + b*py + c); axis-aligned transforms use the
+    PixelScale+Tiepoint pair, rotated ones the full ModelTransformation
+    matrix — mirroring how GDAL persists ``SetGeoTransform``.
+    """
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if arr.dtype not in _FMT:
+        raise ValueError(f"unsupported dtype {arr.dtype}")
+    bits, sfmt = _FMT[arr.dtype]
+    bpp = bits // 8
+
+    # band-sequential strips: one strip per band, RowsPerStrip = h
+    band_bytes = [np.ascontiguousarray(arr[:, :, i]).tobytes() for i in range(c)]
+    strip_counts = [len(b) for b in band_bytes]
+
+    entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, payload)
+
+    def tag(t: int, type_: int, values) -> None:
+        n = len(values) if not isinstance(values, bytes) else len(values)
+        entries.append((t, type_, n, _pack_values(type_, values)))
+
+    tag(256, _TYPE_LONG, [w])
+    tag(257, _TYPE_LONG, [h])
+    tag(258, _TYPE_SHORT, [bits] * c)
+    tag(259, _TYPE_SHORT, [1])  # no compression
+    tag(262, _TYPE_SHORT, [2 if c == 3 else 1])  # RGB / BlackIsZero
+    tag(273, _TYPE_LONG, [0] * c)  # StripOffsets, filled in pass 2
+    tag(277, _TYPE_SHORT, [c])
+    tag(278, _TYPE_LONG, [h])
+    tag(279, _TYPE_LONG, strip_counts)
+    tag(284, _TYPE_SHORT, [2])  # planar: band-sequential
+    tag(339, _TYPE_SHORT, [sfmt] * c)
+
+    if transform is not None:
+        a, b, c_, d, e, f = (
+            transform if isinstance(transform, (tuple, list))
+            else (transform.a, transform.b, transform.c,
+                  transform.d, transform.e, transform.f)
+        )
+        if b == 0.0 and d == 0.0:
+            tag(33550, _TYPE_DOUBLE, [a, -e, 0.0])
+            tag(33922, _TYPE_DOUBLE, [0.0, 0.0, 0.0, c_, f, 0.0])
+        else:
+            tag(34264, _TYPE_DOUBLE,
+                [a, b, 0.0, c_, d, e, 0.0, f, 0.0, 0.0, 0.0, 0.0,
+                 0.0, 0.0, 0.0, 1.0])
+    if epsg is not None:
+        geographic = not (32600 < epsg <= 32660 or 32700 < epsg <= 32760)
+        keys = [
+            (1024, 0, 1, 2 if geographic else 1),  # GTModelType
+            (1025, 0, 1, 1),  # RasterPixelIsArea
+            (2048 if geographic else 3072, 0, 1, epsg),
+        ]
+        flat = [1, 1, 0, len(keys)]
+        for kk in keys:
+            flat.extend(kk)
+        tag(34735, _TYPE_SHORT, flat)
+    if nodata is not None:
+        s = (f"{int(nodata)}" if float(nodata).is_integer() else repr(float(nodata)))
+        tag(42113, _TYPE_ASCII, s.encode("ascii") + b"\x00")
+
+    entries.sort(key=lambda t_: t_[0])
+
+    # layout: header(8) | IFD | overflow values | strips.  Two passes:
+    # pass 1 sizes the layout (StripOffsets payload has fixed size), so
+    # pass 2 can emit the real strip offsets — byte layout identical.
+    def _layout(entries_: list[tuple[int, int, int, bytes]]):
+        n_ent = len(entries_)
+        overflow_off = 8 + 2 + n_ent * 12 + 4
+        overflow: list[bytes] = []
+        cur = overflow_off
+        locs: list[bytes] = []
+        for _t, _type, _n, payload in entries_:
+            if len(payload) <= 4:
+                locs.append(payload.ljust(4, b"\x00"))
+            else:
+                if cur % 2:
+                    overflow.append(b"\x00")
+                    cur += 1
+                locs.append(struct.pack(f"{_LE}I", cur))
+                overflow.append(payload)
+                cur += len(payload)
+        if cur % 2:
+            overflow.append(b"\x00")
+            cur += 1
+        return locs, overflow, cur  # cur == pixel data offset
+
+    _, _, data_off = _layout(entries)
+    offs, pos = [], data_off
+    for n_b in strip_counts:
+        offs.append(pos)
+        pos += n_b
+    idx273 = next(i for i, e_ in enumerate(entries) if e_[0] == 273)
+    entries[idx273] = (273, _TYPE_LONG, c, _pack_values(_TYPE_LONG, offs))
+    locs, overflow, data_off2 = _layout(entries)
+    assert data_off2 == data_off
+
+    out = [struct.pack(f"{_LE}2sHI", b"II", 42, 8)]
+    out.append(struct.pack(f"{_LE}H", len(entries)))
+    for (t_, type_, n, _), loc in zip(entries, locs):
+        out.append(struct.pack(f"{_LE}HHI", t_, type_, n) + loc)
+    out.append(struct.pack(f"{_LE}I", 0))  # next IFD
+    out.extend(overflow)
+    out.extend(band_bytes)
+    return b"".join(out)
+
+
+def gtiff_decode(buf: bytes):
+    """GeoTIFF bytes -> (array [Y,X,C], meta dict).
+
+    meta: {"transform": (a,b,c,d,e,f) | None, "epsg": int | None,
+    "nodata": float | None}.  Supports what the encoder writes plus
+    chunky (PlanarConfiguration=1) single-strip files.
+    """
+    buf = bytes(buf)
+    if buf[:2] != b"II" or struct.unpack(f"{_LE}H", buf[2:4])[0] != 42:
+        raise ValueError("not a little-endian TIFF")
+    (ifd_off,) = struct.unpack(f"{_LE}I", buf[4:8])
+    (n_ent,) = struct.unpack(f"{_LE}H", buf[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    p = ifd_off + 2
+    for _ in range(n_ent):
+        t_, type_, n = struct.unpack(f"{_LE}HHI", buf[p : p + 8])
+        size = _TYPE_SIZE.get(type_, 1) * n
+        if size <= 4:
+            payload = buf[p + 8 : p + 8 + size]
+        else:
+            (off,) = struct.unpack(f"{_LE}I", buf[p + 8 : p + 12])
+            payload = buf[off : off + size]
+        tags[t_] = (type_, n, payload)
+        p += 12
+
+    def vals(t_, default=None):
+        if t_ not in tags:
+            return default
+        type_, n, payload = tags[t_]
+        if type_ == _TYPE_ASCII:
+            return payload.rstrip(b"\x00").decode("ascii")
+        fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}[type_]
+        return list(struct.unpack(f"{_LE}{n}{fmt}", payload))
+
+    if vals(259, [1])[0] != 1:
+        raise ValueError("compressed TIFF not supported")
+    w, h = vals(256)[0], vals(257)[0]
+    c = vals(277, [1])[0]
+    bits = vals(258, [8])[0]
+    sfmt = vals(339, [1])[0]
+    dtype = np.dtype(_BACK[(bits, sfmt)])
+    planar = vals(284, [1])[0]
+    offs, counts = vals(273), vals(279)
+    if planar == 2:
+        bands = [
+            np.frombuffer(buf, dtype=dtype, count=h * w, offset=o).reshape(h, w)
+            for o in offs
+        ]
+        arr = np.stack(bands, axis=-1)
+    else:
+        flat = b"".join(buf[o : o + n_] for o, n_ in zip(offs, counts))
+        arr = np.frombuffer(flat, dtype=dtype, count=h * w * c).reshape(h, w, c)
+
+    transform = None
+    if 34264 in tags:
+        m = vals(34264)
+        transform = (m[0], m[1], m[3], m[4], m[5], m[7])
+    elif 33550 in tags and 33922 in tags:
+        sx, sy, _ = vals(33550)
+        tp = vals(33922)
+        transform = (sx, 0.0, tp[3], 0.0, -sy, tp[4])
+    epsg = None
+    if 34735 in tags:
+        g = vals(34735)
+        n_keys = g[3]
+        for i in range(n_keys):
+            kid, loc, cnt, val = g[4 + 4 * i : 8 + 4 * i]
+            if kid in (3072, 2048) and loc == 0:
+                epsg = val
+    nd = vals(42113)
+    nodata = float(nd) if nd is not None else None
+    return arr, {"transform": transform, "epsg": epsg, "nodata": nodata}

@@ -251,3 +251,40 @@ def write_tile_geojsons(tile_specs, joined, out_dir: str) -> "object":
         )
 
     return s.union(j).groupby("tile_id").map_groups(_write, batch_format="pyarrow")
+
+
+def masks_to_geotiff(masks_ds, channels=("footprint", "boundary", "contact"),
+                     epsg: int | None = None, nodata: float | None = 0.0,
+                     batch_size: int = 64):
+    """mask rows -> (tile_id, image_id, bytes, fmt="gtif"): stack the
+    per-channel mask PNGs into ONE multiband uncompressed GeoTIFF per
+    tile — the reference's ``df_to_px_mask`` channel stack written via
+    ``create_multiband_geotiff``
+    (/root/reference/solaris/vector/mask.py:119-132,
+    /root/reference/solaris/raster/image.py:157-210), as a binary
+    column instead of one file per tile."""
+    from ..raster import codec as _codec
+    from ..raster.gtiff import gtiff_encode
+
+    chans = list(channels)
+
+    def _stack(batch: pa.Table) -> pa.Table:
+        ids, imgs, bufs = [], [], []
+        for i in range(batch.num_rows):
+            planes = [
+                _codec.decode(batch[ch][i].as_py(), "png") for ch in chans
+            ]
+            arr = np.stack(planes, axis=-1)
+            bufs.append(gtiff_encode(arr, epsg=epsg, nodata=nodata))
+            ids.append(batch["tile_id"][i].as_py())
+            imgs.append(batch["image_id"][i].as_py())
+        return pa.table(
+            {
+                "tile_id": pa.array(ids, pa.string()),
+                "image_id": pa.array(imgs, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "fmt": pa.array(["gtif"] * len(ids), pa.string()),
+            }
+        )
+
+    return masks_ds.map_batches(_stack, batch_format="pyarrow", batch_size=batch_size)
