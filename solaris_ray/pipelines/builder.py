@@ -183,6 +183,170 @@ def _limit(ds, ctx, **kw):
     return ds.limit(int(kw["n"]))
 
 
+# ---------------------------------------------------------------------------
+# Control-flow combinators — the PipeSegment Conditional / Map / While
+# surface (/root/reference/solaris/preproc/pipesegment.py:200-346)
+# re-expressed on Ray Datasets.  The reference versions route ONE piped
+# datum through a branch; the Dataset versions route ROWS: a predicate
+# splits the stream, each branch runs its own sub-chain, and ``union``
+# recombines — filter+union is the streaming-native "if".
+# ---------------------------------------------------------------------------
+
+
+_PRED_OPS = {"==", "!=", "<", "<=", ">", ">=", "in"}
+
+
+def _predicate(spec: dict):
+    """Config predicate {col, op, value} -> (pa.Table -> BooleanArray)."""
+    import pyarrow.compute as pc
+
+    col, op, value = spec["col"], spec.get("op", "=="), spec.get("value")
+    if op not in _PRED_OPS:
+        raise ValueError(f"unknown predicate op {op!r}; known: {sorted(_PRED_OPS)}")
+
+    def fn(t: pa.Table):
+        if op == "in":
+            return pc.is_in(t[col], value_set=pa.array(list(value)))
+        arr = t[col]
+        return {
+            "==": pc.equal, "!=": pc.not_equal,
+            "<": pc.less, "<=": pc.less_equal,
+            ">": pc.greater, ">=": pc.greater_equal,
+        }[op](arr, value)
+
+    return fn
+
+
+def _apply_steps(ds, steps: list, ctx: BuildContext):
+    for step in steps or []:
+        kw = dict(step)
+        op = kw.pop("op")
+        ds = STEP_REGISTRY[op](ds, ctx, **kw)
+    return ds
+
+
+@register_step("conditional")
+def _conditional(ds, ctx, **kw):
+    """Row-level ``Conditional`` (pipesegment.py:200-233): rows matching
+    ``when`` flow through ``then`` steps; the rest flow through ``else``
+    steps, or are dropped when no ``else`` is given (the ``ReturnEmpty``
+    default).  ``then: []`` is the ``Identity`` branch.
+
+    Scale note: with BOTH branches present the upstream plan feeds two
+    consumers; Ray Data re-executes it once per branch.  Set
+    ``materialize: true`` to checkpoint the split point instead (pay
+    object-store residency once, upstream compute once) — worth it when
+    the upstream is expensive relative to its output size.
+    """
+    import pyarrow.compute as pc
+
+    pred = _predicate(kw["when"])
+    then_steps = kw.get("then", [])
+    else_steps = kw.get("else")
+    if else_steps is not None and kw.get("materialize", False):
+        ds = ds.materialize()
+
+    def _keep(t: pa.Table) -> pa.Table:
+        return t.filter(pred(t))
+
+    def _drop(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pred(t)))
+
+    branch_t = _apply_steps(
+        ds.map_batches(_keep, batch_format="pyarrow"), then_steps, ctx
+    )
+    if else_steps is None:
+        return branch_t
+    branch_f = _apply_steps(
+        ds.map_batches(_drop, batch_format="pyarrow"), else_steps, ctx
+    )
+    return branch_t.union(branch_f)
+
+
+@register_step("foreach")
+def _foreach(ds, ctx, **kw):
+    """``Map`` analogue (pipesegment.py:237-258): run the ``steps``
+    template once per entry of ``over`` (a list of kwarg dicts merged
+    into every step, entry keys winning) and union the outputs — the
+    for-loop-concatenate-outputs shape, with the loop unrolled into
+    parallel branches of one lazy plan.  ``tag`` adds a column recording
+    the iteration index so downstream steps can tell branches apart.
+    """
+
+    over = list(kw["over"])
+    steps = kw.get("steps", [])
+    tag = kw.get("tag")
+    if len(over) > 1 and kw.get("materialize", False):
+        ds = ds.materialize()
+    outs = []
+    for i, params in enumerate(over):
+        sub_steps = [{**step, **params} for step in steps]
+        sub = _apply_steps(ds, sub_steps, ctx)
+        if tag:
+            idx = i
+
+            def _tag(t: pa.Table, _i=idx) -> pa.Table:
+                return t.append_column(tag, pa.array([_i] * len(t), pa.int32()))
+
+            sub = sub.map_batches(_tag, batch_format="pyarrow")
+        outs.append(sub)
+    if not outs:
+        return ds.limit(0)
+    head = outs[0]
+    return head.union(*outs[1:]) if len(outs) > 1 else head
+
+
+def _eval_condition(ds, spec: dict) -> bool:
+    """Driver-side loop condition over a tiny aggregate: {agg, col?, op,
+    value}.  agg in count|sum|max|min.  Executes the current plan once —
+    that is inherent to any data-dependent loop condition."""
+    agg = spec.get("agg", "count")
+    if agg == "count":
+        cur = ds.count()
+    else:
+        col = spec["col"]
+        cur = {"sum": ds.sum, "max": ds.max, "min": ds.min}[agg](col)
+        if cur is None:
+            return False
+    op, value = spec.get("op", ">"), spec["value"]
+    return {
+        "==": cur == value, "!=": cur != value,
+        "<": cur < value, "<=": cur <= value,
+        ">": cur > value, ">=": cur >= value,
+    }[op]
+
+
+@register_step("while")
+def _while(ds, ctx, **kw):
+    """``While`` analogue (pipesegment.py:261-287): re-apply ``steps``
+    while ``cond`` (an aggregate predicate) holds, bounded by
+    ``max_iters`` (bounded iteration is the honest distributed contract
+    — an unbounded data-dependent loop cannot be backpressured).  Each
+    iteration materializes its result: the condition must execute the
+    plan anyway, and without the checkpoint iteration k would recompute
+    iterations 1..k-1 (quadratic re-execution)."""
+    cond = kw["cond"]
+    steps = kw["steps"]
+    max_iters = int(kw.get("max_iters", 16))
+    for _ in range(max_iters):
+        ds = ds.materialize()
+        if not _eval_condition(ds, cond):
+            break
+        ds = _apply_steps(ds, steps, ctx)
+    return ds
+
+
+@register_step("filter")
+def _filter(ds, ctx, **kw):
+    """Row filter by the same config predicate as ``conditional.when``."""
+    pred = _predicate(kw["when"])
+
+    def _keep(t: pa.Table) -> pa.Table:
+        return t.filter(pred(t))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
 def build_pipeline(config: dict | str):
     """Config (dict or YAML string/path) -> lazy Ray Dataset plan."""
     if isinstance(config, str):
@@ -198,22 +362,28 @@ def build_pipeline(config: dict | str):
     _validate(config)
     ctx = BuildContext(config)
     ds = _load_source(config.get("source", {}), ctx)
-    for step in config.get("steps", []):
-        kw = dict(step)
-        op = kw.pop("op")
-        ds = STEP_REGISTRY[op](ds, ctx, **kw)
-    return ds
+    return _apply_steps(ds, config.get("steps", []), ctx)
 
 
 def _validate(config: dict) -> None:
     """Schema validation — the utils/config.parse analogue: unknown
-    step names and missing ops fail BEFORE execution starts."""
+    step names and missing ops fail BEFORE execution starts.  Recurses
+    into combinator branches (conditional then/else, foreach/while
+    steps) so a typo three levels deep still fails at build time."""
     if not isinstance(config, dict):
         raise ValueError("config must be a mapping")
-    for i, step in enumerate(config.get("steps", [])):
+    _validate_steps(config.get("steps", []), path="steps")
+
+
+def _validate_steps(steps: list, path: str) -> None:
+    for i, step in enumerate(steps):
+        where = f"{path}[{i}]"
         if "op" not in step:
-            raise ValueError(f"step {i} missing 'op'")
+            raise ValueError(f"{where} missing 'op'")
         if step["op"] not in STEP_REGISTRY:
             raise ValueError(
-                f"step {i}: unknown op {step['op']!r}; known: {sorted(STEP_REGISTRY)}"
+                f"{where}: unknown op {step['op']!r}; known: {sorted(STEP_REGISTRY)}"
             )
+        for key in ("then", "else", "steps"):
+            if isinstance(step.get(key), list):
+                _validate_steps(step[key], path=f"{where}.{key}")

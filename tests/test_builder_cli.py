@@ -69,6 +69,148 @@ def test_register_custom_step(ray_session):
     assert len(df) == 2 * 2 * 4  # 2 images x 4 tiles, doubled
 
 
+def _sorted_df(ds, by):
+    return ds.to_pandas().sort_values(by).reset_index(drop=True)
+
+
+def test_conditional_matches_handbuilt_chain(ray_session):
+    """A conditional-branch config reproduces the equivalent hand-built
+    Dataset chain bit-exactly (pipesegment Conditional analogue)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from solaris_ray.pipelines.builder import _load_source, BuildContext
+    from solaris_ray.stages import tiler
+
+    cfg = {
+        "source": {"kind": "synth", "n_images": 6, "seed": 7, "size": 256},
+        "steps": [
+            {"op": "tile_cut", "tile_size": 128},
+            {
+                "op": "conditional",
+                "when": {"col": "nodata_frac", "op": "<=", "value": 0.25},
+                "then": [{"op": "select_columns", "columns": ["tile_id", "nodata_frac"]}],
+                "else": [
+                    {"op": "select_columns", "columns": ["tile_id", "nodata_frac"]},
+                    {"op": "limit", "n": 3},
+                ],
+            },
+        ],
+    }
+    got = _sorted_df(build_pipeline(cfg), "tile_id")
+
+    ctx = BuildContext(cfg)
+    base = tiler.cut_tiles(_load_source(cfg["source"], ctx), tile_size=128)
+    keep = base.map_batches(
+        lambda t: t.filter(pc.less_equal(t["nodata_frac"], 0.25)),
+        batch_format="pyarrow",
+    ).select_columns(["tile_id", "nodata_frac"])
+    other = base.map_batches(
+        lambda t: t.filter(pc.greater(t["nodata_frac"], 0.25)),
+        batch_format="pyarrow",
+    ).select_columns(["tile_id", "nodata_frac"]).limit(3)
+    want = _sorted_df(keep.union(other), "tile_id")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_conditional_no_else_drops_rows(ray_session):
+    cfg = {
+        "source": {"kind": "synth", "n_images": 4, "seed": 3},
+        "steps": [
+            {"op": "tile_cut"},
+            {"op": "conditional",
+             "when": {"col": "nodata_frac", "op": "==", "value": 0.0},
+             "then": []},
+        ],
+    }
+    df = build_pipeline(cfg).to_pandas()
+    assert (df["nodata_frac"] == 0.0).all()
+
+
+def test_foreach_param_sweep_unions_and_tags(ray_session):
+    cfg = {
+        "source": {"kind": "synth", "n_images": 2, "seed": 5},
+        "steps": [
+            {"op": "foreach",
+             "over": [{"tile_size": 128}, {"tile_size": 64}],
+             "steps": [{"op": "tile_cut"},
+                       {"op": "select_columns", "columns": ["tile_id"]}],
+             "tag": "branch"},
+        ],
+    }
+    df = build_pipeline(cfg).to_pandas()
+    # 2 images x (4 tiles @128 + 16 tiles @64)
+    assert len(df) == 2 * (4 + 16)
+    counts = df.groupby("branch").size()
+    assert counts[0] == 8 and counts[1] == 32
+
+
+def test_while_bounded_iteration(ray_session):
+    """While halves the stream until count <= 4 (bounded by max_iters)."""
+
+    @register_step("keep_even_rank")
+    def _keep_even(ds, ctx, **kw):
+        import pyarrow as pa
+
+        def _f(t):
+            return t.filter(
+                pa.array([i % 2 == 0 for i in range(len(t))], pa.bool_())
+            )
+
+        return ds.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+    cfg = {
+        "source": {"kind": "synth", "n_images": 4, "seed": 1},
+        "steps": [
+            {"op": "tile_cut"},  # 16 tiles
+            {"op": "select_columns", "columns": ["tile_id"]},
+            {"op": "repartition_one"},
+            {"op": "while",
+             "cond": {"agg": "count", "op": ">", "value": 4},
+             "steps": [{"op": "keep_even_rank"}],
+             "max_iters": 10},
+        ],
+    }
+
+    @register_step("repartition_one")
+    def _rep1(ds, ctx, **kw):
+        return ds.repartition(1)
+
+    n = build_pipeline(cfg).count()
+    assert n == 4  # 16 -> 8 -> 4, loop exits at cond false
+
+
+def test_validate_recurses_into_branches():
+    with pytest.raises(ValueError, match=r"steps\[0\].then\[0\]: unknown op"):
+        build_pipeline({
+            "source": {"kind": "synth"},
+            "steps": [{"op": "conditional",
+                       "when": {"col": "x", "value": 1},
+                       "then": [{"op": "bogus"}]}],
+        })
+    with pytest.raises(ValueError, match="unknown predicate op"):
+        build_pipeline({
+            "source": {"kind": "synth", "n_images": 1},
+            "steps": [{"op": "filter",
+                       "when": {"col": "x", "op": "~", "value": 1}}],
+        }).count()
+
+
+def test_filter_step_in_predicate(ray_session):
+    cfg = {
+        "source": {"kind": "synth", "n_images": 3, "seed": 2},
+        "steps": [
+            {"op": "tile_cut"},
+            {"op": "filter",
+             "when": {"col": "image_id", "op": "in",
+                      "value": ["img_00000000", "img_00000002"]}},
+            {"op": "select_columns", "columns": ["image_id"]},
+        ],
+    }
+    df = build_pipeline(cfg).to_pandas()
+    assert set(df["image_id"]) == {"img_00000000", "img_00000002"}
+
+
 def test_cli_run_and_resume(ray_session, tmp_path):
     from solaris_ray.__main__ import main
 
