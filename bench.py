@@ -120,14 +120,27 @@ def main() -> None:
             reps.append({"eff": round(eff, 3), str(lo): r_lo, str(hi): r_hi,
                          "lo_rps": r_lo["tiles_join_rows_per_sec"],
                          "hi_rps": r_hi["tiles_join_rows_per_sec"]})
+        def _median(vals: list) -> float:
+            vals = sorted(vals)
+            n = len(vals)
+            return vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
+
         effs = sorted(r["eff"] for r in reps)
-        median = effs[len(effs) // 2] if len(effs) % 2 else (effs[len(effs)//2 - 1] + effs[len(effs)//2]) / 2
+        median = _median(effs)
+        # load-conditioned median: on a shared box an impeded hi leg
+        # measures the neighbors, not the engine — keep only repeats
+        # whose hi-leg throughput is within 15% of this run's peak
+        peak_hi = max(r["hi_rps"] for r in reps)
+        quiet = [r for r in reps if r["hi_rps"] >= 0.85 * peak_hi]
+        conditioned = _median([r["eff"] for r in quiet])
         best = max(reps, key=lambda r: r["eff"])
         print(json.dumps({
             "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
             "value": round(median, 3),
             "unit": "ratio",
             "band": [effs[0], effs[-1]],
+            "conditioned_median": round(conditioned, 3),
+            "conditioned_repeats": len(quiet),
             "best": best["eff"],
             f"rows_per_sec_{lo}cpu": best[str(lo)]["tiles_join_rows_per_sec"],
             f"rows_per_sec_{hi}cpu": best[str(hi)]["tiles_join_rows_per_sec"],

@@ -33,10 +33,22 @@ TILE = 64.0
 MODW = 3200  # world is a 3200x3200 box at cell res 13 (edge 2048)
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+def _read(sf_dir: str, table: str, columns: list[str] | None = None, filter=None):
+    """read_parquet with column pruning and optional row-filter pushdown
+    (pyarrow expression) so only needed columns / row groups leave
+    storage — also keeps fully-filtered fragments from materializing as
+    zero-column blocks downstream."""
     import ray
+    import pyarrow.parquet as pq
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    # metadata-free schema: the writer's pandas metadata blob makes the
+    # schema unhashable, defeating Ray's streaming-executor schema
+    # dedup (log-spams "Failed to hash the schemas")
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=sch, filter=filter)
 
 
 def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
@@ -90,7 +102,10 @@ def _part_boxes(sf_dir: str) -> pa.Table:
 
 
 def _event_points(sf_dir: str, limit_ids: int | None = None):
-    ds = _read(sf_dir, "events", ["event_id"])
+    ds = _read(
+        sf_dir, "events", ["event_id"],
+        filter=None if limit_ids is None else pc.field("event_id") < limit_ids,
+    )
 
     def _derive(batch: pa.Table) -> pa.Table:
         e = batch["event_id"].to_numpy()
@@ -392,7 +407,9 @@ def q_lineitem_agg(sf_dir: str):
             .agg(n_rows=("qty", "size"), sum_qty=("qty", "sum"), sum_price_cents=("cents", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # no pandas metadata blob: keeps the block schema hashable for
+        # the streaming executor's schema dedup
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partial = li.map_batches(_partial, batch_format="pyarrow", batch_size=16384)
     agg = partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -527,8 +544,12 @@ def _formula_gray_images(sf_dir: str, limit: int, base: int = 0, mod: int = 251,
     closed-form ``v(x, y) = base + (x*7 + y*13 + p*31) % mod`` — every
     decoded-pixel statistic downstream is exact integer arithmetic a
     DuckDB oracle reproduces, while the Ray side exercises the real
-    codec round-trip.  Unit-pixel georeferencing on the 64-grid."""
-    p_ds = _read(sf_dir, "part", ["p_partkey"])
+    codec round-trip.  Unit-pixel georeferencing on the 64-grid.
+
+    The ``p < limit`` predicate is pushed into the parquet read: only
+    matching row groups leave storage, and no downstream task sees a
+    fully-filtered (empty) batch."""
+    p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < limit)
 
     def _gen(batch: pa.Table) -> pa.Table:
         from ..raster import codec as _codec
@@ -707,9 +728,9 @@ def q_masks_pipeline(sf_dir: str):
     on the synthetic corpus.)"""
     from ..stages import masks as masks_stage
 
-    images = _read(sf_dir, "part", ["p_partkey"]).map_batches(
-        _part_images_px, batch_format="pyarrow", batch_size=4096
-    )
+    images = _read(
+        sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 800
+    ).map_batches(_part_images_px, batch_format="pyarrow", batch_size=4096)
     specs = tiler.plan_tiles_ds(images, tile_size=64)
     joined = broadcast_spatial_join(specs, _customer_rects(sf_dir, limit=4000))
     mk = masks_stage.masks_from_join(
@@ -729,9 +750,9 @@ def q_road_masks(sf_dir: str):
     per customer -> dilated mask is a closed-form pixel rectangle."""
     from ..stages import masks as masks_stage
 
-    images = _read(sf_dir, "part", ["p_partkey"]).map_batches(
-        _part_images_px, batch_format="pyarrow", batch_size=4096
-    )
+    images = _read(
+        sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 800
+    ).map_batches(_part_images_px, batch_format="pyarrow", batch_size=4096)
     specs = tiler.plan_tiles_ds(images, tile_size=64)
 
     c = _pq(sf_dir, "customer", ["c_custkey"])["c_custkey"].to_numpy().astype(np.int64)
@@ -767,9 +788,9 @@ def q_instance_masks(sf_dir: str):
     grid — mask_px is the exact clipped-rect pixel count, SQL-oracled."""
     from ..stages import masks as masks_stage
 
-    images = _read(sf_dir, "part", ["p_partkey"]).map_batches(
-        _part_images_px, batch_format="pyarrow", batch_size=4096
-    )
+    images = _read(
+        sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 800
+    ).map_batches(_part_images_px, batch_format="pyarrow", batch_size=4096)
     specs = tiler.plan_tiles_ds(images, tile_size=64)
     joined = broadcast_spatial_join(specs, _customer_rects(sf_dir, limit=4000))
     inst = masks_stage.instance_masks(joined, tile_size=64)
@@ -942,7 +963,7 @@ def q_frame_sample(sf_dir: str):
     vids derived from part rows so the every-k fan-out is SQL-oracled."""
     from ..stages import multimodal
 
-    p_ds = _read(sf_dir, "part", ["p_partkey"])
+    p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 300)
 
     def _vids(batch: pa.Table) -> pa.Table:
         p = batch["p_partkey"].to_numpy()
@@ -1131,9 +1152,9 @@ def q_polygonize(sf_dir: str):
     from ..stages import masks as masks_stage
     from ..stages import polygonize as pz
 
-    images = _read(sf_dir, "part", ["p_partkey"]).map_batches(
-        _part_images_px, batch_format="pyarrow", batch_size=4096
-    )
+    images = _read(
+        sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 800
+    ).map_batches(_part_images_px, batch_format="pyarrow", batch_size=4096)
     specs = tiler.plan_tiles_ds(images, tile_size=64)
 
     c = _pq(sf_dir, "customer", ["c_custkey"])["c_custkey"].to_numpy().astype(np.int64)
@@ -1184,7 +1205,7 @@ def q_polygonize_holes(sf_dir: str):
     from ..raster.kernels import rasterize_rings
     from ..stages import polygonize as pz
 
-    cds = _read(sf_dir, "customer", ["c_custkey"])
+    cds = _read(sf_dir, "customer", ["c_custkey"], filter=pc.field("c_custkey") < 500)
 
     def _annulus(batch: pa.Table) -> pa.Table:
         c = batch["c_custkey"].to_numpy().astype(np.int64)
@@ -1248,7 +1269,7 @@ def q_graph_build(sf_dir: str):
     SQL-exact (len2 = integer squared length)."""
     from ..stages import graph as graph_stage
 
-    o = _read(sf_dir, "orders", ["o_orderkey"])
+    o = _read(sf_dir, "orders", ["o_orderkey"], filter=pc.field("o_orderkey") < 3000)
 
     def _roads(batch: pa.Table) -> pa.Table:
         k = batch["o_orderkey"].to_numpy()
@@ -1294,7 +1315,7 @@ def q_preproc_ops(sf_dir: str):
     from ..raster import codec as _codec
     from ..stages import preproc as pp
 
-    p_ds = _read(sf_dir, "part", ["p_partkey"])
+    p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 150)
 
     def _gen(batch: pa.Table) -> pa.Table:
         p = batch["p_partkey"].to_numpy()
@@ -1566,7 +1587,7 @@ def q_augment(sf_dir: str):
     from ..raster import codec as _codec
     from ..stages import augment as aug
 
-    p_ds = _read(sf_dir, "part", ["p_partkey"])
+    p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 150)
 
     def _gen(batch: pa.Table) -> pa.Table:
         p = batch["p_partkey"].to_numpy()
@@ -1769,9 +1790,9 @@ def q_pixel_eval(sf_dir: str):
     the masks oracle)."""
     from ..stages import evaluate, masks as masks_stage
 
-    images = _read(sf_dir, "part", ["p_partkey"]).map_batches(
-        _part_images_px, batch_format="pyarrow", batch_size=4096
-    )
+    images = _read(
+        sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 800
+    ).map_batches(_part_images_px, batch_format="pyarrow", batch_size=4096)
     specs = tiler.plan_tiles_ds(images, tile_size=64)
     truth = masks_stage.masks_from_join(
         broadcast_spatial_join(specs, _in_cell_rects(sf_dir)), tile_size=64

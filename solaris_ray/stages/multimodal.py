@@ -31,6 +31,23 @@ from ..raster import codec
 NATIVE_FMTS = {"png", "qnt"}
 STUB_FMTS = {"jpeg", "jpg", "webp", "tiff"}
 
+# Real-codec seam: if a PIL / imagecodecs wheel ever appears in the
+# environment, foreign-format decode self-upgrades — ``strict=True``
+# then means "real decode or raise", never the fake.  In this container
+# both imports fail, so the stub path below carries the plumbing tests.
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:
+    _PILImage = None
+
+
+def _pil_decode(buf: bytes) -> np.ndarray:  # pragma: no cover - needs PIL
+    import io
+
+    img = _PILImage.open(io.BytesIO(buf))
+    arr = np.asarray(img)
+    return arr[:, :, None] if arr.ndim == 2 else arr
+
 
 def _fake_decode(buf: bytes, w: int, h: int, channels: int = 3) -> np.ndarray:
     """Deterministic fake pixels seeded by the payload digest (STUB)."""
@@ -44,6 +61,8 @@ def decode_any(buf: bytes, fmt: str, w: int, h: int, strict: bool = False) -> np
         arr = codec.decode(buf, fmt)
         return arr[:, :, None] if arr.ndim == 2 else arr
     if fmt in STUB_FMTS:
+        if _PILImage is not None:  # pragma: no cover - needs PIL
+            return _pil_decode(buf)
         if strict:
             raise NotImplementedError(
                 f"no {fmt} codec in this environment; decode stubbed (see module docstring)"
