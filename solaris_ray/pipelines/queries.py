@@ -1828,6 +1828,36 @@ def q_pixel_eval(sf_dir: str):
 
 # --- registry ------------------------------------------------------------
 
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test hash split over documents.
+
+    Salted-md5 bucketing (split.hash_split) — the split is a pure
+    function of doc_id, so it is stable under repartitioning and
+    dataset growth.  Training-data analogue of the reference's
+    per-chip train/test CSV split (solaris/utils/data.py make_dataset_csv).
+    """
+    from ..stages.split import hash_split
+
+    return hash_split(_read(sf_dir, "documents", ["doc_id"]), key_col="doc_id")
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing layout over documents.
+
+    Whitespace token counts (text.token_counts) -> global prefix sum in
+    doc_id order (two-pass distributed cumsum, pack.pack_sequences) ->
+    per-document spans in the fixed-length training-sequence stream.
+    """
+    from ..stages.pack import pack_sequences
+
+    toks = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(text.token_counts, batch_format="pyarrow", batch_size=4096)
+        .select_columns(["doc_id", "n_tokens"])
+    )
+    return pack_sequences(toks, token_col="n_tokens", order_col="doc_id", seq_len=512)
+
+
 QUERIES = {
     "tile_plan": q_tile_plan,
     "pip_count": q_pip_count,
@@ -1893,6 +1923,8 @@ QUERIES = {
     "distinct_types": q_distinct_types,
     "zonal_stats": q_zonal_stats,
     "pixel_eval": q_pixel_eval,
+    "hash_split": q_hash_split,
+    "pack_sequences": q_pack_sequences,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -2562,6 +2594,39 @@ SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, hits_zh,
 FROM h
 """,
     "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    # hash_split: bucket = md5(str(doc_id)) low 8 bytes little-endian mod 100
+    # (same hex-expansion idiom as the minhash oracle); default weights
+    # train .9 / val .05 / test .05 -> integer edges 90 / 95 / 100.
+    "hash_split": """
+WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hd FROM documents),
+b AS (SELECT doc_id,
+        CAST((SELECT SUM(CAST((strpos('0123456789abcdef', substr(hd, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16
+                             + (strpos('0123456789abcdef', substr(hd, CAST(2*j+2 AS INTEGER), 1)) - 1) AS HUGEINT)
+                         * CAST(pow(256, j) AS HUGEINT))
+              FROM range(0, 8) r(j)) % 100 AS BIGINT) AS bucket
+      FROM h)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+    # pack_sequences: global prefix sum of whitespace token counts in
+    # doc_id order, spans over 512-token training sequences.
+    "pack_sequences": f"""
+WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_tok
+      FROM t)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // 512 AS bin_first,
+       CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // 512
+            ELSE start_tok // 512 END AS bin_last,
+       CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // 512
+            ELSE start_tok // 512 END - start_tok // 512 + 1 AS n_bins
+FROM c
+""",
     "affine_transform": """
 WITH f AS (SELECT c_custkey AS feature_id,
              CAST((c_custkey*97) % 3200 AS DOUBLE) AS fcx,

@@ -31,6 +31,8 @@ SUBSET = [
     "quantiles",
     "match_join",
     "group_topk",
+    "hash_split",
+    "pack_sequences",
 ]
 
 
