@@ -1828,6 +1828,32 @@ def q_pixel_eval(sf_dir: str):
 
 # --- registry ------------------------------------------------------------
 
+def q_asof_join(sf_dir: str):
+    """Nearest-prior (ASOF) join: each purchase event picks the latest
+    signup of the same user at-or-before its timestamp.
+
+    Right side is pre-aggregated per (user_id, ts) so equal-timestamp
+    ties are deterministic on both engine and oracle at any scale.
+    """
+    from ..stages.asof import asof_join
+
+    cols = ["event_id", "ts", "user_id", "value", "event_type"]
+    left = _read(sf_dir, "events", cols, filter=pc.field("event_type") == "purchase")
+    right = (
+        _read(sf_dir, "events", ["ts", "user_id", "value", "event_type"],
+              filter=pc.field("event_type") == "signup")
+        .select_columns(["ts", "user_id", "value"])
+        .groupby(["user_id", "ts"])
+        .max("value")
+        .map_batches(
+            lambda t: t.rename_columns(["user_id", "ts", "r_value"]),
+            batch_format="pyarrow",
+        )
+    )
+    return asof_join(left, right, on="ts", by="user_id",
+                     left_cols=["event_id", "value"], right_cols=["r_value"])
+
+
 def q_hash_split(sf_dir: str):
     """Deterministic train/val/test hash split over documents.
 
@@ -1925,6 +1951,7 @@ QUERIES = {
     "pixel_eval": q_pixel_eval,
     "hash_split": q_hash_split,
     "pack_sequences": q_pack_sequences,
+    "asof_join": q_asof_join,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -2594,6 +2621,13 @@ SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, hits_zh,
 FROM h
 """,
     "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    # asof_join: DuckDB runs the ANSI ASOF JOIN verbatim.
+    "asof_join": """
+WITH l AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, max(value) AS r_value FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+SELECT l.user_id, l.ts, l.event_id, l.value, r.ts AS r_ts, r.r_value
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
     # hash_split: bucket = md5(str(doc_id)) low 8 bytes little-endian mod 100
     # (same hex-expansion idiom as the minhash oracle); default weights
     # train .9 / val .05 / test .05 -> integer edges 90 / 95 / 100.
