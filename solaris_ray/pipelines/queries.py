@@ -461,6 +461,53 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition features (dup-token mass, top-bigram
+    mass, longest same-token run) — the repetition-removal signals of
+    Rae et al. 2021 §A1.1, vectorized Arrow group_by per batch."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text.repetition_stats, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def q_pii_scrub(sf_dir: str):
+    """Staged RE2 redaction (emails -> phones -> IPv4) with per-stage
+    match counts and an MD5 over the scrubbed text, so the gate hash
+    covers the rewritten bytes."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text.pii_scrub, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination: docs with doc_id % 50 == 0
+    form the held-out 'benchmark'; every other doc is scored by how
+    many of its distinct char-20-grams appear in the benchmark set
+    (broadcast once, Arrow is_in membership)."""
+    from ..stages import corpus
+
+    def _side(keep_bench: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            m = (b["doc_id"].to_numpy() % 50) == 0
+            return b.filter(pa.array(m if keep_bench else ~m))
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            _f, batch_format="pyarrow"
+        )
+
+    return corpus.decontaminate(_side(False), _side(True), k=20)
+
+
+def q_bigram_lm(sf_dir: str):
+    """Two-pass corpus-familiarity scoring: partial-aggregated bigram
+    counts (min_count=3) broadcast, then per-doc corpus-frequency sums."""
+    from ..stages import corpus
+
+    return corpus.bigram_lm_scores(
+        _read(sf_dir, "documents", ["doc_id", "text"]), min_count=3
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1952,6 +1999,10 @@ QUERIES = {
     "hash_split": q_hash_split,
     "pack_sequences": q_pack_sequences,
     "asof_join": q_asof_join,
+    "repetition": q_repetition,
+    "pii_scrub": q_pii_scrub,
+    "decontaminate": q_decontaminate,
+    "bigram_lm": q_bigram_lm,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -3111,6 +3162,84 @@ SELECT doc_a, doc_b, s AS "max(sim6)" FROM sims WHERE s >= {tau}
 
 
 _ORACLES_BASE["embed_neardup_lsh"] = _embed_lsh_pairs_oracle_sql()
+
+_ORACLES_BASE["repetition"] = f"""
+WITH l AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, i, toks[i] AS tok FROM l, range(1, 1000) r(i) WHERE i <= len(toks)),
+base AS (SELECT doc_id, len(toks) AS n_tokens FROM l),
+dt AS (SELECT doc_id, count(DISTINCT tok) AS n_distinct FROM t GROUP BY 1),
+bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+       FROM l, range(1, 1000) r(i) WHERE i + 1 <= len(toks)),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+bt AS (SELECT doc_id, max(c) AS top_n FROM bc GROUP BY 1),
+runs AS (SELECT doc_id, tok,
+                i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+         FROM t),
+rl AS (SELECT doc_id, count(*) AS rlen FROM runs GROUP BY doc_id, tok, grp),
+mr AS (SELECT doc_id, max(rlen) AS max_run FROM rl GROUP BY 1)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(dt.n_distinct AS BIGINT) AS n_distinct_tokens,
+       CAST(b.n_tokens - dt.n_distinct AS DOUBLE) / b.n_tokens AS dup_token_frac,
+       CAST(greatest(b.n_tokens - 1, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(bt.top_n, 0) AS BIGINT) AS top_bigram_n,
+       CASE WHEN b.n_tokens <= 1 THEN 0.0
+            ELSE CAST(COALESCE(bt.top_n, 0) AS DOUBLE) / (b.n_tokens - 1) END AS top_bigram_frac,
+       CAST(mr.max_run AS BIGINT) AS max_run
+FROM base b JOIN dt USING (doc_id) JOIN mr USING (doc_id)
+LEFT JOIN bt USING (doc_id)
+"""
+
+# PII oracle built from the SAME pattern constants the engine compiles
+_EMAIL, _PHONE, _IPV4 = text.EMAIL_RE, text.PHONE_RE, text.IPV4_RE
+
+_ORACLES_BASE["pii_scrub"] = f"""
+WITH s1 AS (SELECT doc_id, regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g') AS t1,
+                   len(regexp_extract_all(text, '{_EMAIL}')) AS n_emails
+            FROM documents),
+s2 AS (SELECT doc_id, regexp_replace(t1, '{_PHONE}', '<PHONE>', 'g') AS t2, n_emails,
+              len(regexp_extract_all(t1, '{_PHONE}')) AS n_phones
+       FROM s1)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t2, '{_IPV4}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(t2, '{_IPV4}', '<IP>', 'g')) AS clean_fp
+FROM s2
+"""
+
+_ORACLES_BASE["decontaminate"] = """
+WITH b AS (SELECT DISTINCT substr(text, CAST(i + 1 AS INTEGER), 20) AS g
+           FROM documents, range(0, 1000) r(i)
+           WHERE doc_id % 50 = 0 AND i + 20 <= length(text)),
+dg AS (SELECT DISTINCT doc_id, substr(text, CAST(i + 1 AS INTEGER), 20) AS g
+       FROM documents, range(0, 1000) r(i)
+       WHERE doc_id % 50 <> 0 AND i + 20 <= length(text)),
+ov AS (SELECT doc_id, count(*) AS n_grams,
+              sum(CASE WHEN g IN (SELECT g FROM b) THEN 1 ELSE 0 END) AS n_overlap
+       FROM dg GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(ov.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+WHERE d.doc_id % 50 <> 0
+"""
+
+_ORACLES_BASE["bigram_lm"] = f"""
+WITH l AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+       FROM l, range(1, 1000) r(i) WHERE i + 1 <= len(toks)),
+cc AS (SELECT b, count(*) AS c FROM bg GROUP BY 1 HAVING count(*) >= 3),
+sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+              sum(CASE WHEN cc.b IS NOT NULL THEN 1 ELSE 0 END) AS n_covered,
+              sum(COALESCE(cc.c, 0)) AS lm_hits
+       FROM bg LEFT JOIN cc USING (b) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(sc.n_covered, 0) AS BIGINT) AS n_covered,
+       CAST(COALESCE(sc.lm_hits, 0) AS BIGINT) AS lm_hits
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
 
 ORACLES.update(_ORACLES_BASE)
 for _alias, _src in _SHARED_ORACLES:

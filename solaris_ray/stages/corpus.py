@@ -1,0 +1,288 @@
+"""Two-pass corpus-statistics stages (training-data ops).
+
+Operators that need a *corpus-level* artifact (a blocklist, a language
+model) built in a first streaming pass, broadcast once with
+``ray.put``, then applied in a second streaming pass — the canonical
+train/apply shape of large-scale data pipelines the reference lacks:
+
+- ``decontaminate``: benchmark-overlap filtering (the GPT-3/PaLM
+  n-gram decontamination step).  Pass 1 collects the DISTINCT
+  character-k-gram set of the benchmark docs (small by definition —
+  eval sets are fixed-size); pass 2 counts, per candidate doc, how
+  many of its distinct k-grams appear in that set.  Membership is
+  Arrow C++ ``is_in`` over a broadcast value set — exact string
+  compare, no hash-collision caveat, vectorized.
+- ``bigram_lm_scores``: corpus-frequency familiarity scoring.  Pass 1
+  is a partial-aggregated ``groupby(bigram).sum`` (combine inside
+  map_batches first, so the shuffle carries one row per distinct
+  bigram per block, not one per occurrence); the >= min_count vocab is
+  broadcast; pass 2 scores each doc by total corpus frequency of its
+  bigrams.  Integer outputs only — the DuckDB oracle reproduces them
+  exactly.
+
+Scale notes (100 TB): the benchmark gram set and the min_count vocab
+are the ONLY driver-materialized artifacts; both are sublinear in
+corpus size (eval sets are fixed; vocab under a count floor follows
+Heaps' law).  Their sizes are logged.  Candidate/doc sides stream.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
+
+WORD_SPLIT = r"\s+"
+
+
+def _char_kgrams(text: pa.Array, k: int) -> tuple[np.ndarray, pa.Array]:
+    """All k-codepoint substrings (stride 1) of each row.
+
+    Returns (row_idx, grams) flat arrays.  One vectorized
+    ``utf8_slice_codeunits`` call per offset (codepoint indexing —
+    same frame as DuckDB ``substr``) — O(max_len) kernel
+    launches, each over the whole batch; total work is bounded by
+    batch chars x 1 slice copy.  Rows shorter than k yield nothing.
+    """
+    n_chars = pc.utf8_length(text).to_numpy().astype(np.int64)
+    max_off = int(n_chars.max() - k) if len(n_chars) else -1
+    rows_parts: list[np.ndarray] = []
+    gram_parts: list[pa.Array] = []
+    idx = np.arange(len(text), dtype=np.int64)
+    for i in range(max_off + 1):
+        valid = n_chars >= i + k
+        if not valid.any():
+            continue
+        sel = pa.array(valid)
+        sliced = pc.utf8_slice_codeunits(pc.filter(text, sel), start=i, stop=i + k)
+        gram_parts.append(sliced)
+        rows_parts.append(idx[valid])
+    if not gram_parts:
+        return np.zeros(0, dtype=np.int64), pa.array([], pa.string())
+    rows = np.concatenate(rows_parts)
+    grams = pa.concat_arrays([g.cast(pa.string()) for g in gram_parts])
+    return rows, grams
+
+
+def benchmark_gram_set(bench_ds, k: int = 20, text_col: str = "text") -> pa.Array:
+    """Pass 1: DISTINCT char-k-grams of the benchmark docs.
+
+    Engine-side distinct (groupby on the gram), driver receives only
+    the deduplicated set — bounded by the benchmark corpus size, which
+    is fixed (eval suites don't grow with the training corpus).
+    """
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        _, grams = _char_kgrams(batch.column(text_col).combine_chunks(), k)
+        if len(grams) == 0:
+            return pa.table({"g": pa.array([], pa.string())})
+        return pa.table({"g": pc.unique(grams)})  # block-local pre-dedup
+
+    distinct = (
+        bench_ds.map_batches(_grams, batch_format="pyarrow")
+        .groupby("g")
+        .count()
+        .select_columns(["g"])
+    )
+    tbl = pa.concat_tables(list(distinct.iter_batches(batch_format="pyarrow")))
+    out = tbl["g"].combine_chunks()
+    logger.info("benchmark gram set: %d distinct %d-grams", len(out), k)
+    return out
+
+
+class _Decontaminator:
+    """Actor-pool stage: broadcast gram set in __init__, count overlaps
+    per batch via Arrow ``is_in`` (exact strings, C++ hash set)."""
+
+    def __init__(self, gram_set_ref, k: int, text_col: str, id_col: str):
+        import ray
+
+        self.grams = ray.get(gram_set_ref) if not isinstance(gram_set_ref, pa.Array) else gram_set_ref
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col).combine_chunks()
+        rows, grams = _char_kgrams(text, self.k)
+        n = len(text)
+        n_grams = np.zeros(n, dtype=np.int64)
+        n_overlap = np.zeros(n, dtype=np.int64)
+        if len(grams):
+            # distinct (row, gram) pairs before counting
+            uniq = (
+                pa.table({"r": pa.array(rows), "g": grams})
+                .group_by(["r", "g"])
+                .aggregate([])
+            )
+            ur = uniq["r"].to_numpy()
+            member = pc.is_in(uniq["g"].combine_chunks(), value_set=self.grams).to_numpy(
+                zero_copy_only=False
+            )
+            np.add.at(n_grams, ur, 1)
+            np.add.at(n_overlap, ur[member], 1)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_grams": pa.array(n_grams),
+                "n_overlap": pa.array(n_overlap),
+                "contaminated": pa.array((n_overlap > 0).astype(np.int64)),
+            }
+        )
+
+
+def decontaminate(
+    docs_ds,
+    bench_ds,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = None,
+):
+    """Benchmark n-gram decontamination: for each candidate doc, count
+    its distinct char-k-grams and how many appear in the benchmark
+    set; flag ``contaminated`` when any does.
+
+    docs_ds / bench_ds are Ray Datasets with (id_col, text_col).  The
+    candidate side streams; only the benchmark gram set (fixed-size)
+    is materialized and broadcast.
+    """
+    import ray
+
+    gram_ref = ray.put(benchmark_gram_set(bench_ds, k=k, text_col=text_col))
+    kwargs = dict(
+        batch_format="pyarrow",
+        batch_size=1024,
+        fn_constructor_kwargs=dict(
+            gram_set_ref=gram_ref, k=k, text_col=text_col, id_col=id_col
+        ),
+    )
+    from ..runtime import auto_concurrency
+
+    kwargs["concurrency"] = concurrency or auto_concurrency()
+    return docs_ds.map_batches(_Decontaminator, **kwargs)
+
+
+# --- corpus bigram LM ----------------------------------------------------
+
+def _doc_bigrams(batch: pa.Table, text_col: str) -> tuple[np.ndarray, pa.Array, int]:
+    """(row_idx, bigram) flat arrays of whitespace-token bigrams."""
+    text = pc.utf8_trim_whitespace(batch.column(text_col).combine_chunks())
+    toks = pc.split_pattern_regex(text, WORD_SPLIT)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    rows = np.repeat(np.arange(len(toks), dtype=np.int64), n_tok)
+    flat = pc.list_flatten(toks)
+    if len(rows) < 2:
+        return np.zeros(0, dtype=np.int64), pa.array([], pa.string()), len(toks)
+    adj = rows[1:] == rows[:-1]
+    bigrams = pc.filter(
+        pc.binary_join_element_wise(flat.slice(0, len(flat) - 1), flat.slice(1), " "),
+        pa.array(adj),
+    )
+    return rows[:-1][adj], bigrams, len(toks)
+
+
+def train_bigram_counts(docs_ds, min_count: int = 3, text_col: str = "text") -> pa.Table:
+    """Pass 1: corpus-wide bigram counts >= min_count.
+
+    Partial aggregation inside map_batches (one (bigram, n) row per
+    distinct bigram per block) then a small groupby sum — the shuffle
+    carries combiner output, not raw occurrences.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, bigrams, _ = _doc_bigrams(batch, text_col)
+        if len(bigrams) == 0:
+            return pa.table({"b": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        g = pa.table({"b": bigrams}).group_by(["b"]).aggregate([([], "count_all")])
+        return pa.table({"b": g["b"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("b")
+        .sum("n")
+    )
+    parts = list(counts.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(parts) if parts else pa.table({"b": [], "sum(n)": []})
+    keep = pc.greater_equal(tbl["sum(n)"], min_count)
+    vocab = tbl.filter(keep)
+    logger.info(
+        "bigram LM vocab: %d bigrams >= %d occurrences (of %d distinct)",
+        len(vocab), min_count, len(tbl),
+    )
+    return pa.table(
+        {"b": vocab["b"].combine_chunks(), "n": pc.cast(vocab["sum(n)"], pa.int64())}
+    )
+
+
+class _BigramScorer:
+    """Actor-pool stage: vocab broadcast once, per-batch index_in lookup."""
+
+    def __init__(self, vocab_ref, text_col: str, id_col: str):
+        import ray
+
+        vocab = ray.get(vocab_ref) if not isinstance(vocab_ref, pa.Table) else vocab_ref
+        self.vocab_b = vocab["b"].combine_chunks()
+        self.vocab_n = vocab["n"].to_numpy().astype(np.int64)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows, bigrams, n = _doc_bigrams(batch, self.text_col)
+        n_bigrams = np.zeros(n, dtype=np.int64)
+        n_covered = np.zeros(n, dtype=np.int64)
+        lm_hits = np.zeros(n, dtype=np.int64)
+        if len(bigrams):
+            idx = pc.index_in(bigrams, value_set=self.vocab_b)
+            hit = idx.is_valid().to_numpy(zero_copy_only=False)
+            pos = idx.to_numpy(zero_copy_only=False)
+            np.add.at(n_bigrams, rows, 1)
+            np.add.at(n_covered, rows[hit], 1)
+            np.add.at(lm_hits, rows[hit], self.vocab_n[pos[hit].astype(np.int64)])
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_bigrams": pa.array(n_bigrams),
+                "n_covered": pa.array(n_covered),
+                "lm_hits": pa.array(lm_hits),
+            }
+        )
+
+
+def bigram_lm_scores(
+    docs_ds,
+    min_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_ds=None,
+    concurrency: int | None = None,
+):
+    """Two-pass corpus-familiarity scoring.
+
+    (doc_id, n_bigrams, n_covered, lm_hits): per doc, its bigram count,
+    how many of its bigrams clear the corpus min_count floor, and the
+    summed corpus frequency of those bigrams (a doc's own occurrences
+    count — same on both sides of the oracle).  ``train_ds`` defaults
+    to ``docs_ds`` (self-scoring); pass a separate reference corpus to
+    score against it.
+    """
+    import ray
+
+    vocab = train_bigram_counts(train_ds if train_ds is not None else docs_ds,
+                                min_count=min_count, text_col=text_col)
+    vocab_ref = ray.put(vocab)
+    kwargs = dict(
+        batch_format="pyarrow",
+        batch_size=1024,
+        fn_constructor_kwargs=dict(vocab_ref=vocab_ref, text_col=text_col, id_col=id_col),
+    )
+    from ..runtime import auto_concurrency
+
+    kwargs["concurrency"] = concurrency or auto_concurrency()
+    return docs_ds.map_batches(_BigramScorer, **kwargs)

@@ -113,6 +113,120 @@ def lang_id(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> 
     return pa.table(cols)
 
 
+def repetition_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition features per document.
+
+    (doc_id, n_tokens, n_distinct_tokens, dup_token_frac, n_bigrams,
+    top_bigram_n, top_bigram_frac, max_run) — the repetition-removal
+    signals from Rae et al. 2021 (Gopher, §A1.1): duplicate-token mass,
+    most-frequent-bigram mass, and the longest consecutive same-token
+    run.  Everything is integer counts (fractions are IEEE divisions of
+    the same integers the SQL oracle divides); the heavy lifting is
+    Arrow C++ group_by over the flattened token lists — no Python loop
+    over rows or tokens.
+    """
+    text = pc.utf8_trim_whitespace(batch.column(text_col).combine_chunks())
+    toks = pc.split_pattern_regex(text, WORD_SPLIT)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    n = len(toks)
+    rows = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+    flat = pc.list_flatten(toks)
+
+    # distinct tokens per row (C++ hash aggregation)
+    g = (
+        pa.table({"r": pa.array(rows), "v": flat})
+        .group_by(["r"])
+        .aggregate([("v", "count_distinct")])
+    )
+    n_distinct = np.zeros(n, dtype=np.int64)
+    n_distinct[g["r"].to_numpy()] = g["v_count_distinct"].to_numpy()
+
+    # top bigram count per row: join adjacent tokens within a row
+    adj = rows[1:] == rows[:-1] if len(rows) > 1 else np.zeros(0, dtype=bool)
+    left = flat.slice(0, max(len(flat) - 1, 0))
+    right = flat.slice(1)
+    bigrams = pc.filter(
+        pc.binary_join_element_wise(left, right, " "), pa.array(adj)
+    )
+    brows = rows[:-1][adj] if len(rows) > 1 else rows[:0]
+    top_bigram = np.zeros(n, dtype=np.int64)
+    if len(bigrams):
+        g2 = (
+            pa.table({"r": pa.array(brows), "b": bigrams})
+            .group_by(["r", "b"])
+            .aggregate([([], "count_all")])
+        )
+        g3 = g2.group_by(["r"]).aggregate([("count_all", "max")])
+        top_bigram[g3["r"].to_numpy()] = g3["count_all_max"].to_numpy()
+
+    # longest consecutive equal-token run per row
+    max_run = np.zeros(n, dtype=np.int64)
+    if len(rows):
+        same = (
+            adj & pc.equal(left, right).to_numpy(zero_copy_only=False)
+            if len(rows) > 1
+            else np.zeros(0, dtype=bool)
+        )
+        starts = np.flatnonzero(np.concatenate(([True], ~same)))
+        run_len = np.diff(np.concatenate((starts, [len(rows)])))
+        np.maximum.at(max_run, rows[starts], run_len)
+
+    n_bigrams = np.maximum(n_tok - 1, 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dup_frac = np.where(n_tok > 0, (n_tok - n_distinct) / n_tok, 0.0)
+        top_frac = np.where(n_bigrams > 0, top_bigram / n_bigrams, 0.0)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tok),
+            "n_distinct_tokens": pa.array(n_distinct),
+            "dup_token_frac": pa.array(dup_frac, pa.float64()),
+            "n_bigrams": pa.array(n_bigrams),
+            "top_bigram_n": pa.array(top_bigram),
+            "top_bigram_frac": pa.array(top_frac, pa.float64()),
+            "max_run": pa.array(max_run),
+        }
+    )
+
+
+# PII patterns (RE2 — identical semantics in Arrow and DuckDB, both
+# RE2-backed: leftmost match, non-overlapping global replace)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_scrub(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_emails, n_phones, n_ips, clean_fp) — PII redaction.
+
+    Sequential scrub: emails -> ``<EMAIL>``, then phone-shaped numbers
+    -> ``<PHONE>``, then IPv4 literals -> ``<IP>``; each stage counts
+    matches on ITS input (post-prior-scrub), mirroring the SQL oracle's
+    staged ``regexp_replace(..., 'g')``.  ``clean_fp`` is the MD5 of the
+    fully scrubbed text so the gate hash covers the rewritten bytes,
+    not just the counts.  All regex work is RE2 in Arrow C++.
+    """
+    t0 = batch.column(text_col).combine_chunks()
+    n_emails = pc.cast(pc.count_substring_regex(t0, EMAIL_RE), pa.int64())
+    t1 = pc.replace_substring_regex(t0, EMAIL_RE, "<EMAIL>")
+    n_phones = pc.cast(pc.count_substring_regex(t1, PHONE_RE), pa.int64())
+    t2 = pc.replace_substring_regex(t1, PHONE_RE, "<PHONE>")
+    n_ips = pc.cast(pc.count_substring_regex(t2, IPV4_RE), pa.int64())
+    t3 = pc.replace_substring_regex(t2, IPV4_RE, "<IP>")
+    fps = [hashlib.md5(v.encode("utf-8")).hexdigest() for v in t3.to_pylist()]
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+            "n_ips": n_ips,
+            "clean_fp": pa.array(fps, pa.string()),
+        }
+    )
+
+
 def md5_fingerprint(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """(doc_id, fp) — MD5 content fingerprint, hex lowercase.
 
