@@ -508,6 +508,35 @@ def q_bigram_lm(sf_dir: str):
     )
 
 
+def q_compact_cells(sf_dir: str):
+    """H3-compact analogue over the part-box coverage: cover every
+    part-derived 64x64 box at res 19 (4 cells each), then compact
+    fully-covered parents up to res 16.  One int-key co-shuffle per
+    level; the oracle chains the same 3 promotion levels in SQL."""
+    from ..stages import compact
+
+    ds = _read(sf_dir, "part", ["p_partkey"])
+
+    def _cover(batch: pa.Table) -> pa.Table:
+        # closed-form 2x2 res-19 cover of each 64-aligned 64x64 box
+        # (res-19 edge is 32; grid offset 2^23/32 = 262144) — matches
+        # the oracle's arithmetic exactly, no boundary epsilon involved
+        p = batch["p_partkey"].to_numpy().astype(np.int64)
+        ix0 = (p % GRID) * 2 + 262144
+        iy0 = (p // GRID % GRID) * 2 + 262144
+        ix = np.repeat(ix0, 4) + np.tile([0, 0, 1, 1], len(p))
+        iy = np.repeat(iy0, 4) + np.tile([0, 1, 0, 1], len(p))
+        cell_ids = (
+            (np.uint64(19) << np.uint64(58))
+            | (ix.astype(np.uint64) << np.uint64(29))
+            | iy.astype(np.uint64)
+        )
+        return pa.table({"cell": pa.array(cell_ids.astype(np.int64))})
+
+    covered = ds.map_batches(_cover, batch_format="pyarrow")
+    return compact.compact_cells(covered, base_res=19, min_res=16)
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -2003,6 +2032,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "bigram_lm": q_bigram_lm,
+    "compact_cells": q_compact_cells,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -3223,6 +3253,31 @@ SELECT d.doc_id,
        CAST(CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
 FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
 WHERE d.doc_id % 50 <> 0
+"""
+
+# three chained promotion levels (19->18->17->16), each the SQL mirror
+# of one groupby(parent) level in stages/compact.py
+_ORACLES_BASE["compact_cells"] = """
+WITH c19 AS (
+  SELECT DISTINCT CAST((p_partkey % 50) * 2 + 262144 + d.dx AS BIGINT) AS ix,
+                  CAST(((p_partkey // 50) % 50) * 2 + 262144 + d.dy AS BIGINT) AS iy
+  FROM part, (VALUES (0,0),(0,1),(1,0),(1,1)) d(dx, dy)),
+p18 AS (SELECT ix // 2 AS ix, iy // 2 AS iy, count(*) AS c FROM c19 GROUP BY 1, 2),
+f19 AS (SELECT a.ix, a.iy FROM c19 a JOIN p18 p ON p.ix = a.ix // 2 AND p.iy = a.iy // 2 WHERE p.c < 4),
+c18 AS (SELECT ix, iy FROM p18 WHERE c = 4),
+p17 AS (SELECT ix // 2 AS ix, iy // 2 AS iy, count(*) AS c FROM c18 GROUP BY 1, 2),
+f18 AS (SELECT a.ix, a.iy FROM c18 a JOIN p17 p ON p.ix = a.ix // 2 AND p.iy = a.iy // 2 WHERE p.c < 4),
+c17 AS (SELECT ix, iy FROM p17 WHERE c = 4),
+p16 AS (SELECT ix // 2 AS ix, iy // 2 AS iy, count(*) AS c FROM c17 GROUP BY 1, 2),
+f17 AS (SELECT a.ix, a.iy FROM c17 a JOIN p16 p ON p.ix = a.ix // 2 AND p.iy = a.iy // 2 WHERE p.c < 4),
+c16 AS (SELECT ix, iy FROM p16 WHERE c = 4)
+SELECT CAST(19 * 288230376151711744 + ix * 536870912 + iy AS BIGINT) AS cell, CAST(19 AS BIGINT) AS res FROM f19
+UNION ALL
+SELECT CAST(18 * 288230376151711744 + ix * 536870912 + iy AS BIGINT), CAST(18 AS BIGINT) FROM f18
+UNION ALL
+SELECT CAST(17 * 288230376151711744 + ix * 536870912 + iy AS BIGINT), CAST(17 AS BIGINT) FROM f17
+UNION ALL
+SELECT CAST(16 * 288230376151711744 + ix * 536870912 + iy AS BIGINT), CAST(16 AS BIGINT) FROM c16
 """
 
 _ORACLES_BASE["bigram_lm"] = f"""
