@@ -508,6 +508,50 @@ def q_bigram_lm(sf_dir: str):
     )
 
 
+def q_phash_neardup(sf_dir: str):
+    """Perceptual-hash near-dup pairs over the image-table phash
+    column (input_hint: phash:int64).  Fixture: events rows < 2000
+    derive groups of 4 hashes that differ pairwise by 2 bits (each
+    member flips a distinct bit of a shared 62-bit base), so banded
+    Hamming <= 3 must recover every in-group pair; the oracle
+    recomputes bands + bit_count(xor) in SQL."""
+    M62 = 1 << 62
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy().astype(np.int64)
+        e = e[e < 2000]
+        g = e // 4
+        base = ((g * g % M62) * 2654435761 + g * 97 + 12345) % M62
+        ph = np.bitwise_xor(base, np.int64(1) << (e % 4) * 7)
+        return pa.table(
+            {
+                "image_id": pa.array(e, pa.int64()),
+                "phash": pa.array(ph, pa.int64()),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "events", ["event_id"], filter=pc.field("event_id") < 2000
+    ).map_batches(_derive, batch_format="pyarrow")
+    return dedup.hamming_neardup_pairs(
+        ds, hash_col="phash", id_col="image_id", max_dist=3, n_bands=4
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic 20-per-source sample of documents via salted-md5
+    rank — block-local top-k then per-group merge (bounded shuffle)."""
+    from ..stages import split
+
+    return split.stratified_sample(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        group_col="source",
+        key_col="doc_id",
+        k=20,
+        salt="s3",
+    )
+
+
 def q_compact_cells(sf_dir: str):
     """H3-compact analogue over the part-box coverage: cover every
     part-derived 64x64 box at res 19 (4 cells each), then compact
@@ -2033,6 +2077,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "bigram_lm": q_bigram_lm,
     "compact_cells": q_compact_cells,
+    "stratified_sample": q_stratified_sample,
+    "phash_neardup": q_phash_neardup,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -3253,6 +3299,35 @@ SELECT d.doc_id,
        CAST(CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
 FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
 WHERE d.doc_id % 50 <> 0
+"""
+
+_ORACLES_BASE["phash_neardup"] = """
+WITH p AS (
+  SELECT event_id AS id,
+         xor(CAST((((event_id // 4) * (event_id // 4) % 4611686018427387904) * 2654435761
+                   + (event_id // 4) * 97 + 12345) % 4611686018427387904 AS BIGINT),
+             CAST(pow(2, (event_id % 4) * 7) AS BIGINT)) AS phash
+  FROM events WHERE event_id < 2000),
+b AS (SELECT id, phash,
+             bi, (phash // CAST(pow(2, 16 * bi) AS BIGINT)) % 65536 AS key
+      FROM p, range(0, 4) r(bi)),
+cand AS (SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+         FROM b a JOIN b bb ON a.bi = bb.bi AND a.key = bb.key AND a.id < bb.id)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS "min(dist)"
+FROM cand c
+JOIN p pa ON pa.id = c.id_a
+JOIN p pb ON pb.id = c.id_b
+WHERE bit_count(xor(pa.phash, pb.phash)) <= 3
+"""
+
+_ORACLES_BASE["stratified_sample"] = """
+SELECT source, doc_id,
+       CAST(row_number() OVER (PARTITION BY source
+            ORDER BY md5('s3' || CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS BIGINT) AS rank
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY source
+        ORDER BY md5('s3' || CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) <= 20
 """
 
 # three chained promotion levels (19->18->17->16), each the SQL mirror

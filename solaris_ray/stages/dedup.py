@@ -560,3 +560,112 @@ def embedding_neardup_pairs(ds, embeddings_table: pa.Table, tau: float = 0.4,
         batch_size=2048,
         concurrency=concurrency,
     )
+
+
+# --- Hamming (pHash) near-dup --------------------------------------------
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def hamming_neardup_pairs(
+    ds,
+    hash_col: str = "phash",
+    id_col: str = "image_id",
+    max_dist: int = 3,
+    n_bands: int = 4,
+    max_bucket: int = 4096,
+):
+    """Perceptual-hash near-duplicate pairs by banded Hamming distance.
+
+    The input-hint image table carries ``phash:int64``; near-dup image
+    detection is Hamming distance over it.  Pigeonhole banding: a
+    64-bit hash splits into ``n_bands`` equal bands — two hashes with
+    distance <= ``max_dist`` < n_bands MUST agree on at least one
+    band, so ``groupby(band, key)`` co-shuffles every candidate pair
+    into some shared bucket (16-byte rows, never pixels).  In-bucket
+    distances are one vectorized XOR + SWAR popcount; buckets above
+    ``max_bucket`` are truncated WITH a logged warning (the capped
+    pattern of minhash_candidate_pairs; a huge bucket means a
+    degenerate band value — pre-collapse exact duplicates upstream
+    with groupby(phash) if the corpus is dup-heavy).
+
+    Returns distinct (id_a, id_b, dist) with id_a < id_b.
+    """
+    if max_dist >= n_bands:
+        raise ValueError("pigeonhole requires max_dist < n_bands")
+    band_bits = 64 // n_bands
+    band_mask = np.uint64((1 << band_bits) - 1)
+
+    def _bander(batch: pa.Table) -> pa.Table:
+        h = batch[hash_col].to_numpy().astype(np.uint64)
+        ids = batch[id_col].to_numpy()
+        n = len(h)
+        doc = np.tile(ids, n_bands)
+        hsh = np.tile(h, n_bands)
+        band = np.repeat(np.arange(n_bands, dtype=np.int32), n)
+        key = np.concatenate(
+            [
+                ((h >> np.uint64(band_bits * bi)) & band_mask).astype(np.int64)
+                for bi in range(n_bands)
+            ]
+        ) if n else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(doc),
+                "h": pa.array(hsh.astype(np.int64), pa.int64()),
+                "band": pa.array(band, pa.int32()),
+                "key": pa.array(key, pa.int64()),
+            }
+        )
+
+    banded = ds.map_batches(_bander, batch_format="pyarrow", batch_size=8192)
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.int64()),
+            }
+        )
+        m = group.num_rows
+        if m < 2:
+            return empty
+        if m > max_bucket:
+            import logging
+
+            logging.getLogger("solaris_ray.dedup").warning(
+                "hamming bucket (band=%s, key=%s) truncated: %d of %d rows dropped",
+                group["band"][0].as_py(), group["key"][0].as_py(), m - max_bucket, m,
+            )
+            group = group.slice(0, max_bucket)
+            m = max_bucket
+        doc = group[id_col].to_numpy()
+        h = group["h"].to_numpy().astype(np.uint64)
+        order = np.argsort(doc, kind="stable")
+        doc, h = doc[order], h[order]
+        ia, ib = np.triu_indices(m, k=1)
+        dist = _popcount64(h[ia] ^ h[ib])
+        keep = dist <= max_dist
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(doc[ia[keep]], pa.int64()),
+                "id_b": pa.array(doc[ib[keep]], pa.int64()),
+                "dist": pa.array(dist[keep], pa.int64()),
+            }
+        )
+
+    pairs = banded.groupby(["band", "key"]).map_groups(_bucket, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("dist"))

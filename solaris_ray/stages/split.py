@@ -65,3 +65,78 @@ def hash_split(
         batch_format="pyarrow",
         batch_size=8192,
     )
+
+
+def _hex_rank(keys: list[str], salt: str) -> np.ndarray:
+    """Full md5 hexdigest of (salt || key) — the deterministic sampling
+    rank.  Lowercase-hex strings order identically under numpy string
+    sort and SQL ORDER BY (both plain byte order on [0-9a-f])."""
+    return np.asarray(
+        [hashlib.md5((salt + k).encode("utf-8")).hexdigest() for k in keys],
+        dtype=object,
+    )
+
+
+def stratified_sample(
+    ds,
+    group_col: str,
+    key_col: str = "doc_id",
+    k: int = 20,
+    salt: str = "",
+):
+    """Deterministic k-per-group sample (balanced sampling across
+    sources/languages — the standard corpus-mixing operator).
+
+    Rank = md5(salt || key): a pure function of the row, so the sample
+    is stable across runs, partitionings, and corpus growth order.
+    Two-stage top-k so the shuffle is bounded: each block forwards at
+    most k rows per group it contains (vectorized block-local
+    ranking), then a per-group merge takes the global k — the same
+    partial-then-merge shape as ann.brute_topk.  Group count is small
+    (sources), so the final groupby is a tiny exchange.
+
+    Output: (group_col, key_col, rank) with rank 1..k by hash order.
+    """
+
+    def _block_topk(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch[key_col], pa.string()).to_pylist()
+        rk = _hex_rank(keys, salt)
+        grp = batch[group_col].to_numpy(zero_copy_only=False)
+        # sort by (group, rank-hash, key) then keep first k per group
+        order = np.lexsort((np.asarray(keys, dtype=object), rk, grp))
+        g_sorted = grp[order]
+        # position within the group run
+        starts = np.flatnonzero(
+            np.concatenate(([True], g_sorted[1:] != g_sorted[:-1]))
+        )
+        pos = np.arange(len(order)) - np.repeat(starts, np.diff(np.concatenate((starts, [len(order)]))))
+        keep = order[pos < k]
+        idx = pa.array(keep)
+        return pa.table(
+            {
+                group_col: batch[group_col].take(idx),
+                key_col: batch[key_col].take(idx),
+                "rk": pa.array(rk[keep].tolist(), pa.string()),
+            }
+        )
+
+    def _merge_topk(group: pa.Table) -> pa.Table:
+        rk = np.asarray(group["rk"].to_pylist(), dtype=object)
+        keys = np.asarray(
+            pc.cast(group[key_col], pa.string()).to_pylist(), dtype=object
+        )
+        order = np.lexsort((keys, rk))[:k]
+        idx = pa.array(order)
+        return pa.table(
+            {
+                group_col: group[group_col].take(idx),
+                key_col: group[key_col].take(idx),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(_block_topk, batch_format="pyarrow", batch_size=8192)
+        .groupby(group_col)
+        .map_groups(_merge_topk, batch_format="pyarrow")
+    )

@@ -1,0 +1,95 @@
+"""Tests for stratified sampling and pHash Hamming near-dup pairs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from solaris_ray.stages import dedup, split
+
+
+def test_stratified_sample_matches_global_rank(ray_session):
+    import ray
+
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    groups = np.array(["s%d" % (i % 3) for i in ids], dtype=object)
+    tbl = pa.table({"doc_id": pa.array(ids), "source": pa.array(groups.tolist())})
+    # split across several blocks to exercise block-local top-k + merge
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    out = (
+        split.stratified_sample(ds, group_col="source", key_col="doc_id", k=5, salt="x")
+        .to_pandas()
+        .sort_values(["source", "rank"])
+    )
+    # brute force: global md5 rank per group
+    for s in ["s0", "s1", "s2"]:
+        members = [int(i) for i in ids if "s%d" % (i % 3) == s]
+        ranked = sorted(members, key=lambda i: (hashlib.md5(("x" + str(i)).encode()).hexdigest(), str(i)))
+        want = ranked[:5]
+        got = out[out.source == s].sort_values("rank").doc_id.tolist()
+        assert got == want
+    assert (out.groupby("source").size() == 5).all()
+
+
+def test_stratified_sample_small_group_keeps_all(ray_session):
+    import ray
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "source": pa.array(["a", "a", "b"]),
+        }
+    )
+    out = split.stratified_sample(
+        ray.data.from_arrow(tbl), group_col="source", key_col="doc_id", k=10
+    ).to_pandas()
+    assert len(out) == 3  # k larger than any group: everything sampled
+
+
+def _brute_hamming_pairs(ids, hashes, max_dist):
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(int(hashes[i]) ^ int(hashes[j])).count("1")
+            if d <= max_dist:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b, d))
+    return out
+
+
+def test_hamming_neardup_finds_all_close_pairs(ray_session):
+    import ray
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 1 << 62, size=30, dtype=np.int64)
+    ids, hs = [], []
+    for gi, b in enumerate(base):
+        for m in range(3):  # three variants, each flipping one distinct bit
+            ids.append(gi * 10 + m)
+            hs.append(int(b) ^ (1 << (m * 9)))
+    ids = np.array(ids, dtype=np.int64)
+    hs = np.array(hs, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"image_id": pa.array(ids), "phash": pa.array(hs)})
+    ).repartition(4)
+    out = dedup.hamming_neardup_pairs(
+        ds, hash_col="phash", id_col="image_id", max_dist=3, n_bands=4
+    ).to_pandas()
+    got = {(int(a), int(b), int(d)) for a, b, d in zip(out.id_a, out.id_b, out["min(dist)"])}
+    want = _brute_hamming_pairs(ids, hs, 3)
+    # pigeonhole guarantees recall for dist <= 3 with 4 bands
+    assert got == want
+    # every planted in-group pair (dist 2) must be present
+    for gi in range(len(base)):
+        for a in range(3):
+            for b in range(a + 1, 3):
+                assert (gi * 10 + a, gi * 10 + b, 2) in got
+
+
+def test_hamming_neardup_rejects_bad_banding():
+    with pytest.raises(ValueError):
+        dedup.hamming_neardup_pairs(None, max_dist=4, n_bands=4)
