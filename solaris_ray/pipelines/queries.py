@@ -508,6 +508,34 @@ def q_bigram_lm(sf_dir: str):
     )
 
 
+def q_range_join(sf_dir: str):
+    """1-D interval join: event-derived scalar values x customer-derived
+    value bands.  Bucketed co-shuffle (width 64); every qualifying pair
+    meets in exactly one bucket so no dedup pass is needed."""
+    from ..stages import rangejoin
+
+    pts = _event_points(sf_dir, limit_ids=4000).map_batches(
+        lambda b: pa.table({"point_id": b["point_id"], "v": b["x"]}),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _iv(batch: pa.Table) -> pa.Table:
+        c = batch["c_custkey"].to_numpy().astype(np.int64)
+        lo = ((c * 37) % 3000).astype(np.float64)
+        return pa.table(
+            {
+                "interval_id": pa.array(c),
+                "lo": pa.array(lo),
+                "hi": pa.array(lo + 5 + (c % 50).astype(np.float64)),
+            }
+        )
+
+    return rangejoin.range_join(
+        pts, cust.map_batches(_iv, batch_format="pyarrow"), width=64.0
+    )
+
+
 def q_phash_neardup(sf_dir: str):
     """Perceptual-hash near-dup pairs over the image-table phash
     column (input_hint: phash:int64).  Fixture: events rows < 2000
@@ -2079,6 +2107,7 @@ QUERIES = {
     "compact_cells": q_compact_cells,
     "stratified_sample": q_stratified_sample,
     "phash_neardup": q_phash_neardup,
+    "range_join": q_range_join,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -3299,6 +3328,17 @@ SELECT d.doc_id,
        CAST(CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
 FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
 WHERE d.doc_id % 50 <> 0
+"""
+
+_ORACLES_BASE["range_join"] = f"""
+WITH pts AS (SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS v
+             FROM events WHERE event_id < 4000),
+iv AS (SELECT c_custkey AS interval_id,
+              CAST((c_custkey*37) % 3000 AS DOUBLE) AS lo,
+              CAST((c_custkey*37) % 3000 + 5 + c_custkey % 50 AS DOUBLE) AS hi
+       FROM customer)
+SELECT p.point_id, i.interval_id, p.v
+FROM pts p JOIN iv i ON p.v BETWEEN i.lo AND i.hi
 """
 
 _ORACLES_BASE["phash_neardup"] = """
