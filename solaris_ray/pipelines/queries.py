@@ -508,6 +508,64 @@ def q_bigram_lm(sf_dir: str):
     )
 
 
+def q_global_rank(sf_dir: str):
+    """Distributed global rank + exact percentile over lineitem price
+    (sorted shuffle + per-block offset enumeration; only block counts
+    visit the driver)."""
+    from ..stages import rank
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+                "l_linenumber": pc.cast(batch["l_linenumber"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return rank.global_rank(
+        li.map_batches(_derive, batch_format="pyarrow"),
+        sort_cols=["cents", "l_orderkey", "l_linenumber"],
+    )
+
+
+def q_aoi_cell_filter(sf_dir: str):
+    """Compact-set AOI membership: the AOI is the COMPACTED multi-res
+    cover of part boxes with p_partkey < 600 (broadcast small by
+    construction); event points are kept iff any ancestor cell is in
+    the set — equivalent to fine-res cover membership, which is what
+    the oracle recomputes."""
+    from ..stages import compact
+
+    part = _read(
+        sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 600
+    )
+
+    def _cover(batch: pa.Table) -> pa.Table:
+        p = batch["p_partkey"].to_numpy().astype(np.int64)
+        p = p[p < 600]
+        ix0 = (p % GRID) * 2 + 262144
+        iy0 = (p // GRID % GRID) * 2 + 262144
+        ix = np.repeat(ix0, 4) + np.tile([0, 0, 1, 1], len(p))
+        iy = np.repeat(iy0, 4) + np.tile([0, 1, 0, 1], len(p))
+        cell_ids = (
+            (np.uint64(19) << np.uint64(58))
+            | (ix.astype(np.uint64) << np.uint64(29))
+            | iy.astype(np.uint64)
+        )
+        return pa.table({"cell": pa.array(cell_ids.astype(np.int64))})
+
+    aoi = compact.compact_cells(
+        part.map_batches(_cover, batch_format="pyarrow"), base_res=19, min_res=16
+    )
+    pts = _event_points(sf_dir, limit_ids=6000)
+    return compact.aoi_cell_filter(pts, aoi)
+
+
 def q_range_join(sf_dir: str):
     """1-D interval join: event-derived scalar values x customer-derived
     value bands.  Bucketed co-shuffle (width 64); every qualifying pair
@@ -2108,6 +2166,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "phash_neardup": q_phash_neardup,
     "range_join": q_range_join,
+    "aoi_cell_filter": q_aoi_cell_filter,
+    "global_rank": q_global_rank,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -3328,6 +3388,38 @@ SELECT d.doc_id,
        CAST(CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
 FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
 WHERE d.doc_id % 50 <> 0
+"""
+
+_ORACLES_BASE["global_rank"] = """
+WITH l AS (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber, cents,
+       CAST(row_number() OVER w AS BIGINT) AS rank,
+       CAST(row_number() OVER w - 1 AS DOUBLE)
+         / greatest(count(*) OVER () - 1, 1) AS pct_rank
+FROM l
+WINDOW w AS (ORDER BY cents, l_orderkey, l_linenumber)
+"""
+
+# membership in the compact multi-res set == membership in the
+# uncompacted res-19 cover (compaction preserves coverage exactly)
+_ORACLES_BASE["aoi_cell_filter"] = """
+WITH cov AS (
+  SELECT DISTINCT (p_partkey % 50) * 2 + 262144 + d.dx AS ix,
+                  ((p_partkey // 50) % 50) * 2 + 262144 + d.dy AS iy
+  FROM part, (VALUES (0,0),(0,1),(1,0),(1,1)) d(dx, dy)
+  WHERE p_partkey < 600),
+pts AS (SELECT event_id AS point_id,
+               CAST((event_id*7919) % 3200 AS DOUBLE) AS x,
+               CAST((event_id*104729) % 3200 AS DOUBLE) AS y
+        FROM events WHERE event_id < 6000)
+SELECT p.point_id, p.x, p.y
+FROM pts p
+WHERE EXISTS (SELECT 1 FROM cov c
+              WHERE c.ix = CAST(p.x AS BIGINT) // 32 + 262144
+                AND c.iy = CAST(p.y AS BIGINT) // 32 + 262144)
 """
 
 _ORACLES_BASE["range_join"] = f"""

@@ -168,3 +168,73 @@ def uncompact_cells(ds, target_res: int):
         return pa.table({"cell": pa.array(out.astype(np.int64))})
 
     return ds.map_batches(_expand, batch_format="pyarrow")
+
+
+def collect_compact_set(compact_ds) -> pa.Table:
+    """Materialize a compacted (cell, res) set for broadcast.
+
+    Safe by construction: compaction exists precisely to make AOI /
+    coverage sets small (O(boundary) cells); the collect is the
+    broadcast artifact, not a data-scale pull."""
+    import pyarrow as pa  # noqa: F811 (local alias for workers)
+
+    parts = list(compact_ds.iter_batches(batch_format="pyarrow"))
+    return (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table({"cell": pa.array([], pa.int64()), "res": pa.array([], pa.int64())})
+    )
+
+
+class AoiCellFilter:
+    """Actor-pool stage: keep points whose cell (at ANY of the compact
+    set's resolutions) is in the broadcast AOI set.
+
+    Membership against a compact set = compute the point's cell id at
+    each resolution present in the set and test it against that
+    resolution's sorted id array (np.isin on uint64) — at most a
+    handful of levels, all vectorized.  Equivalent to membership in
+    the uncompacted fine-res cover (compaction preserves coverage
+    exactly), but the broadcast payload is the compact set.
+    """
+
+    def __init__(self, aoi_ref, x_col: str = "x", y_col: str = "y"):
+        import ray
+
+        tbl = ray.get(aoi_ref) if not isinstance(aoi_ref, pa.Table) else aoi_ref
+        cell = tbl["cell"].to_numpy().astype(np.uint64)
+        res = tbl["res"].to_numpy().astype(np.int64)
+        self.levels = [
+            (int(r), np.sort(cell[res == r])) for r in np.unique(res)
+        ]
+        self.x_col, self.y_col = x_col, y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        xs = batch[self.x_col].to_numpy()
+        ys = batch[self.y_col].to_numpy()
+        keep = np.zeros(len(xs), dtype=bool)
+        for r, ids in self.levels:
+            if not len(ids):
+                continue
+            c = cells.cell_of_point(xs, ys, r)
+            idx = np.searchsorted(ids, c)
+            idx[idx == len(ids)] = 0
+            keep |= ids[idx] == c
+        return batch.filter(pa.array(keep))
+
+
+def aoi_cell_filter(points_ds, compact_ds, x_col: str = "x", y_col: str = "y",
+                    concurrency: int | None = None):
+    """Filter a point Dataset to those inside a compact AOI cell set."""
+    import ray
+
+    from ..runtime import auto_concurrency
+
+    aoi_ref = ray.put(collect_compact_set(compact_ds))
+    return points_ds.map_batches(
+        AoiCellFilter,
+        batch_format="pyarrow",
+        batch_size=8192,
+        fn_constructor_kwargs=dict(aoi_ref=aoi_ref, x_col=x_col, y_col=y_col),
+        concurrency=concurrency or auto_concurrency(),
+    )
