@@ -53,6 +53,15 @@ BENCH_QUERIES = [
     "embed_neardup",
     "ann_topk",
     "chip_stitch",
+    # round-3 additions: corpus-quality + compaction + generic joins
+    "repetition",
+    "decontaminate",
+    "bigram_lm",
+    "compact_cells",
+    "range_join",
+    "global_rank",
+    "phash_neardup",
+    "stratified_sample",
 ]
 
 

@@ -508,6 +508,25 @@ def q_bigram_lm(sf_dir: str):
     )
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-filter semi-join: orders probed against the filter of
+    customers with c_custkey % 7 == 0 (m=4096 bits, k=3 md5 hashes).
+    Output includes the filter's deterministic false positives — the
+    oracle recomputes the identical bit set in SQL."""
+    from ..stages import bloom
+
+    ref = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: b.filter(pa.array(b["c_custkey"].to_numpy() % 7 == 0)),
+        batch_format="pyarrow",
+    )
+    probe = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: _i64(b, ["o_orderkey", "o_custkey"]), batch_format="pyarrow"
+    )
+    return bloom.bloom_semi_join(
+        probe, ref, key_col="o_custkey", ref_key_col="c_custkey", m=4096, k=3
+    )
+
+
 def q_global_rank(sf_dir: str):
     """Distributed global rank + exact percentile over lineitem price
     (sorted shuffle + per-block offset enumeration; only block counts
@@ -2168,6 +2187,7 @@ QUERIES = {
     "range_join": q_range_join,
     "aoi_cell_filter": q_aoi_cell_filter,
     "global_rank": q_global_rank,
+    "bloom_semi_join": q_bloom_semi_join,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -3388,6 +3408,31 @@ SELECT d.doc_id,
        CAST(CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
 FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
 WHERE d.doc_id % 50 <> 0
+"""
+
+# md5-low-8-LE % m hex expansion (the hash_split idiom), applied to
+# key '#' i — reproduces the engine's bloom positions bit-for-bit,
+# false positives included
+_MD5POS = """CAST((SELECT SUM(CAST((strpos('0123456789abcdef', substr(hd, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16
+                             + (strpos('0123456789abcdef', substr(hd, CAST(2*j+2 AS INTEGER), 1)) - 1) AS HUGEINT)
+                         * CAST(pow(256, j) AS HUGEINT))
+              FROM range(0, 8) rj(j)) % 4096 AS BIGINT)"""
+
+_ORACLES_BASE["bloom_semi_join"] = f"""
+WITH refk AS (SELECT DISTINCT c_custkey AS key FROM customer WHERE c_custkey % 7 = 0),
+rh AS (SELECT md5(CAST(key AS VARCHAR) || '#' || CAST(i AS VARCHAR)) AS hd
+       FROM refk, range(0, 3) r(i)),
+rp AS (SELECT DISTINCT {_MD5POS} AS p FROM rh),
+ph AS (SELECT o_orderkey, o_custkey,
+              md5(CAST(o_custkey AS VARCHAR) || '#' || CAST(i AS VARCHAR)) AS hd
+       FROM orders, range(0, 3) r(i)),
+pp AS (SELECT o_orderkey, o_custkey, {_MD5POS} AS p FROM ph),
+hits AS (SELECT o_orderkey, o_custkey,
+                SUM(CASE WHEN p IN (SELECT p FROM rp) THEN 1 ELSE 0 END) AS nhit
+         FROM pp GROUP BY 1, 2)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey
+FROM hits WHERE nhit = 3
 """
 
 _ORACLES_BASE["global_rank"] = """
