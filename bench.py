@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "global_rank",
     "phash_neardup",
     "stratified_sample",
+    "dup_spans",
 ]
 
 

@@ -2109,6 +2109,18 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(toks, token_col="n_tokens", order_col="doc_id", seq_len=512)
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact duplicate-substring coverage (Lee et al. ACL'22 granularity):
+    every 32-char window duplicated >= 2x corpus-wide marks its span;
+    per-doc covered chars + fraction.  Two bucketed co-shuffles (gram
+    hash, then doc id), linear emission — no pair blow-up."""
+    from ..stages.dupspan import duplicate_spans
+
+    return duplicate_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=32, min_count=2
+    )
+
+
 QUERIES = {
     "tile_plan": q_tile_plan,
     "pip_count": q_pip_count,
@@ -2188,6 +2200,7 @@ QUERIES = {
     "aoi_cell_filter": q_aoi_cell_filter,
     "global_rank": q_global_rank,
     "bloom_semi_join": q_bloom_semi_join,
+    "dup_spans": q_dup_spans,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -3546,6 +3559,24 @@ SELECT d.doc_id,
        CAST(COALESCE(sc.n_covered, 0) AS BIGINT) AS n_covered,
        CAST(COALESCE(sc.lm_hits, 0) AS BIGINT) AS lm_hits
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
+# dup_spans: the oracle marks duplicated grams by their STRING (exact
+# semantics); the engine groups by the rolling polynomial hash — a
+# 64-bit collision would surface here as a hash mismatch, not hide.
+_ORACLES_BASE["dup_spans"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+pos AS (SELECT doc_id, i, substr(text, CAST(i + 1 AS INTEGER), 32) AS g, n
+        FROM d, range(0, 1000) r(i) WHERE i + 32 <= n),
+dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+mark AS (SELECT p.doc_id, p.i, p.n FROM pos p JOIN dup USING (g)),
+cov AS (SELECT DISTINCT doc_id, i + j AS c, n FROM mark, range(0, 32) r(j)),
+agg AS (SELECT doc_id, any_value(n) AS n_chars, count(*) AS dup_chars
+        FROM cov GROUP BY doc_id)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(dup_chars AS BIGINT) AS dup_chars,
+       CAST(dup_chars AS DOUBLE) / n_chars AS dup_frac
+FROM agg
 """
 
 ORACLES.update(_ORACLES_BASE)
