@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "phash_neardup",
     "stratified_sample",
     "dup_spans",
+    "semantic_dedup",
 ]
 
 

@@ -2109,6 +2109,19 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(toks, token_col="n_tokens", order_col="doc_id", seq_len=512)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (cluster-then-intra-cluster cosine, keep-first-by-id)
+    with FIXED seeded centroids (same matrix as ivf_ann) so the DuckDB
+    oracle can inline the identical assignment."""
+    from ..stages.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        centroids=ann.seeded_centroids(64, 8, seed=7),
+        tau=0.35,
+    )
+
+
 def q_dup_spans(sf_dir: str):
     """Exact duplicate-substring coverage (Lee et al. ACL'22 granularity):
     every 32-char window duplicated >= 2x corpus-wide marks its span;
@@ -2201,6 +2214,7 @@ QUERIES = {
     "global_rank": q_global_rank,
     "bloom_semi_join": q_bloom_semi_join,
     "dup_spans": q_dup_spans,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -3286,6 +3300,40 @@ QUALIFY row_number() OVER w <= {k}
 
 
 _ORACLES_BASE["ivf_ann"] = _ivf_ann_oracle_sql()
+
+
+def _semantic_dedup_oracle_sql(dim: int = 64, n_lists: int = 8, seed: int = 7,
+                               tau: float = 0.35) -> str:
+    """DuckDB twin of dedup.semantic_dedup with fixed centroids:
+    assignment = argmax raw dot (tie -> lowest cluster, matching
+    np.argmax), drop rule = any lower-id same-cluster member with
+    round(cosine, 6) >= tau."""
+    from ..stages.ann import seeded_centroids
+
+    C = seeded_centroids(dim, n_lists, seed)
+    cent_rows = ",".join(
+        f"({l}, {d}, {C[l, d]!r})" for l in range(n_lists) for d in range(dim)
+    )
+    return f"""
+WITH cent AS (SELECT * FROM (VALUES {cent_rows}) c(l, d, w)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dots AS (SELECT vec_id, l, SUM(emb[d + 1] * w) AS dp FROM e, cent GROUP BY 1, 2),
+assign AS (SELECT vec_id, l AS cluster FROM (
+    SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, l) AS rn
+    FROM dots) WHERE rn = 1),
+dup AS (SELECT DISTINCT b.vec_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        JOIN assign aa ON aa.vec_id = a.vec_id
+        JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cluster = aa.cluster
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= {tau})
+SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM assign s LEFT JOIN dup d ON d.vec_id = s.vec_id
+"""
+
+
+_ORACLES_BASE["semantic_dedup"] = _semantic_dedup_oracle_sql()
 
 
 def _embed_ann_oracle_sql(dim: int = 8, pool: int = 8, seed: int = 42,

@@ -669,3 +669,109 @@ def hamming_neardup_pairs(
     from ray.data.aggregate import Min
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("dist"))
+
+
+def semantic_dedup(ds, centroids: np.ndarray, tau: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   chunk: int = 2048, precollapse: bool = False):
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster-then-dedup.
+
+    1. Every vector is assigned to its nearest centroid by raw dot
+       product (broadcast matrix, one matmul per batch; argmax tie ->
+       lowest cluster id, matching the SQL oracle's ``ORDER BY dp
+       DESC, l``).
+    2. One ``groupby(cluster)`` co-shuffle; inside each cluster a
+       vector is DROPPED when any LOWER-id cluster member has
+       ``round(cosine, 6) >= tau`` (keep-first-by-id, the paper's
+       keep-one-per-semantic-class rule with a deterministic
+       representative).
+
+    Output: ``(vec_id, cluster, keep)`` for every input row.
+
+    Scale notes: in-cluster work is O(m^2) FLOPs by contract (the
+    paper's knob is n_clusters proportional to corpus size, keeping m
+    bounded); memory stays bounded at ``chunk x m`` by chunked matmuls, so
+    a skewed cluster degrades to more flops, never to OOM.  Set
+    ``precollapse=True`` to route bitwise-identical vectors through
+    ``_collapse_exact_vectors`` first so mass duplication cannot
+    concentrate in one cluster (members of a collapsed class inherit
+    keep=0 except the representative).  The reference repo has no
+    counterpart (training-data op, geospatial reference).
+    """
+    import ray
+
+    from .ann import list_col_to_matrix
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C_ref = ray.put(C)
+
+    stars = None
+    if precollapse:
+        ds, stars = _collapse_exact_vectors(ds, id_col, vec_col)
+
+    class _Assign:
+        def __init__(self, cref):
+            self.C = ray.get(cref) if not isinstance(cref, np.ndarray) else cref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = list_col_to_matrix(batch[vec_col], np.float64)
+            if V.shape[0] == 0:
+                return pa.schema(
+                    [(id_col, pa.int64()), ("cluster", pa.int64()),
+                     ("emb", pa.list_(pa.float64()))]
+                ).empty_table()
+            cl = np.argmax(V @ self.C.T, axis=1).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: pc.cast(batch[id_col], pa.int64()),
+                    "cluster": pa.array(cl, pa.int64()),
+                    "emb": pa.array(V.tolist(), pa.list_(pa.float64())),
+                }
+            )
+
+    assigned = ds.map_batches(
+        _Assign, fn_constructor_args=(C_ref,), batch_format="pyarrow",
+        batch_size=4096, concurrency=(1, 8),
+    )
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("cluster", pa.int64()), ("keep", pa.int64())]
+    )
+
+    def _cluster(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m == 0:
+            return out_schema.empty_table()
+        ids = group[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order].astype(np.int64)
+        V = np.ascontiguousarray(
+            np.asarray(group["emb"].to_pylist(), dtype=np.float64)[order]
+        )
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        keep = np.ones(m, dtype=bool)
+        for a in range(0, m, chunk):
+            b = min(a + chunk, m)
+            if a == 0 and b == 1:
+                continue
+            S = np.round(Vn[a:b] @ Vn[:b].T, 6)  # (b-a, b)
+            rows = np.arange(a, b)[:, None]
+            cols = np.arange(b)[None, :]
+            S[cols >= rows] = -2.0  # only lower-id witnesses count
+            keep[a:b] = S.max(axis=1) < tau
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster": pa.array(
+                    np.full(m, group["cluster"][0].as_py()), pa.int64()
+                ),
+                "keep": pa.array(keep.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = assigned.groupby("cluster").map_groups(_cluster, batch_format="pyarrow")
+    if stars is None:
+        return out
+    return out, stars
