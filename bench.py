@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "dup_spans",
     "semantic_dedup",
+    "pyramid_rollup",
 ]
 
 

@@ -2109,6 +2109,22 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(toks, token_col="n_tokens", order_col="doc_id", seq_len=512)
 
 
+def q_pyramid_rollup(sf_dir: str):
+    """Tile-pyramid build: per-cell (count, sum of value) at every zoom
+    level 18..12 over the event points, ONE shuffle (per-batch partials
+    at all levels, multi-key groupby sum).  value = point_id % 97."""
+    from ..stages.pyramid import pyramid_rollup
+
+    pts = _event_points(sf_dir).map_batches(
+        lambda b: b.append_column(
+            "v",
+            pa.array((b["point_id"].to_numpy() % 97).astype(np.float64)),
+        ),
+        batch_format="pyarrow",
+    )
+    return pyramid_rollup(pts, base_res=18, min_res=12, value_col="v")
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup (cluster-then-intra-cluster cosine, keep-first-by-id)
     with FIXED seeded centroids (same matrix as ivf_ann) so the DuckDB
@@ -2215,6 +2231,7 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "dup_spans": q_dup_spans,
     "semantic_dedup": q_semantic_dedup,
+    "pyramid_rollup": q_pyramid_rollup,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -3607,6 +3624,26 @@ SELECT d.doc_id,
        CAST(COALESCE(sc.n_covered, 0) AS BIGINT) AS n_covered,
        CAST(COALESCE(sc.lm_hits, 0) AS BIGINT) AS lm_hits
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
+# pyramid_rollup: edges are powers of two so floor((x-ORIGIN)/edge) is
+# exact float64 on both sides; per-level direct computation equals the
+# engine's shift-right parent chaining
+_ORACLES_BASE["pyramid_rollup"] = """
+WITH p AS (SELECT event_id AS point_id,
+                  CAST((event_id*7919) % 3200 AS DOUBLE) AS x,
+                  CAST((event_id*104729) % 3200 AS DOUBLE) AS y,
+                  CAST((event_id % 97) AS DOUBLE) AS v
+           FROM events),
+lv AS (SELECT CAST(r AS BIGINT) AS res, 16777216.0 / pow(2.0, r) AS edge
+       FROM range(12, 19) t(r))
+SELECT lv.res,
+       CAST(floor((p.x + 8388608.0) / lv.edge) AS BIGINT) AS ix,
+       CAST(floor((p.y + 8388608.0) / lv.edge) AS BIGINT) AS iy,
+       count(*) AS n_points,
+       sum(p.v) AS sum_val
+FROM p, lv
+GROUP BY 1, 2, 3
 """
 
 # dup_spans: the oracle marks duplicated grams by their STRING (exact
