@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "dup_spans",
     "semantic_dedup",
     "pyramid_rollup",
+    "fuzzy_dedup",
 ]
 
 

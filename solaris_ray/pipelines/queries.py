@@ -2150,6 +2150,16 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_fuzzy_dedup(sf_dir: str):
+    """Full fuzzy-dedup resolve: MinHash/LSH candidate pairs ->
+    distributed connected components (min-label propagation, two
+    co-shuffles per round over id-only rows) -> keep the min-id doc of
+    each component.  Sorted by doc_id to match the oracle."""
+    from ..stages.components import fuzzy_dedup
+
+    return fuzzy_dedup(_read(sf_dir, "documents", ["doc_id", "text"])).sort("doc_id")
+
+
 QUERIES = {
     "tile_plan": q_tile_plan,
     "pip_count": q_pip_count,
@@ -2231,6 +2241,7 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "dup_spans": q_dup_spans,
     "semantic_dedup": q_semantic_dedup,
+    "fuzzy_dedup": q_fuzzy_dedup,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3170,15 +3181,11 @@ QUALIFY row_number() OVER w <= 5
 """,
 }
 
-def _minhash_oracle_sql(n_perm: int = 64, bands: int = 16, seed: int = 42,
-                        est_threshold: float = 0.5) -> str:
-    """DuckDB twin of dedup.MinHasher + minhash_candidate_pairs.
-
-    The permutation constants come from the SAME seeded generator the
-    engine uses and are inlined as literals; uint64-wraparound products
-    are emulated with the split-multiply trick (lo/hi 32-bit halves)
-    in HUGEINT arithmetic.  Shingle hash = md5 low 8 bytes LE.
-    """
+def _minhash_ctes(n_perm: int = 64, bands: int = 16, seed: int = 42) -> str:
+    """The CTE chain shared by the minhash-pairs and fuzzy-dedup
+    oracles: documents -> shingles -> signatures -> band keys ->
+    candidate pairs -> ``est(doc_a, doc_b, e)``.  Returned WITHOUT the
+    leading WITH so callers can prepend WITH or WITH RECURSIVE."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
     b = rng.integers(0, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
@@ -3195,7 +3202,7 @@ def _minhash_oracle_sql(n_perm: int = 64, bands: int = 16, seed: int = 42,
         f"({i}, {int(weights[i]) % P32}, {int(weights[i]) // P32})" for i in range(r)
     )
     return f"""
-WITH sh0 AS (
+sh0 AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
@@ -3227,11 +3234,53 @@ est AS (SELECT c.doc_a, c.doc_b,
         JOIN sig sa ON sa.doc_id = c.doc_a
         JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
         GROUP BY 1, 2)
-SELECT doc_a, doc_b, e AS "max(est_jaccard)" FROM est WHERE e >= {est_threshold}
 """
 
 
+def _minhash_oracle_sql(n_perm: int = 64, bands: int = 16, seed: int = 42,
+                        est_threshold: float = 0.5) -> str:
+    """DuckDB twin of dedup.MinHasher + minhash_candidate_pairs.
+
+    The permutation constants come from the SAME seeded generator the
+    engine uses and are inlined as literals; uint64-wraparound products
+    are emulated with the split-multiply trick (lo/hi 32-bit halves)
+    in HUGEINT arithmetic.  Shingle hash = md5 low 8 bytes LE.
+    """
+    return (
+        "WITH " + _minhash_ctes(n_perm, bands, seed)
+        + f'SELECT doc_a, doc_b, e AS "max(est_jaccard)" FROM est WHERE e >= {est_threshold}'
+    )
+
+
+def _fuzzy_dedup_oracle_sql(n_perm: int = 64, bands: int = 16, seed: int = 42,
+                            est_threshold: float = 0.5) -> str:
+    """Minhash pairs -> connected components via a recursive CTE.
+
+    ``reach`` propagates labels along edges; the ``r.lbl < e.b`` prune
+    is exact: node b's own seed (lbl=b) propagates along the same
+    edges, so any label >= b it would forward is dominated by b itself
+    — dropping those rows keeps the recursion near-linear without
+    changing any MIN."""
+    return (
+        "WITH RECURSIVE " + _minhash_ctes(n_perm, bands, seed)
+        + f""",
+pairs AS (SELECT doc_a, doc_b FROM est WHERE e >= {est_threshold}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node AND r.lbl < e.b),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node)
+SELECT doc_id, component,
+       CAST(CASE WHEN doc_id = component THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM comp ORDER BY doc_id
+"""
+    )
+
+
 _ORACLES_BASE["minhash_pairs"] = _minhash_oracle_sql()
+_ORACLES_BASE["fuzzy_dedup"] = _fuzzy_dedup_oracle_sql()
 
 
 def _lsh_oracle_sql(dim: int = 64, n_planes: int = 12, seed: int = 42, k: int = 5) -> str:
