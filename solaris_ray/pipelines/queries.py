@@ -2150,6 +2150,19 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table: one full
+    broadcast-assign + partial-sum recompute round from the seeded
+    init, then the final assignment pass.  Vectors never shuffle —
+    only k x n_batches partial-sum rows move."""
+    from ..stages.cluster import kmeans_assign
+
+    return kmeans_assign(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=8, dim=64, iters=1, seed=7,
+    ).sort("vec_id")
+
+
 def q_fuzzy_dedup(sf_dir: str):
     """Full fuzzy-dedup resolve: MinHash/LSH candidate pairs ->
     distributed connected components (min-label propagation, two
@@ -2242,6 +2255,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "semantic_dedup": q_semantic_dedup,
     "fuzzy_dedup": q_fuzzy_dedup,
+    "kmeans": q_kmeans,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3281,6 +3295,43 @@ FROM comp ORDER BY doc_id
 
 _ORACLES_BASE["minhash_pairs"] = _minhash_oracle_sql()
 _ORACLES_BASE["fuzzy_dedup"] = _fuzzy_dedup_oracle_sql()
+
+
+def _kmeans_oracle_sql(dim: int = 64, k: int = 8, seed: int = 7) -> str:
+    """DuckDB twin of cluster.kmeans_assign(iters=1): inlined seeded
+    centroids -> argmax-dot assignment (tie -> lowest cluster) ->
+    recomputed means rounded to 6 dp (the engine rounds identically,
+    removing float-summation-order sensitivity) -> final assignment.
+    Empty clusters keep their seed centroid."""
+    from ..stages.ann import seeded_centroids
+
+    C = seeded_centroids(dim, k, seed)
+    cent_rows = ",".join(
+        f"({l}, {d}, {C[l, d]!r})" for l in range(k) for d in range(dim)
+    )
+    return f"""
+WITH cent0 AS (SELECT * FROM (VALUES {cent_rows}) c(l, d, w)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+d1 AS (SELECT vec_id, l, SUM(emb[d + 1] * w) AS dp FROM e, cent0 GROUP BY 1, 2),
+a1 AS (SELECT vec_id, l AS cluster FROM (
+    SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, l) AS rn
+    FROM d1) WHERE rn = 1),
+m1 AS (SELECT cluster AS l, r.d, round(AVG(emb[r.d + 1]), 6) AS w
+       FROM e JOIN a1 USING (vec_id), range(0, {dim}) r(d) GROUP BY 1, 2),
+cent1 AS (SELECT * FROM m1
+          UNION ALL
+          SELECT c0.l, c0.d, c0.w FROM cent0 c0
+          WHERE c0.l NOT IN (SELECT DISTINCT cluster FROM a1)),
+d2 AS (SELECT vec_id, l, SUM(emb[d + 1] * w) AS dp FROM e, cent1 GROUP BY 1, 2)
+SELECT vec_id, cluster FROM (
+    SELECT vec_id, l AS cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, l) AS rn
+    FROM d2) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+_ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
 
 
 def _lsh_oracle_sql(dim: int = 64, n_planes: int = 12, seed: int = 42, k: int = 5) -> str:
