@@ -2150,6 +2150,15 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_tfidf(sf_dir: str):
+    """Per-document top-5 TF-IDF terms: token explode + per-batch
+    combine, hash-bucketed df co-shuffle, per-doc ranked top-k.  Only
+    (id, term, counts) rows shuffle — never bodies."""
+    from ..stages.tfidf import tfidf_topk
+
+    return tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=5)
+
+
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table: one full
     broadcast-assign + partial-sum recompute round from the seeded
@@ -2256,6 +2265,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "fuzzy_dedup": q_fuzzy_dedup,
     "kmeans": q_kmeans,
+    "tfidf": q_tfidf,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3332,6 +3342,21 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["tfidf"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+s AS (SELECT doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln(n.n / df.df), 6) AS score6
+      FROM tf JOIN df USING (term), n)
+SELECT doc_id, CAST(row_number() OVER w AS BIGINT) AS "rank", term, tf, df, score6
+FROM s
+WINDOW w AS (PARTITION BY doc_id ORDER BY score6 DESC, term)
+QUALIFY row_number() OVER w <= 5
+ORDER BY doc_id, "rank"
+"""
 
 
 def _lsh_oracle_sql(dim: int = 64, n_planes: int = 12, seed: int = 42, k: int = 5) -> str:
