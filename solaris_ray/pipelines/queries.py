@@ -2150,6 +2150,20 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_clip_filter(sf_dir: str):
+    """LAION-style image-caption alignment filter: hashed-BoW text
+    feature vs the image embedding, cosine >= tau keeps the pair.  One
+    token-explode pass + ONE bucketed id co-shuffle; bodies never
+    move."""
+    from ..stages.align import caption_alignment
+
+    return caption_alignment(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        dim=64, tau=0.0,
+    ).sort("doc_id")
+
+
 def q_tfidf(sf_dir: str):
     """Per-document top-5 TF-IDF terms: token explode + per-batch
     combine, hash-bucketed df co-shuffle, per-doc ranked top-k.  Only
@@ -2266,6 +2280,7 @@ QUERIES = {
     "fuzzy_dedup": q_fuzzy_dedup,
     "kmeans": q_kmeans,
     "tfidf": q_tfidf,
+    "clip_filter": q_clip_filter,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3342,6 +3357,32 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["clip_filter"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+hx AS (SELECT doc_id, md5(t) AS h FROM toks),
+hv AS (SELECT doc_id,
+              (SELECT SUM(CAST((strpos('0123456789abcdef', substr(h, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16
+                              + (strpos('0123456789abcdef', substr(h, CAST(2*j+2 AS INTEGER), 1)) - 1) AS HUGEINT)
+                          * CAST(pow(256, j) AS HUGEINT))
+               FROM range(0, 8) r(j)) AS hval
+       FROM hx),
+f AS (SELECT doc_id, CAST((hval // 2) % 64 AS BIGINT) AS b,
+             SUM(CASE WHEN hval % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+      FROM hv GROUP BY 1, 2),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dp AS (SELECT f.doc_id, SUM(f.v * e.emb[f.b + 1]) AS dot, SUM(f.v * f.v) AS n2
+       FROM f JOIN e ON e.vec_id = f.doc_id GROUP BY 1),
+ne AS (SELECT vec_id, sqrt(SUM(emb[d + 1] * emb[d + 1])) AS nrm
+       FROM e, range(0, 64) r(d) GROUP BY 1),
+s AS (SELECT dp.doc_id,
+             CASE WHEN dp.n2 > 0 AND ne.nrm > 0
+                  THEN round(dp.dot / (sqrt(dp.n2) * ne.nrm), 6)
+                  ELSE 0.0 END AS sim6
+      FROM dp JOIN ne ON ne.vec_id = dp.doc_id)
+SELECT doc_id, sim6, CAST(CASE WHEN sim6 >= 0.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s ORDER BY doc_id
+"""
 
 _ORACLES_BASE["tfidf"] = f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
