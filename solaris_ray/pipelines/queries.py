@@ -2150,6 +2150,43 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_focal_sum(sf_dir: str):
+    """3x3 focal-sum totals over an 8x8 tile mosaic with cross-tile
+    halo exchange (zero padding at the mosaic edge).  Tiles carry real
+    PNG bytes whose pixels follow the GLOBAL formula
+    v(gx, gy) = (gx*7 + gy*13) % 251, so tile seams are invisible iff
+    the halo exchange is correct — the oracle computes globally."""
+    from ..stages.focal import focal_sum
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 64)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        from ..raster import codec as _codec
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 64]
+        tx = (p % 8).astype(np.int64)
+        ty = (p // 8).astype(np.int64)
+        blobs = []
+        for k in range(len(p)):
+            yy, xx = np.indices((64, 64))
+            gx = xx + 64 * tx[k]
+            gy = yy + 64 * ty[k]
+            v = ((gx * 7 + gy * 13) % 251).astype(np.uint8)
+            blobs.append(_codec.encode(v, "png"))
+        return pa.table(
+            {
+                "tile_x": pa.array(tx, pa.int64()),
+                "tile_y": pa.array(ty, pa.int64()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["png"] * len(p), pa.string()),
+            }
+        )
+
+    tiles = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=512)
+    return focal_sum(tiles, tile=64).sort(["tile_x", "tile_y"])
+
+
 def q_clip_filter(sf_dir: str):
     """LAION-style image-caption alignment filter: hashed-BoW text
     feature vs the image embedding, cosine >= tau keeps the pair.  One
@@ -2281,6 +2318,7 @@ QUERIES = {
     "kmeans": q_kmeans,
     "tfidf": q_tfidf,
     "clip_filter": q_clip_filter,
+    "focal_sum": q_focal_sum,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3357,6 +3395,21 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["focal_sum"] = """
+WITH t AS (SELECT p_partkey % 8 AS tx, p_partkey // 8 AS ty
+           FROM part WHERE p_partkey < 64),
+px AS (SELECT i FROM range(0, 64) r(i)),
+d AS (SELECT i - 1 AS o FROM range(0, 3) r(i)),
+v AS (SELECT t.tx, t.ty,
+             CAST(tx*64 + xx.i + dx.o AS BIGINT) AS gx,
+             CAST(ty*64 + yy.i + dy.o AS BIGINT) AS gy
+      FROM t, px xx, px yy, d dx, d dy)
+SELECT tx AS tile_x, ty AS tile_y,
+       CAST(SUM(CASE WHEN gx BETWEEN 0 AND 511 AND gy BETWEEN 0 AND 511
+                     THEN (gx*7 + gy*13) % 251 ELSE 0 END) AS BIGINT) AS focal_total
+FROM v GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 _ORACLES_BASE["clip_filter"] = f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
