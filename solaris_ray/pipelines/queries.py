@@ -2150,6 +2150,18 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_covariance(sf_dir: str):
+    """Distributed covariance of the embedding column: per-batch
+    (n, sum, outer-product sum) partials, bucketed combine, O(d^2)
+    driver finish — vectors never shuffle.  Upper-triangle entries
+    rounded to 6 dp (the repo float idiom)."""
+    from ..stages.pca import covariance_table
+
+    return covariance_table(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), dim=64
+    )
+
+
 def q_focal_sum(sf_dir: str):
     """3x3 focal-sum totals over an 8x8 tile mosaic with cross-tile
     halo exchange (zero padding at the mosaic edge).  Tiles carry real
@@ -2319,6 +2331,7 @@ QUERIES = {
     "tfidf": q_tfidf,
     "clip_filter": q_clip_filter,
     "focal_sum": q_focal_sum,
+    "covariance": q_covariance,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3395,6 +3408,21 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["covariance"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+idx AS (SELECT i FROM range(0, 64) r(i)),
+s2 AS (SELECT a.i, b.i AS j, SUM(emb[a.i + 1] * emb[b.i + 1]) AS s2
+       FROM e, idx a, idx b WHERE a.i <= b.i GROUP BY 1, 2),
+m AS (SELECT i, SUM(emb[i + 1]) AS s1 FROM e, idx GROUP BY 1)
+SELECT s2.i, s2.j,
+       round(s2.s2 / n.n - (ma.s1 / n.n) * (mb.s1 / n.n), 6) AS cov6
+FROM s2 CROSS JOIN n
+JOIN m ma ON ma.i = s2.i
+JOIN m mb ON mb.i = s2.j
+ORDER BY s2.i, s2.j
+"""
 
 _ORACLES_BASE["focal_sum"] = """
 WITH t AS (SELECT p_partkey % 8 AS tx, p_partkey // 8 AS ty
