@@ -2150,6 +2150,27 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_vocab_topk(sf_dir: str):
+    """Corpus heavy-hitters: global top-100 terms by occurrence.
+    Per-batch Arrow combine, bucketed exact totals with safe in-bucket
+    prune, tiny global sort+limit."""
+    from ..stages.tfidf import vocab_topk
+
+    return vocab_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=100)
+
+
+def q_zscore(sf_dir: str):
+    """Per-language z-score of document length: exact integer moments
+    (two tiny shuffled rows per group), broadcast stats, identical
+    float expression on both engine and oracle sides."""
+    from ..stages.normalize import group_zscore
+
+    return group_zscore(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        group_col="lang", val_col="n_chars", id_col="doc_id",
+    ).sort("doc_id")
+
+
 def q_covariance(sf_dir: str):
     """Distributed covariance of the embedding column: per-batch
     (n, sum, outer-product sum) partials, bucketed combine, O(d^2)
@@ -2332,6 +2353,8 @@ QUERIES = {
     "clip_filter": q_clip_filter,
     "focal_sum": q_focal_sum,
     "covariance": q_covariance,
+    "vocab_topk": q_vocab_topk,
+    "zscore": q_zscore,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3408,6 +3431,28 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["vocab_topk"] = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks GROUP BY 1
+ORDER BY cnt DESC, term
+LIMIT 100
+"""
+
+_ORACLES_BASE["zscore"] = """
+WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(n_chars) AS BIGINT) AS sm,
+                  CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS ss
+           FROM documents GROUP BY 1)
+SELECT doc_id, d.lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CASE WHEN CAST(ss AS DOUBLE)/n - (CAST(sm AS DOUBLE)/n)*(CAST(sm AS DOUBLE)/n) > 0
+            THEN round((n_chars - CAST(sm AS DOUBLE)/n)
+                       / sqrt(CAST(ss AS DOUBLE)/n - (CAST(sm AS DOUBLE)/n)*(CAST(sm AS DOUBLE)/n)), 6)
+            ELSE 0.0 END AS z6
+FROM documents d JOIN s ON s.lang = d.lang
+ORDER BY doc_id
+"""
 
 _ORACLES_BASE["covariance"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

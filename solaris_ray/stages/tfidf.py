@@ -46,6 +46,58 @@ _OUT_SCHEMA = pa.schema(
 )
 
 
+def vocab_topk(ds, k: int = 100, n_buckets: int = 256,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Global heavy-hitters: top-k terms by total occurrence count,
+    ties broken by term asc.  Per-batch combine (Arrow group_by) ->
+    hash-bucketed exact totals with a per-bucket top-k prune (safe: a
+    term's rows all land in one bucket) -> tiny global sort + limit."""
+    part_schema = pa.schema([("term", pa.string()), ("cnt", pa.int64()),
+                             ("bucket", pa.int64())])
+
+    def _count(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch[text_col]), WORD_SPLIT
+        )
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return part_schema.empty_table()
+        t = pa.table({"term": flat}).group_by(["term"]).aggregate([([], "count_all")])
+        uniq = t["term"].to_numpy(zero_copy_only=False)
+        ub = np.array(
+            [zlib.crc32(u.encode("utf-8")) % n_buckets for u in uniq], np.int64
+        )
+        return pa.table(
+            {
+                "term": t["term"],
+                "cnt": pc.cast(t["count_all"], pa.int64()),
+                "bucket": pa.array(ub, pa.int64()),
+            }
+        )
+
+    def _bucket_topk(group: pa.Table) -> pa.Table:
+        terms = group["term"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(terms, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, cnt)
+        order = np.lexsort((uniq, -tot))[:k]
+        return pa.table(
+            {
+                "term": pa.array(uniq[order], pa.string()),
+                "cnt": pa.array(tot[order], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_count, batch_format="pyarrow", batch_size=1024)
+        .groupby("bucket")
+        .map_groups(_bucket_topk, batch_format="pyarrow")
+        .sort(["cnt", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def tfidf_topk(ds, k: int = 5, n_buckets: int = 256,
                text_col: str = "text", id_col: str = "doc_id"):
     """documents -> (doc_id, rank, term, tf, df, score6), top-k terms
