@@ -2150,6 +2150,34 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_triangles(sf_dir: str):
+    """Per-node triangle counts on a deterministic ring-with-chords
+    graph over customer keys (edges i -> (i+d) % N, d = 1..3).
+    Degree-ordered node-iterator: five id-only co-shuffles, wedge work
+    bounded by arboricity."""
+    from ..stages.triangles import triangle_counts
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    n_nodes = cust.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        i = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xs, ys = [], []
+        for d in (1, 2, 3):
+            j = (i + d) % n_nodes
+            xs.append(np.minimum(i, j))
+            ys.append(np.maximum(i, j))
+        a = np.concatenate(xs)
+        b = np.concatenate(ys)
+        keep = a != b
+        return pa.table(
+            {"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())}
+        )
+
+    edges = cust.map_batches(_edges, batch_format="pyarrow")
+    return triangle_counts(edges).sort("node")
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus heavy-hitters: global top-100 terms by occurrence.
     Per-batch Arrow combine, bucketed exact totals with safe in-bucket
@@ -2355,6 +2383,7 @@ QUERIES = {
     "covariance": q_covariance,
     "vocab_topk": q_vocab_topk,
     "zscore": q_zscore,
+    "triangles": q_triangles,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3431,6 +3460,21 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["triangles"] = """
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+v AS (SELECT CAST(c_custkey AS BIGINT) AS i FROM customer),
+raw AS (SELECT i AS x, (i + d) % nn.n AS y FROM v, nn, range(1, 4) r(d)),
+e AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM raw WHERE x <> y),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+t3 AS (SELECT x AS node FROM tri
+       UNION ALL SELECT y FROM tri
+       UNION ALL SELECT z FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt FROM t3 GROUP BY 1 ORDER BY 1
+"""
 
 _ORACLES_BASE["vocab_topk"] = f"""
 WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents)
