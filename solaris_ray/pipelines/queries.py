@@ -2150,6 +2150,16 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_search_and(sf_dir: str):
+    """Conjunctive term search (inverted-index probe shape): docs
+    containing ALL of {join, hash, scan}; n_hits = total query-term
+    occurrences.  Shuffle-free streaming filter."""
+    return text.boolean_search(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        ["join", "hash", "scan"],
+    ).sort("doc_id")
+
+
 def q_triangles(sf_dir: str):
     """Per-node triangle counts on a deterministic ring-with-chords
     graph over customer keys (edges i -> (i+d) % N, d = 1..3).
@@ -2384,6 +2394,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "zscore": q_zscore,
     "triangles": q_triangles,
+    "search_and": q_search_and,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3460,6 +3471,15 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["search_and"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+hit AS (SELECT doc_id, t FROM toks WHERE t IN ('join', 'hash', 'scan'))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM hit GROUP BY 1
+HAVING COUNT(DISTINCT t) = 3
+ORDER BY 1
+"""
 
 _ORACLES_BASE["triangles"] = """
 WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),

@@ -227,6 +227,45 @@ def pii_scrub(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def boolean_search(ds, terms: list[str], text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Conjunctive (AND) term search: docs containing EVERY query term.
+
+    Output (doc_id, n_hits): n_hits = total occurrences of query terms.
+    Pure streaming filter — the tiny query set is captured in the
+    closure (broadcast once per task), NO shuffle; the scale shape of
+    an inverted-index probe when the query side is small.
+    """
+    terms_arr = np.asarray(sorted(set(terms)), object)
+    n_terms = len(terms_arr)
+    out_schema = pa.schema([(id_col, pa.int64()), ("n_hits", pa.int64())])
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch[text_col]), WORD_SPLIT
+        )
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        m = np.isin(flat, terms_arr)
+        hits = np.bincount(parent[m], minlength=n).astype(np.int64)
+        distinct = np.zeros(n, np.int64)
+        for t in terms_arr:
+            distinct += np.bincount(parent[flat == t], minlength=n) > 0
+        keep = distinct == n_terms
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "n_hits": pa.array(hits[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_probe, batch_format="pyarrow", batch_size=1024)
+
+
 def md5_fingerprint(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """(doc_id, fp) — MD5 content fingerprint, hex lowercase.
 

@@ -60,3 +60,18 @@ def test_group_zscore_constant_group(ray_session):
     )
     got = group_zscore(ds, "lang", "n_chars", "doc_id").to_pandas()
     assert (got["z6"] == 0.0).all()
+
+
+def test_boolean_search_and(ray_session):
+    from solaris_ray.stages.text import boolean_search
+
+    texts = ["join hash scan join", "join hash", "scan hash join scan",
+             "nothing here", "join join join"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    ).repartition(2)
+    got = boolean_search(ds, ["join", "hash", "scan"]).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == [0, 2]
+    assert list(got["n_hits"]) == [4, 4]
