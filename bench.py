@@ -66,6 +66,12 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "pyramid_rollup",
     "fuzzy_dedup",
+    "kmeans",
+    "tfidf",
+    "clip_filter",
+    "focal_sum",
+    "covariance",
+    "triangles",
 ]
 
 
