@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "focal_sum",
     "covariance",
     "triangles",
+    "source_overlap",
 ]
 
 

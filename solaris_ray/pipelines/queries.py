@@ -2150,6 +2150,18 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source n-gram contamination matrix: shared distinct
+    3-gram shingles + Jaccard per source pair.  Gram strings cross the
+    wire once (batch-distinct, hash-bucketed); pair expansion is
+    bucket-local and bounded by n_sources^2."""
+    from ..stages.corpus import source_overlap
+
+    return source_overlap(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]), n=3
+    )
+
+
 def q_search_and(sf_dir: str):
     """Conjunctive term search (inverted-index probe shape): docs
     containing ALL of {join, hash, scan}; n_hits = total query-term
@@ -2395,6 +2407,7 @@ QUERIES = {
     "zscore": q_zscore,
     "triangles": q_triangles,
     "search_and": q_search_and,
+    "source_overlap": q_source_overlap,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3471,6 +3484,21 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["source_overlap"] = """
+WITH sh0 AS (SELECT source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+sh AS (SELECT DISTINCT source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+       FROM sh0, range(1, 2000) r(i) WHERE i + 2 <= len(toks)),
+inter AS (SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS inter
+          FROM sh a JOIN sh b ON b.g = a.g AND b.source > a.source GROUP BY 1, 2),
+cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1)
+SELECT i.src_a, i.src_b, i.inter,
+       round(CAST(i.inter AS DOUBLE) / (ca.n + cb.n - i.inter), 6) AS jac6
+FROM inter i
+JOIN cnt ca ON ca.source = i.src_a
+JOIN cnt cb ON cb.source = i.src_b
+ORDER BY 1, 2
+"""
 
 _ORACLES_BASE["search_and"] = f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),

@@ -286,3 +286,139 @@ def bigram_lm_scores(
 
     kwargs["concurrency"] = concurrency or auto_concurrency()
     return docs_ds.map_batches(_BigramScorer, **kwargs)
+
+
+# --- cross-source overlap matrix -----------------------------------------
+
+_OVL_PART = pa.schema(
+    [("gram", pa.string()), ("source", pa.string()), ("bucket", pa.int64())]
+)
+_OVL_PAIR = pa.schema(
+    [("src_a", pa.string()), ("src_b", pa.string()), ("inter", pa.int64())]
+)
+_OVL_CNT = pa.schema([("source", pa.string()), ("n", pa.int64())])
+
+
+def source_overlap(ds, n: int = 3, n_buckets: int = 256,
+                   text_col: str = "text", source_col: str = "source",
+                   round_dp: int = 6):
+    """Cross-source contamination matrix: for every source pair, the
+    number of shared distinct word n-gram shingles and their Jaccard.
+
+    Corpus diagnostics (mirror-site detection, split leakage across
+    crawls).  Shape: one token-shingle pass emitting batch-distinct
+    (gram, source) rows hash-bucketed by gram; inside each bucket the
+    rows of a gram are co-located, so global (gram, source) dedup, the
+    per-gram source-pair expansion (bounded by n_sources^2), and the
+    per-source distinct-gram partial counts are all bucket-local.  Two
+    tiny follow-up aggregates (pairs, per-source totals) finish it —
+    gram strings cross the wire once.
+
+    Output: (src_a < src_b, inter, jac6) for pairs with inter > 0.
+    """
+    import zlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import word_shingles
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        sh = word_shingles(batch[text_col], n)
+        src = batch[source_col].to_pylist()
+        grams, sources = [], []
+        for i, arr in enumerate(sh):
+            if arr.size == 0:
+                continue
+            grams.append(arr)
+            sources.append(np.full(arr.size, src[i], object))
+        if not grams:
+            return _OVL_PART.empty_table()
+        g = np.concatenate(grams)
+        s = np.concatenate(sources)
+        # batch-local (gram, source) dedup to shrink the shuffle
+        key = np.char.add(np.char.add(g.astype(str), "\x01"), s.astype(str))
+        _, idx = np.unique(key, return_index=True)
+        g, s = g[idx], s[idx]
+        b = np.array([zlib.crc32(x.encode("utf-8")) % n_buckets for x in g],
+                     np.int64)
+        return pa.table(
+            {
+                "gram": pa.array(g, pa.string()),
+                "source": pa.array(s, pa.string()),
+                "bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def _bucket(group: pa.Table):
+        g = group["gram"].to_numpy(zero_copy_only=False)
+        s = group["source"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(g.astype(str), "\x01"), s.astype(str))
+        _, idx = np.unique(key, return_index=True)  # global (gram, source) dedup
+        g, s = g[idx], s[idx]
+        order = np.argsort(g, kind="stable")
+        g, s = g[order], s[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], g.size]
+        pa_, pb_, = [], []
+        for st, en in zip(starts, ends):
+            srcs = np.sort(s[st:en])
+            m = en - st
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            pa_.append(srcs[ia]); pb_.append(srcs[ib])
+        # per-source distinct-gram partials for the Jaccard denominator
+        usrc, ucnt = np.unique(s, return_counts=True)
+        cnts = pa.table(
+            {
+                "src_a": pa.array(usrc, pa.string()),
+                "src_b": pa.array(np.full(usrc.size, "", object), pa.string()),
+                "inter": pa.array(ucnt.astype(np.int64), pa.int64()),
+            }
+        )
+        if not pa_:
+            return cnts
+        aa = np.concatenate(pa_); bb = np.concatenate(pb_)
+        pk = np.char.add(np.char.add(aa.astype(str), "\x01"), bb.astype(str))
+        upk, pcnt = np.unique(pk, return_counts=True)
+        sa = np.array([x.split("\x01")[0] for x in upk], object)
+        sb = np.array([x.split("\x01")[1] for x in upk], object)
+        pairs = pa.table(
+            {
+                "src_a": pa.array(sa, pa.string()),
+                "src_b": pa.array(sb, pa.string()),
+                "inter": pa.array(pcnt.astype(np.int64), pa.int64()),
+            }
+        )
+        return pa.concat_tables([pairs, cnts])
+
+    agg = (
+        ds.map_batches(_emit, batch_format="pyarrow", batch_size=1024)
+        .groupby("bucket")
+        .map_groups(_bucket, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"])
+        .aggregate(Sum("inter"))
+    )  # pair rows (src_b != '') + per-source totals (src_b == '')
+    rows = agg.take_all()  # n_sources^2 rows — tiny by construction
+    tot = {r["src_a"]: r["sum(inter)"] for r in rows if r["src_b"] == ""}
+    out = {"src_a": [], "src_b": [], "inter": [], "jac6": []}
+    for r in sorted(rows, key=lambda r: (r["src_a"], r["src_b"])):
+        if r["src_b"] == "":
+            continue
+        inter = int(r["sum(inter)"])
+        na, nb = tot[r["src_a"]], tot[r["src_b"]]
+        out["src_a"].append(r["src_a"])
+        out["src_b"].append(r["src_b"])
+        out["inter"].append(inter)
+        out["jac6"].append(round(inter / (na + nb - inter), round_dp))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src_a": pa.array(out["src_a"], pa.string()),
+                "src_b": pa.array(out["src_b"], pa.string()),
+                "inter": pa.array(out["inter"], pa.int64()),
+                "jac6": pa.array(out["jac6"], pa.float64()),
+            }
+        )
+    )
