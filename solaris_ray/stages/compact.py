@@ -91,6 +91,11 @@ def compact_cells(ds, base_res: int, min_res: int):
             current.map_batches(_tag, batch_format="pyarrow")
             .groupby("bkt")
             .map_groups(_level_kernel(r - 1), batch_format="pyarrow")
+            # two consumers (final-keep branch + next level): without
+            # this materialize each deeper level re-executes every
+            # upstream shuffle — O(L^2) all-to-alls instead of O(L);
+            # rows are (cell, parent, flag) ids only, cheap to pin
+            .materialize()
         )
 
         def _res_col(batch: pa.Table, _r=r) -> pa.Table:
