@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "covariance",
     "triangles",
     "source_overlap",
+    "bm25",
 ]
 
 

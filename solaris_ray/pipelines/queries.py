@@ -2150,6 +2150,19 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_bm25(sf_dir: str):
+    """BM25 top-20 ranked retrieval for {merge, stream, window}: two
+    tiny broadcast-stat passes (query-term df + corpus avgdl), then
+    shuffle-free streaming scoring and a top-k sort over matches
+    only."""
+    from ..stages.bm25 import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        ["merge", "stream", "window"], k=20,
+    )
+
+
 def q_source_overlap(sf_dir: str):
     """Cross-source n-gram contamination matrix: shared distinct
     3-gram shingles + Jaccard per source pair.  Gram strings cross the
@@ -2408,6 +2421,7 @@ QUERIES = {
     "triangles": q_triangles,
     "search_and": q_search_and,
     "source_overlap": q_source_overlap,
+    "bm25": q_bm25,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3484,6 +3498,28 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["bm25"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+dl AS (SELECT doc_id, CAST(len({_TOKS}) AS DOUBLE) AS dl FROM documents),
+q AS (SELECT unnest(['merge', 'stream', 'window']) AS t),
+const AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 (SELECT CAST(SUM(len({_TOKS})) AS DOUBLE) FROM documents) AS tt
+          FROM documents),
+stats AS (SELECT q.t, CAST(COUNT(DISTINCT toks.doc_id) AS DOUBLE) AS df
+          FROM q LEFT JOIN toks ON toks.t = q.t GROUP BY 1),
+idf AS (SELECT s.t, ln(1.0 + (c.n - s.df + 0.5) / (s.df + 0.5)) AS idf
+        FROM stats s, const c),
+tf AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM toks WHERE t IN ('merge', 'stream', 'window') GROUP BY 1, 2),
+sc AS (SELECT tf.doc_id,
+              SUM(i.idf * tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (c.tt / c.n)))) AS s
+       FROM tf JOIN idf i USING (t) JOIN dl USING (doc_id), const c
+       GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score6 FROM sc
+ORDER BY score6 DESC, doc_id LIMIT 20
+"""
 
 _ORACLES_BASE["source_overlap"] = """
 WITH sh0 AS (SELECT source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
