@@ -2150,6 +2150,17 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_mine_negatives(sf_dir: str):
+    """Contrastive negatives: 5 deterministic rank-walk negatives per
+    document, collision-free with the anchor, one bucketed rank
+    co-shuffle of id-only rows."""
+    from ..stages.negatives import mine_negatives
+
+    return mine_negatives(
+        _read(sf_dir, "documents", ["doc_id"]), k=5
+    ).sort(["anchor_id", "j"])
+
+
 def q_bm25(sf_dir: str):
     """BM25 top-20 ranked retrieval for {merge, stream, window}: two
     tiny broadcast-stat passes (query-term df + corpus avgdl), then
@@ -2422,6 +2433,7 @@ QUERIES = {
     "search_and": q_search_and,
     "source_overlap": q_source_overlap,
     "bm25": q_bm25,
+    "mine_negatives": q_mine_negatives,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3498,6 +3510,18 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["mine_negatives"] = """
+WITH ranked AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r
+                FROM documents),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+req AS (SELECT a.doc_id AS anchor_id, CAST(j AS BIGINT) AS j,
+               (a.r + 1 + ((j * 2654435761 + a.r) % (nn.n - 1))) % nn.n AS tr
+        FROM ranked a, nn, range(1, 6) rj(j))
+SELECT anchor_id, j, b.doc_id AS neg_id
+FROM req JOIN ranked b ON b.r = req.tr
+ORDER BY anchor_id, j
+"""
 
 _ORACLES_BASE["bm25"] = f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
