@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "triangles",
     "source_overlap",
     "bm25",
+    "mine_negatives",
+    "mix_sources",
 ]
 
 

@@ -2150,6 +2150,18 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_mix_sources(sf_dir: str):
+    """Corpus assembly mixing: per-source deterministic downsampling
+    (src{i} kept at 1000//(1+i%4) permille).  Pure streaming filter;
+    subset-stable under rate changes."""
+    from ..stages.split import mix_sources
+
+    permille = {f"src{i}": 1000 // (1 + i % 4) for i in range(20)}
+    return mix_sources(
+        _read(sf_dir, "documents", ["doc_id", "source"]), permille
+    ).sort("doc_id")
+
+
 def q_mine_negatives(sf_dir: str):
     """Contrastive negatives: 5 deterministic rank-walk negatives per
     document, collision-free with the anchor, one bucketed rank
@@ -2434,6 +2446,7 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "bm25": q_bm25,
     "mine_negatives": q_mine_negatives,
+    "mix_sources": q_mix_sources,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3510,6 +3523,20 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["mix_sources"] = """
+WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hd FROM documents),
+b AS (SELECT doc_id, source,
+        CAST((SELECT SUM(CAST((strpos('0123456789abcdef', substr(hd, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16
+                             + (strpos('0123456789abcdef', substr(hd, CAST(2*j+2 AS INTEGER), 1)) - 1) AS HUGEINT)
+                         * CAST(pow(256, j) AS HUGEINT))
+              FROM range(0, 8) r(j)) % 1000 AS BIGINT) AS bucket
+      FROM h)
+SELECT doc_id, source, bucket
+FROM b
+WHERE bucket < 1000 // (1 + (CAST(substr(source, 4) AS BIGINT) % 4))
+ORDER BY doc_id
+"""
 
 _ORACLES_BASE["mine_negatives"] = """
 WITH ranked AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r

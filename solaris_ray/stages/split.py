@@ -140,3 +140,41 @@ def stratified_sample(
         .groupby(group_col)
         .map_groups(_merge_topk, batch_format="pyarrow")
     )
+
+
+def mix_sources(
+    ds,
+    permille: dict[str, int],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "",
+):
+    """Weighted source mixing: deterministic per-source downsampling to
+    target proportions (the dataset-mixing step of corpus assembly —
+    e.g. upweight curated sources, cap a crawl at x%).
+
+    keep(row) iff md5(salt || key) low-8-LE % 1000 < permille[source].
+    A pure streaming filter (rates ride in the closure; nothing
+    shuffles), reproducible across reruns and block orders, and
+    subset-stable: lowering a source's permille keeps a subset of the
+    rows it kept before (the property that makes re-mixes diffable).
+    Sources absent from ``permille`` are dropped (permille 0).
+    """
+    def _mix(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch[key_col], pa.string()).to_pylist()
+        b = np.asarray(
+            [
+                int.from_bytes(
+                    hashlib.md5((salt + k).encode("utf-8")).digest()[:8], "little"
+                ) % 1000
+                for k in keys
+            ],
+            dtype=np.int64,
+        )
+        src = batch[source_col].to_pylist()
+        thr = np.asarray([permille.get(s, 0) for s in src], np.int64)
+        keep = b < thr
+        out = batch.filter(pa.array(keep))
+        return out.append_column("bucket", pa.array(b[keep], pa.int64()))
+
+    return ds.map_batches(_mix, batch_format="pyarrow", batch_size=8192)

@@ -115,3 +115,35 @@ class TestPackSequences:
         a = a.sort_values("doc_id").reset_index(drop=True)
         b = b.sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+def test_mix_sources_rates_and_subset_stability(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from solaris_ray.stages.split import mix_sources
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    src = np.array([f"s{i % 2}" for i in range(n)], object)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "source": pa.array(src)})
+    ).repartition(4)
+    got = mix_sources(ds, {"s0": 1000, "s1": 250}).to_pandas()
+    # s0 kept fully; s1 at ~25%
+    assert (got[got.source == "s0"].shape[0]) == n // 2
+    k1 = got[got.source == "s1"].shape[0]
+    assert 0.18 * n / 2 < k1 < 0.32 * n / 2
+    # exact rule per row
+    for r in got.itertuples(index=False):
+        b = int.from_bytes(
+            hashlib.md5(str(r.doc_id).encode()).digest()[:8], "little") % 1000
+        assert b == r.bucket
+        assert b < (1000 if r.source == "s0" else 250)
+    # subset stability: halving a rate keeps a subset
+    lower = mix_sources(ds, {"s0": 1000, "s1": 125}).to_pandas()
+    assert set(lower[lower.source == "s1"].doc_id) <= set(
+        got[got.source == "s1"].doc_id)
