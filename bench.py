@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "bm25",
     "mine_negatives",
     "mix_sources",
+    "running_sum",
 ]
 
 

@@ -2150,6 +2150,64 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_running_sum(sf_dir: str):
+    """Per-user running cumulative sum (the window-function primitive):
+    one bucketed co-shuffle on user, in-bucket lexsort + vectorized
+    cumsum with per-user offsets.  Exact integer cents (the
+    events_window idiom) — no float-order sensitivity at all."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    n_buckets = 128
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(batch["value"], 100.0)), pa.int64()
+                ),
+                "ub": pa.array((u % n_buckets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("run_cents", pa.int64())]
+    )
+
+    def _cum(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        c = group["cents"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, ts, u))
+        u, eid, c = u[o], eid[o], c[o]
+        cs = np.cumsum(c)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        # subtract the total accumulated before each user's run
+        # (sign-safe: works for negative values too)
+        run_lens = np.diff(np.r_[starts, u.size])
+        base = np.repeat(cs[starts] - c[starts], run_lens)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "run_cents": pa.array(cs - base, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(_derive, batch_format="pyarrow", batch_size=8192)
+        .groupby("ub")
+        .map_groups(_cum, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
 def q_mix_sources(sf_dir: str):
     """Corpus assembly mixing: per-source deterministic downsampling
     (src{i} kept at 1000//(1+i%4) permille).  Pure streaming filter;
@@ -2447,6 +2505,7 @@ QUERIES = {
     "bm25": q_bm25,
     "mine_negatives": q_mine_negatives,
     "mix_sources": q_mix_sources,
+    "running_sum": q_running_sum,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3523,6 +3582,15 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["running_sum"] = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+FROM events
+ORDER BY event_id
+"""
 
 _ORACLES_BASE["mix_sources"] = """
 WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hd FROM documents),

@@ -62,3 +62,43 @@ def test_sliding_window_counts(ray_session):
     m = {int(r["window_start_us"]): int(r["n"]) for _, r in out.iterrows()}
     assert m[0] == 2  # both events inside [0, 1h)
     assert m[-HOUR // 2] == 1 and m[HOUR // 2] == 1
+
+
+def test_running_sum_negative_values(ray_session):
+    # sign-safe per-user cumsum: negative values must not corrupt the
+    # per-run base subtraction
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from solaris_ray.pipelines.queries import q_running_sum  # noqa: F401
+    # drive the same kernel through a tiny synthetic events table
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(31)
+    n = 400
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(
+                rng.integers(0, 10**9, n).astype("datetime64[us]")),
+            "user_id": pa.array(rng.integers(0, 7, n).astype(np.int64)),
+            "event_type": pa.array(["x"] * n),
+            "value": pa.array(rng.normal(0, 50, n).round(2)),
+            "props": pa.array([""] * n),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        got = q_running_sum(d).to_pandas().sort_values("event_id")
+    # python oracle
+    cents = np.round(tbl["value"].to_numpy() * 100).astype(np.int64)
+    ts = tbl["ts"].to_numpy().astype("int64")
+    uid = tbl["user_id"].to_numpy()
+    exp = np.zeros(n, np.int64)
+    for u in np.unique(uid):
+        m = np.flatnonzero(uid == u)
+        order = m[np.lexsort((m, ts[m]))]
+        exp[order] = np.cumsum(cents[order])
+    assert (got["run_cents"].to_numpy() == exp).all()
