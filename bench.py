@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "mine_negatives",
     "mix_sources",
     "running_sum",
+    "patchify",
 ]
 
 

@@ -2150,6 +2150,18 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_patchify(sf_dir: str):
+    """ViT-style patch extraction (actor pool, decode once per image):
+    200 formula PNGs -> 16 patches each, integer-exact patch sums the
+    oracle reproduces in closed form."""
+    from ..stages import multimodal
+
+    images = _formula_gray_images(sf_dir, limit=200, fixed_size=64)
+    return images.map_batches(
+        multimodal.Patchify(patch=16), batch_format="pyarrow", batch_size=16
+    ).sort(["image_id", "patch_idx"])
+
+
 def q_running_sum(sf_dir: str):
     """Per-user running cumulative sum (the window-function primitive):
     one bucketed co-shuffle on user, in-bucket lexsort + vectorized
@@ -2506,6 +2518,7 @@ QUERIES = {
     "mine_negatives": q_mine_negatives,
     "mix_sources": q_mix_sources,
     "running_sum": q_running_sum,
+    "patchify": q_patchify,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3582,6 +3595,18 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["patchify"] = """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 200),
+px AS (SELECT i FROM range(0, 64) r(i)),
+v AS (SELECT p, (yy.i // 16) * 4 + (xx.i // 16) AS patch_idx,
+             (xx.i * 7 + yy.i * 13 + p * 31) % 251 AS val
+      FROM img, px xx, px yy)
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(patch_idx AS BIGINT) AS patch_idx,
+       CAST(SUM(val) AS BIGINT) AS px_sum
+FROM v GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 _ORACLES_BASE["running_sum"] = """
 SELECT event_id, user_id,

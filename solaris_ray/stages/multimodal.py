@@ -235,3 +235,56 @@ def extract_embeddings(images, dim: int = 64, concurrency=None, batch_size: int 
         concurrency=concurrency or auto_concurrency(),
         num_cpus=1,
     )
+
+
+class Patchify:
+    """Actor-pool stage: ViT-style patch extraction.
+
+    Decodes each image once and emits one row per PxP patch (row-major
+    patch grid), the layout step before patch-embedding a vision
+    transformer.  ``summary_only=True`` emits (image_id, patch_idx,
+    px_sum) — integer-exact, the SQL-oracle surface; otherwise rows
+    carry the raw patch bytes for a downstream embedding stage.
+    Images whose sides are not multiples of P are cropped to the
+    largest aligned region (documented; matches the ViT convention of
+    resize-to-multiple upstream).
+    """
+
+    def __init__(self, patch: int = 16, summary_only: bool = True,
+                 strict: bool = False):
+        self.patch = patch
+        self.summary_only = summary_only
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..raster import codec as _codec
+
+        P = self.patch
+        ids, idxs, sums, blobs = [], [], [], []
+        for i in range(batch.num_rows):
+            img = _codec.decode(batch["bytes"][i].as_py(),
+                                batch["fmt"][i].as_py())
+            if img.ndim == 3:
+                img = img[..., 0]
+            h, w = (img.shape[0] // P) * P, (img.shape[1] // P) * P
+            img = img[:h, :w]
+            ny, nx = h // P, w // P
+            patches = img.reshape(ny, P, nx, P).transpose(0, 2, 1, 3)
+            iid = batch["image_id"][i].as_py()
+            for pi in range(ny * nx):
+                ids.append(iid)
+                idxs.append(pi)
+                if self.summary_only:
+                    sums.append(int(patches[pi // nx, pi % nx].astype(np.int64).sum()))
+                else:
+                    blobs.append(np.ascontiguousarray(
+                        patches[pi // nx, pi % nx]).tobytes())
+        cols = {
+            "image_id": pa.array(ids, pa.string()),
+            "patch_idx": pa.array(np.asarray(idxs, np.int64), pa.int64()),
+        }
+        if self.summary_only:
+            cols["px_sum"] = pa.array(np.asarray(sums, np.int64), pa.int64())
+        else:
+            cols["patch"] = pa.array(blobs, pa.binary())
+        return pa.table(cols)

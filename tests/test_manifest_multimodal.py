@@ -123,3 +123,37 @@ def test_image_stats(ray_session):
     out = ds.map_batches(multimodal.ImageStats(), batch_format="pyarrow").to_pandas()
     assert len(out) == 3
     assert (out["px_max"] <= 255).all() and (out["px_min"] >= 0).all()
+
+
+def test_patchify_layout_and_bytes_mode(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from solaris_ray.raster import codec
+    from solaris_ray.stages.multimodal import Patchify
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 251, (32, 48)).astype(np.uint8)  # 2x3 patch grid
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array(["a"]),
+                "bytes": pa.array([codec.encode(img, "png")], pa.binary()),
+                "fmt": pa.array(["png"]),
+            }
+        )
+    )
+    got = ds.map_batches(Patchify(patch=16), batch_format="pyarrow").to_pandas()
+    assert list(got["patch_idx"]) == list(range(6))
+    for pi in range(6):
+        py, px_ = pi // 3, pi % 3
+        exp = int(img[py * 16:(py + 1) * 16, px_ * 16:(px_ + 1) * 16]
+                  .astype(np.int64).sum())
+        assert got["px_sum"].iloc[pi] == exp
+    # bytes mode round-trips the exact patch pixels
+    got_b = ds.map_batches(
+        Patchify(patch=16, summary_only=False), batch_format="pyarrow"
+    ).to_pandas()
+    p0 = np.frombuffer(got_b["patch"].iloc[4], np.uint8).reshape(16, 16)
+    assert (p0 == img[16:32, 16:32]).all()
