@@ -25,12 +25,14 @@ al., 2014) — same two-shuffle round shape, O(log^2 n) rounds; the
 per-round plumbing here is exactly that shape, only the emit rule
 differs.
 
-Scale notes: the labels table is O(n) rows of (int64, int64) — tiny
-next to a 100 TB corpus; it is materialized per round (required for
-iteration) and the convergence sum reuses that materialization.  The
-edge table is materialized once up front so each round re-reads blocks
-from the object store instead of recomputing the upstream pair
-pipeline.
+Scale notes: the iterated labels table covers ONLY edge-touched nodes
+(in a dedup pair graph, a small fraction of the corpus) — each round
+shuffles O(touched) id-only rows, not O(all nodes); isolated nodes
+rejoin at the end via one bucketed anti-join co-shuffle.  Labels are
+materialized per round (required for iteration) and the convergence
+sum reuses that materialization.  The edge table is materialized once
+up front so each round re-reads blocks from the object store instead
+of recomputing the upstream pair pipeline.
 """
 
 from __future__ import annotations
@@ -73,13 +75,20 @@ def connected_components(
 
     sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
 
-    def _init(batch: pa.Table) -> pa.Table:
-        n = batch[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"node": pa.array(n, pa.int64()),
-                         "label": pa.array(n, pa.int64())})
-
-    lab = nodes.map_batches(_init, batch_format="pyarrow").materialize()
-    prev_sum = lab.sum("label")
+    # iterate ONLY over edge-touched nodes: in a dedup pair graph they
+    # are a small fraction of the corpus, so every propagation round
+    # shuffles O(touched) labels instead of O(all nodes); isolated
+    # nodes rejoin at the end via one anti-join co-shuffle
+    touched = (
+        sym.select_columns(["node"]).groupby("node").count()
+        .map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+            batch_format="pyarrow",
+        )
+    )
+    lab = touched.materialize()
+    has_edges = lab.count() > 0
+    prev_sum = lab.sum("label") if has_edges else 0
 
     def _lab_as_msg(batch: pa.Table) -> pa.Table:
         # tag label records with dst = -1 so step 1 can tell them apart
@@ -114,7 +123,7 @@ def connected_components(
             }
         )
 
-    for _ in range(max_rounds):
+    for _ in range(max_rounds if has_edges else 0):
         msgs = (
             lab.map_batches(_lab_as_msg, batch_format="pyarrow")
             .union(sym.map_batches(_edge_as_msg, batch_format="pyarrow"))
@@ -135,10 +144,60 @@ def connected_components(
             break
         prev_sum = cur_sum
 
-    return lab.map_batches(
+    resolved = lab.map_batches(
         lambda b: pa.table({node_col: b["node"], "component": b["label"]}),
         batch_format="pyarrow",
     )
+
+    # isolated nodes: anti-join all nodes against the touched set in
+    # one bucketed co-shuffle of id-only rows; each is its own component
+    n_buckets = 256
+
+    def _tag_all(batch: pa.Table) -> pa.Table:
+        n = batch[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "touched": pa.array(np.zeros(n.size, np.int64), pa.int64()),
+                "nb": pa.array((n % n_buckets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def _tag_touched(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "touched": pa.array(np.ones(n.size, np.int64), pa.int64()),
+                "nb": pa.array((n % n_buckets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    iso_schema = pa.schema([(node_col, pa.int64()), ("component", pa.int64())])
+
+    def _isolated(group: pa.Table) -> pa.Table:
+        n = group["node"].to_numpy(zero_copy_only=False)
+        t = group["touched"].to_numpy(zero_copy_only=False)
+        tset = np.sort(np.unique(n[t == 1]))
+        cand = n[t == 0]
+        if tset.size:
+            pos = np.clip(np.searchsorted(tset, cand), 0, tset.size - 1)
+            cand = cand[tset[pos] != cand]
+        if cand.size == 0:
+            return iso_schema.empty_table()
+        return pa.table(
+            {node_col: pa.array(cand, pa.int64()),
+             "component": pa.array(cand, pa.int64())}
+        )
+
+    isolated = (
+        nodes.map_batches(_tag_all, batch_format="pyarrow")
+        .union(lab.select_columns(["node"]).map_batches(
+            _tag_touched, batch_format="pyarrow"))
+        .groupby("nb")
+        .map_groups(_isolated, batch_format="pyarrow")
+    )
+    return resolved.union(isolated)
 
 
 def fuzzy_dedup(

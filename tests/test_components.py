@@ -121,3 +121,10 @@ def test_fuzzy_dedup_duplicate_docs(ray_session):
     for s in (12, 13):
         assert comp[s] == s and keep[s] == 1
     assert int(got["keep"].sum()) == 5
+
+
+def test_cc_no_edges_all_isolated(ray_session):
+    got = connected_components(
+        _edges_ds([]), _nodes_ds(list(range(8)))
+    ).to_pandas()
+    assert dict(zip(got["doc_id"], got["component"])) == {i: i for i in range(8)}
