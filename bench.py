@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "mix_sources",
     "running_sum",
     "patchify",
+    "cms_topk",
 ]
 
 

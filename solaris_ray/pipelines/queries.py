@@ -2150,6 +2150,15 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_cms_topk(sf_dir: str):
+    """Count-min sketch accuracy gate: estimates for the exact top-30
+    terms must bracket the true counts (the t-digest pass-bit idiom —
+    the sketch guarantee is what gets hash-checked)."""
+    from ..stages.sketch import cms_check
+
+    return cms_check(_read(sf_dir, "documents", ["doc_id", "text"]), k=30)
+
+
 def q_patchify(sf_dir: str):
     """ViT-style patch extraction (actor pool, decode once per image):
     200 formula PNGs -> 16 patches each, integer-exact patch sums the
@@ -2519,6 +2528,7 @@ QUERIES = {
     "mix_sources": q_mix_sources,
     "running_sum": q_running_sum,
     "patchify": q_patchify,
+    "cms_topk": q_cms_topk,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3595,6 +3605,14 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["cms_topk"] = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(1 AS BIGINT) AS ok
+FROM toks GROUP BY 1
+ORDER BY cnt DESC, term
+LIMIT 30
+"""
 
 _ORACLES_BASE["patchify"] = """
 WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 200),

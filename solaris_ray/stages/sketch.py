@@ -1,0 +1,122 @@
+"""Count-min sketch — approximate term counting for unbounded vocab.
+
+At 100 TB the exact heavy-hitter path (``tfidf.vocab_topk``) shuffles
+one row per distinct term; when the vocabulary itself is unbounded
+(URLs, n-grams) the classic answer is a count-min sketch (Cormode &
+Muthukrishnan '05): fixed-size counter grid, per-batch partial
+sketches, ONE tiny groupby-sum combine — memory is O(depth x width)
+regardless of vocab size, and estimates never undercount
+(est >= true; est <= true + eps*N w.h.p. with width >= e/eps).
+
+Hash family: crc32(term) with a per-row salt prefix — deterministic,
+seedless, reproducible in any rerun (same reason the engine's other
+sampling uses salted md5/crc).
+
+``cms_check`` is the gate surface: estimates for the EXACT top-k terms
+must bracket the true counts — (term, cnt, ok=1) rows the SQL oracle
+reproduces with exact counts and a literal 1 (the t-digest pass-bit
+idiom: the sketch's guarantee is the thing being hash-checked).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import WORD_SPLIT
+
+DEPTH = 4
+WIDTH = 4096
+
+
+def _rows_of(terms: np.ndarray) -> np.ndarray:
+    """(n_terms, DEPTH) column indices for each term."""
+    out = np.empty((terms.size, DEPTH), np.int64)
+    for d in range(DEPTH):
+        salt = f"cms{d}:"
+        out[:, d] = [zlib.crc32((salt + t).encode("utf-8")) % WIDTH
+                     for t in terms]
+    return out
+
+
+def cms_build(ds, text_col: str = "text"):
+    """documents -> the combined (DEPTH, WIDTH) count grid (numpy) +
+    total token count.  Per-batch partials, one tiny combine."""
+    part_schema = pa.schema(
+        [("g", pa.int64()), ("n", pa.int64()), ("grid", pa.list_(pa.int64()))]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch[text_col]), WORD_SPLIT
+        )
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        if flat.size == 0:
+            return part_schema.empty_table()
+        grid = np.zeros((DEPTH, WIDTH), np.int64)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        rows = _rows_of(uniq)
+        for d in range(DEPTH):
+            np.add.at(grid[d], rows[:, d], cnt)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "n": pa.array([int(flat.size)], pa.int64()),
+                "grid": pa.array([grid.ravel().tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    def _combine(group: pa.Table) -> pa.Table:
+        from .ann import list_col_to_matrix
+
+        g = list_col_to_matrix(group["grid"], np.int64).sum(axis=0)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "n": pa.array([int(pc.sum(group["n"]).as_py())], pa.int64()),
+                "grid": pa.array([g.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    rows = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=1024)
+        .groupby("g")
+        .map_groups(_combine, batch_format="pyarrow")
+        .take_all()  # exactly one row
+    )
+    grid = np.asarray(rows[0]["grid"], np.int64).reshape(DEPTH, WIDTH)
+    return grid, int(rows[0]["n"])
+
+
+def cms_estimate(grid: np.ndarray, terms: np.ndarray) -> np.ndarray:
+    rows = _rows_of(terms)
+    ests = np.stack([grid[d][rows[:, d]] for d in range(DEPTH)], axis=1)
+    return ests.min(axis=1)
+
+
+def cms_check(ds, k: int = 30, eps: float = 0.01, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """Gate surface: for the exact top-k terms, assert the CMS bracket
+    est in [cnt, cnt + eps*N].  Output (term, cnt, ok)."""
+    import ray
+
+    from .tfidf import vocab_topk
+
+    grid, n_total = cms_build(ds, text_col)
+    top = vocab_topk(ds, k=k, text_col=text_col, id_col=id_col).take_all()
+    terms = np.asarray([r["term"] for r in top], object)
+    cnt = np.asarray([r["cnt"] for r in top], np.int64)
+    est = cms_estimate(grid, terms)
+    ok = ((est >= cnt) & (est <= cnt + eps * n_total)).astype(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "ok": pa.array(ok, pa.int64()),
+            }
+        )
+    )
