@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "running_sum",
     "patchify",
     "cms_topk",
+    "hll_distinct",
 ]
 
 

@@ -2150,6 +2150,16 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-count gate over lineitem part keys:
+    estimate within 10% of exact (pass-bit idiom).  Register partials
+    per batch, one elementwise-max combine — O(4096) memory at any
+    cardinality."""
+    from ..stages.sketch import hll_check
+
+    return hll_check(_read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey")
+
+
 def q_cms_topk(sf_dir: str):
     """Count-min sketch accuracy gate: estimates for the exact top-30
     terms must bracket the true counts (the t-digest pass-bit idiom —
@@ -2529,6 +2539,7 @@ QUERIES = {
     "running_sum": q_running_sum,
     "patchify": q_patchify,
     "cms_topk": q_cms_topk,
+    "hll_distinct": q_hll_distinct,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3605,6 +3616,12 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["hll_distinct"] = """
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+       CAST(1 AS BIGINT) AS ok
+FROM lineitem
+"""
 
 _ORACLES_BASE["cms_topk"] = f"""
 WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents)

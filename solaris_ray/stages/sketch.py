@@ -120,3 +120,102 @@ def cms_check(ds, k: int = 30, eps: float = 0.01, text_col: str = "text",
             }
         )
     )
+
+
+# --- HyperLogLog ----------------------------------------------------------
+
+HLL_P = 12                  # 2^12 = 4096 registers, rel. error ~1.6%
+HLL_M = 1 << HLL_P
+
+
+def _hll_partial(values: np.ndarray) -> np.ndarray:
+    """64-bit md5-low hashes -> register maxima (one partial grid)."""
+    import hashlib
+
+    regs = np.zeros(HLL_M, np.int64)
+    h = np.asarray(
+        [int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[:8], "little")
+         for v in values],
+        np.uint64,
+    )
+    idx = (h & np.uint64(HLL_M - 1)).astype(np.int64)
+    rest = (h >> np.uint64(HLL_P)).astype(np.uint64)
+    # rho = position of the first 1-bit in the remaining 52 bits (1-based)
+    rho = np.full(h.size, 64 - HLL_P + 1, np.int64)
+    nz = rest != 0
+    # count trailing zeros via bit tricks: x & -x isolates the lowest bit
+    low = (rest[nz] & (~rest[nz] + np.uint64(1))).astype(np.uint64)
+    rho[nz] = np.log2(low.astype(np.float64)).astype(np.int64) + 1
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range linear-counting
+    correction (Flajolet et al. 2007)."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds, col: str):
+    """Approximate COUNT(DISTINCT col): per-batch register partials,
+    ONE elementwise-max combine — memory O(4096) regardless of
+    cardinality, nothing but one grid row per batch shuffles."""
+    part_schema = pa.schema([("g", pa.int64()), ("regs", pa.list_(pa.int64()))])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vals = np.unique(
+            pc.cast(batch[col], pa.string()).to_numpy(zero_copy_only=False)
+        )
+        if vals.size == 0:
+            return part_schema.empty_table()
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "regs": pa.array([_hll_partial(vals).tolist()],
+                                 pa.list_(pa.int64())),
+            }
+        )
+
+    def _combine(group: pa.Table) -> pa.Table:
+        from .ann import list_col_to_matrix
+
+        regs = list_col_to_matrix(group["regs"], np.int64).max(axis=0)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "regs": pa.array([regs.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    rows = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("g")
+        .map_groups(_combine, batch_format="pyarrow")
+        .take_all()
+    )
+    return hll_estimate(np.asarray(rows[0]["regs"], np.int64))
+
+
+def hll_check(ds, col: str, exact_ds=None, rel_tol: float = 0.10):
+    """Gate surface: (n_exact, ok) — HLL estimate within rel_tol of the
+    exact distinct count (pass-bit idiom)."""
+    import ray
+
+    est = hll_distinct(ds, col)
+    exact = (exact_ds if exact_ds is not None else ds).groupby(
+        col).count().count()
+    ok = int(abs(est - exact) <= rel_tol * exact)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_exact": pa.array([int(exact)], pa.int64()),
+                "ok": pa.array([ok], pa.int64()),
+            }
+        )
+    )

@@ -51,3 +51,28 @@ def test_cms_check_all_ok(ray_session):
     exact = Counter(" ".join(texts).split())
     for r in got.itertuples(index=False):
         assert exact[r.term] == r.cnt
+
+
+def test_hll_accuracy_across_cardinalities(ray_session):
+    from solaris_ray.stages.sketch import hll_distinct
+
+    for n_distinct in (50, 2000, 20000):
+        vals = [f"v{i % n_distinct}" for i in range(n_distinct * 2)]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(np.arange(len(vals), dtype=np.int64)),
+                      "text": pa.array(vals)})
+        ).repartition(4)
+        est = hll_distinct(ds, "text")
+        assert abs(est - n_distinct) <= 0.08 * n_distinct, (n_distinct, est)
+
+
+def test_hll_merge_invariance(ray_session):
+    from solaris_ray.stages.sketch import hll_distinct
+
+    vals = [f"u{i}" for i in range(3000)]
+    ds1 = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals)})
+    )
+    est1 = hll_distinct(ds1, "v")
+    est8 = hll_distinct(ds1.repartition(8), "v")
+    assert est1 == est8  # register max-merge is order/partition invariant
