@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "patchify",
     "cms_topk",
     "hll_distinct",
+    "outer_join",
 ]
 
 

@@ -2150,6 +2150,34 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_outer_join(sf_dir: str):
+    """Generic FULL OUTER hash equi-join (orders x customer): bucketed
+    union co-shuffle, vectorized many-to-many merge, unmatched rows
+    nulled (sentinel-coalesced on both sides for dtype-stable
+    hashing)."""
+    from ..stages.relational import hash_join
+
+    j = hash_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        "o_custkey", "c_custkey", how="outer",
+    )
+
+    def _coalesce(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.fill_null(pc.cast(batch["o_orderkey"], pa.int64()), -1),
+                "o_custkey": pc.fill_null(pc.cast(batch["o_custkey"], pa.int64()), -1),
+                "c_custkey": pc.fill_null(pc.cast(batch["c_custkey"], pa.int64()), -1),
+                "c_name": pc.fill_null(batch["c_name"], ""),
+            }
+        )
+
+    return j.map_batches(_coalesce, batch_format="pyarrow").sort(
+        ["o_orderkey", "c_custkey"]
+    )
+
+
 def q_hll_distinct(sf_dir: str):
     """HyperLogLog distinct-count gate over lineitem part keys:
     estimate within 10% of exact (pass-bit idiom).  Register partials
@@ -2540,6 +2568,7 @@ QUERIES = {
     "patchify": q_patchify,
     "cms_topk": q_cms_topk,
     "hll_distinct": q_hll_distinct,
+    "outer_join": q_outer_join,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3616,6 +3645,15 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["outer_join"] = """
+SELECT COALESCE(o_orderkey, -1) AS o_orderkey,
+       COALESCE(o_custkey, -1) AS o_custkey,
+       COALESCE(c_custkey, -1) AS c_custkey,
+       COALESCE(c_name, '') AS c_name
+FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey
+ORDER BY 1, 3
+"""
 
 _ORACLES_BASE["hll_distinct"] = """
 SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
