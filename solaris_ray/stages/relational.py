@@ -23,6 +23,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+BROADCAST_LIMIT = 2_000_000  # right-side rows below this fit one object
+
+
 def hash_join(
     left,
     right,
@@ -30,14 +33,32 @@ def hash_join(
     right_key: str,
     how: str = "inner",
     n_buckets: int = 128,
+    strategy: str = "shuffle",
 ):
     """Join two Datasets on int64-comparable keys.
 
     ``how``: inner | left | outer.  Output columns = left columns then
     right columns (key columns kept from both sides; unmatched side
     nulled).  Column names must not collide.
+
+    ``strategy``: ``shuffle`` (bucketed co-shuffle — both sides any
+    size), ``broadcast`` (right side shipped once via ``ray.put``,
+    probe inside ``map_batches`` — NO shuffle; right side must fit one
+    object; ``outer`` not supported, right-unmatched rows need a
+    global view), or ``auto`` (count the right side, broadcast when it
+    fits and ``how`` allows).  Both paths return bit-identical rows.
     """
     assert how in ("inner", "left", "outer")
+    assert strategy in ("shuffle", "broadcast", "auto")
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if how != "outer" and right.count() <= BROADCAST_LIMIT
+            else "shuffle"
+        )
+    if strategy == "broadcast":
+        assert how != "outer", "broadcast cannot emit right-unmatched rows"
+        return _broadcast_join(left, right, left_key, right_key, how)
     ls, rs = left.schema(), right.schema()  # ray.data.Schema wrappers
     l_names, l_types = list(ls.names), list(ls.types)
     r_names, r_types = list(rs.names), list(rs.types)
@@ -144,3 +165,61 @@ def hash_join(
         return pa.table(cols).cast(out_schema)
 
     return both.groupby("__b").map_groups(_merge, batch_format="pyarrow")
+
+
+def _broadcast_join(left, right, left_key: str, right_key: str, how: str):
+    """Small-right-side path: one ``ray.put`` of the sorted right
+    table, searchsorted probe per left batch — zero shuffles."""
+    import ray
+
+    rs = right.schema()
+    r_names, r_types = list(rs.names), list(rs.types)
+    r_tbl = pa.concat_tables(ray.get(right.to_arrow_refs()))
+    rk = pc.cast(r_tbl[right_key], pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.argsort(rk, kind="stable")
+    r_sorted = r_tbl.take(pa.array(order))
+    rk_s = rk[order]
+    bundle = ray.put((rk_s, r_sorted))
+
+    ls = left.schema()
+    l_names, l_types = list(ls.names), list(ls.types)
+    out_schema = pa.schema(
+        list(zip(l_names, l_types)) + list(zip(r_names, r_types))
+    )
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        keys_s, rt = ray.get(bundle)
+        lk = pc.cast(batch[left_key], pa.int64()).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(keys_s, lk, side="left")
+        hi = np.searchsorted(keys_s, lk, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        l_idx = np.repeat(np.arange(lk.size, dtype=np.int64), counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        r_idx = np.repeat(lo, counts) + within
+        parts_l, parts_r = [l_idx], [r_idx]
+        if how == "left":
+            lm = np.flatnonzero(counts == 0)
+            parts_l.append(lm)
+            parts_r.append(np.full(lm.size, -1, np.int64))
+        l_all = np.concatenate(parts_l)
+        r_all = np.concatenate(parts_r)
+        if l_all.size == 0:
+            return out_schema.empty_table()
+        cols = {}
+        for n in l_names:
+            taken = batch[n].take(pa.array(l_all))
+            cols[n] = taken.combine_chunks() if isinstance(
+                taken, pa.ChunkedArray) else taken
+        mask = pa.array(r_all < 0)
+        safe = pa.array(np.where(r_all >= 0, r_all, 0))
+        for n in r_names:
+            taken = rt[n].take(safe)
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            cols[n] = pc.if_else(mask, pa.nulls(len(r_all), taken.type), taken)
+        return pa.table(cols).cast(out_schema)
+
+    return left.map_batches(_probe, batch_format="pyarrow", batch_size=4096)

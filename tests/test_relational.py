@@ -50,3 +50,21 @@ def test_hash_join_many_to_many(ray_session):
     l, r = _mk(left, right)
     got = hash_join(l, r, "lk", "rk", how="outer").to_pandas()
     assert len(got) == 2 * 2 + 1 + 1  # 4 matches + left-only 2 + right-only 3
+
+
+def test_broadcast_path_matches_shuffle(ray_session):
+    rng = np.random.default_rng(33)
+    left = [(int(k), f"L{i}") for i, k in enumerate(rng.integers(0, 30, 120))]
+    right = [(int(k), f"R{i}") for i, k in enumerate(rng.integers(10, 40, 25))]
+    for how in ("inner", "left"):
+        l, r = _mk(left, right)
+        a = hash_join(l.repartition(4), r, "lk", "rk", how=how,
+                      strategy="shuffle").to_pandas()
+        l2, r2 = _mk(left, right)
+        b = hash_join(l2.repartition(4), r2, "lk", "rk", how=how,
+                      strategy="broadcast").to_pandas()
+        assert _norm(a) == _norm(b), how
+    # auto picks broadcast for a small right side and still matches
+    l3, r3 = _mk(left, right)
+    c = hash_join(l3, r3, "lk", "rk", how="inner", strategy="auto").to_pandas()
+    assert _norm(c) == _norm(_pd(left, right, "inner"))
