@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "cms_topk",
     "hll_distinct",
     "outer_join",
+    "dissolve",
 ]
 
 

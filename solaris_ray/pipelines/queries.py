@@ -2150,6 +2150,34 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_dissolve(sf_dir: str):
+    """Spatial dissolve: transitive-overlap groups over the customer
+    rectangles — cell-partitioned self-join (exactly-once owner-cell
+    pair emission) + distributed connected components."""
+    from ..stages.dissolve import dissolve
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _rects(batch: pa.Table) -> pa.Table:
+        c = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = ((c * 97) % MODW).astype(np.float64)
+        cy = ((c * 71) % MODW).astype(np.float64)
+        hx = (10 + c % 40).astype(np.float64)
+        hy = (10 + c % 23).astype(np.float64)
+        return pa.table(
+            {
+                "fid": pa.array(c, pa.int64()),
+                "x0": pa.array(cx - hx, pa.float64()),
+                "y0": pa.array(cy - hy, pa.float64()),
+                "x1": pa.array(cx + hx, pa.float64()),
+                "y1": pa.array(cy + hy, pa.float64()),
+            }
+        )
+
+    rects = cust.map_batches(_rects, batch_format="pyarrow")
+    return dissolve(rects, cell=256.0).sort("fid")
+
+
 def q_outer_join(sf_dir: str):
     """Generic FULL OUTER hash equi-join (orders x customer): bucketed
     union co-shuffle, vectorized many-to-many merge, unmatched rows
@@ -2569,6 +2597,7 @@ QUERIES = {
     "cms_topk": q_cms_topk,
     "hll_distinct": q_hll_distinct,
     "outer_join": q_outer_join,
+    "dissolve": q_dissolve,
     "pyramid_rollup": q_pyramid_rollup,
 }
 
@@ -3645,6 +3674,28 @@ ORDER BY vec_id
 
 
 _ORACLES_BASE["kmeans"] = _kmeans_oracle_sql()
+
+_ORACLES_BASE["dissolve"] = f"""
+WITH RECURSIVE f AS (
+  SELECT CAST(c_custkey AS BIGINT) AS fid,
+         CAST((c_custkey * 97) % {MODW} AS DOUBLE) AS cx,
+         CAST((c_custkey * 71) % {MODW} AS DOUBLE) AS cy,
+         CAST(10 + c_custkey % 40 AS DOUBLE) AS hx,
+         CAST(10 + c_custkey % 23 AS DOUBLE) AS hy
+  FROM customer),
+r AS (SELECT fid, cx - hx AS x0, cy - hy AS y0, cx + hx AS x1, cy + hy AS y1 FROM f),
+p AS (SELECT a.fid AS doc_a, b.fid AS doc_b
+      FROM r a JOIN r b ON a.fid < b.fid
+       AND GREATEST(a.x0, b.x0) < LEAST(a.x1, b.x1)
+       AND GREATEST(a.y0, b.y0) < LEAST(a.y1, b.y1)),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+reach(node, lbl) AS (
+  SELECT fid, fid FROM f
+  UNION
+  SELECT e.b, r2.lbl FROM reach r2 JOIN edges e ON e.a = r2.node AND r2.lbl < e.b)
+SELECT node AS fid, MIN(lbl) AS component FROM reach GROUP BY 1 ORDER BY 1
+"""
 
 _ORACLES_BASE["outer_join"] = """
 SELECT COALESCE(o_orderkey, -1) AS o_orderkey,
