@@ -2497,6 +2497,171 @@ def q_fuzzy_dedup(sf_dir: str):
     return fuzzy_dedup(_read(sf_dir, "documents", ["doc_id", "text"])).sort("doc_id")
 
 
+def _calib_scenes(sf_dir: str, sensor: str, limit: int = 80):
+    """part rows -> f64 SAR-style scenes (32x32, integer-valued float
+    pixels v = (x*7 + y*13 + k*31) % 97) with a sensor metadata sidecar:
+    even keys Capella (JSON scale_factor = 1 + k%5), odd keys
+    TerraSAR-X (XML calFactor = (1 + k%4)^2 so sqrt is integer-exact)."""
+    import json as _json
+
+    parity = 0 if sensor == "capella" else 1
+    p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < limit)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        from ..raster import codec as _codec
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[(p < limit) & (p % 2 == parity)]
+        rows = {k: [] for k in ("scene_id", "bytes", "fmt", "sensor", "meta")}
+        yy, xx = np.indices((32, 32))
+        for k in p.tolist():
+            v = ((xx * 7 + yy * 13 + k * 31) % 97).astype(np.float64)
+            rows["scene_id"].append(int(k))
+            rows["bytes"].append(_codec.encode(v, "f64"))
+            rows["fmt"].append("f64")
+            rows["sensor"].append(sensor)
+            if sensor == "capella":
+                meta = _json.dumps(
+                    {"collect": {"image": {"scale_factor": 1 + k % 5}}}
+                )
+            else:
+                meta = f"<root><calFactor>{(1 + k % 4) ** 2}</calFactor></root>"
+            rows["meta"].append(meta)
+        return pa.table(
+            {
+                "scene_id": pa.array(rows["scene_id"], pa.int64()),
+                "bytes": pa.array(rows["bytes"], pa.binary()),
+                "fmt": pa.array(rows["fmt"], pa.string()),
+                "sensor": pa.array(rows["sensor"], pa.string()),
+                "meta": pa.array(rows["meta"], pa.string()),
+            }
+        )
+
+    return p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=512)
+
+
+def q_capella_calibrate(sf_dir: str):
+    """SAR radiometric calibration gate (sar.py:339-348, 600-616):
+    Capella JSON scale factors AND TerraSAR-X XML sqrt(calFactor)
+    through the real decode -> scale -> f64 re-encode stage; output is
+    the per-scene calibrated pixel sum — exact integers (factors and
+    pixels are integer-valued) the oracle reproduces in closed form."""
+    from ..stages import calibrate as _cal
+
+    out = _cal.calibrate_scenes(_calib_scenes(sf_dir, "capella"), "capella").union(
+        _cal.calibrate_scenes(_calib_scenes(sf_dir, "terrasarx"), "terrasarx")
+    )
+
+    def _sum(batch: pa.Table) -> pa.Table:
+        from ..raster import codec as _codec
+
+        sums = [
+            int(_codec.decode(batch["bytes"][i].as_py(), batch["fmt"][i].as_py()).sum())
+            for i in range(batch.num_rows)
+        ]
+        return pa.table(
+            {
+                "scene_id": batch["scene_id"],
+                "sensor": batch["sensor"],
+                "cal_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return out.map_batches(_sum, batch_format="pyarrow", batch_size=32).sort("scene_id")
+
+
+def _calib_grids(sf_dir: str, limit: int, h: int, w: int, lat_of_k):
+    """part rows -> f64 [H, W, 3] (lat, lon, alt) grids with dyadic
+    steps (2^-8 / 2^-10) so every value is float64-exact in SQL too."""
+    p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < limit)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        from ..raster import codec as _codec
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < limit]
+        rr, cc = np.indices((h, w))
+        rows = {"scene_id": [], "bytes": [], "fmt": []}
+        for k in p.tolist():
+            lat0, off_r, off_c = lat_of_k(k)
+            g = np.stack(
+                [
+                    lat0 + (rr + off_r) * 2.0**-8,
+                    20.0 + (cc + off_c) * 2.0**-10,
+                    ((3 * rr + 5 * cc) % 17).astype(np.float64),
+                ],
+                axis=2,
+            )
+            rows["scene_id"].append(int(k))
+            rows["bytes"].append(_codec.encode(g, "f64"))
+            rows["fmt"].append("f64")
+        return pa.table(
+            {
+                "scene_id": pa.array(rows["scene_id"], pa.int64()),
+                "bytes": pa.array(rows["bytes"], pa.binary()),
+                "fmt": pa.array(rows["fmt"], pa.string()),
+            }
+        )
+
+    return p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=512)
+
+
+def q_grid_gcps(sf_dir: str):
+    """Capella grid -> GCPs gate (sar.py:351-406): 61x61 lat/lon/alt
+    grids sampled every 30 px, grid side reduced to (key, gcps) BEFORE
+    the scenes join (rasters never ride the shuffle), GCP rows exploded
+    for the oracle — all dyadic-exact values."""
+    from ..stages import calibrate as _cal
+
+    grids = _calib_grids(sf_dir, 60, 61, 61, lambda k: (10.0 + k, 0, 0))
+    scenes = grids.map_batches(
+        lambda b: pa.table({"scene_id": b["scene_id"]}), batch_format="pyarrow"
+    )
+    joined = _cal.attach_grid_gcps(scenes, grids, spacing=30)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("scene_id", "px", "py", "lon", "lat", "alt")}
+        for i in range(batch.num_rows):
+            g = _cal.unpack_gcps(batch["gcps"][i].as_py())
+            k = batch["scene_id"][i].as_py()
+            out["scene_id"].extend([k] * len(g))
+            for j, name in enumerate(("px", "py", "lon", "lat", "alt")):
+                out[name].extend(g[:, j].tolist())
+        return pa.table(
+            {
+                "scene_id": pa.array(out["scene_id"], pa.int64()),
+                **{n: pa.array(out[n], pa.float64()) for n in ("px", "py", "lon", "lat", "alt")},
+            }
+        )
+
+    return joined.map_batches(_explode, batch_format="pyarrow", batch_size=64).sort(
+        ["scene_id", "py", "px"]
+    )
+
+
+def q_common_window(sf_dir: str):
+    """Capella common-window gate (sar.py:478-597): 30 stacks of 4
+    integer-translated 31x31 grids; groupby(stack) alignment emits each
+    grid's overlap window + (exactly zero) subpixel offsets, all
+    reproduced by closed-form window arithmetic in SQL."""
+    from ..stages import calibrate as _cal
+
+    def _geo(k: int):
+        s, m = k // 4, k % 4
+        return (10.0 + s, (m * 2) % 5, (m * 3) % 7)
+
+    grids = _calib_grids(sf_dir, 120, 31, 31, _geo)
+
+    def _stackify(batch: pa.Table) -> pa.Table:
+        sid = pc.cast(batch["scene_id"], pa.int64())
+        return batch.append_column(
+            "stack_id", pc.divide(sid, pa.scalar(4, pa.int64()))
+        )
+
+    grids = grids.map_batches(_stackify, batch_format="pyarrow")
+    return _cal.common_windows(grids).sort(["stack_id", "scene_id"])
+
+
 QUERIES = {
     "tile_plan": q_tile_plan,
     "pip_count": q_pip_count,
@@ -2599,6 +2764,9 @@ QUERIES = {
     "outer_join": q_outer_join,
     "dissolve": q_dissolve,
     "pyramid_rollup": q_pyramid_rollup,
+    "capella_calibrate": q_capella_calibrate,
+    "grid_gcps": q_grid_gcps,
+    "common_window": q_common_window,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -4350,6 +4518,54 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
        CAST(dup_chars AS BIGINT) AS dup_chars,
        CAST(dup_chars AS DOUBLE) / n_chars AS dup_frac
 FROM agg
+"""
+
+_ORACLES_BASE["capella_calibrate"] = """
+WITH sc AS (SELECT p_partkey AS k,
+                   CASE WHEN p_partkey % 2 = 0 THEN 'capella' ELSE 'terrasarx' END AS sensor,
+                   CASE WHEN p_partkey % 2 = 0 THEN 1 + p_partkey % 5
+                        ELSE 1 + p_partkey % 4 END AS factor
+            FROM part WHERE p_partkey < 80),
+px AS (SELECT i FROM range(0, 32) r(i)),
+s AS (SELECT k, SUM((xx.i * 7 + yy.i * 13 + k * 31) % 97) AS px_sum
+      FROM sc, px xx, px yy GROUP BY k)
+SELECT sc.k AS scene_id, sc.sensor,
+       CAST(sc.factor * s.px_sum AS BIGINT) AS cal_sum
+FROM sc JOIN s ON sc.k = s.k
+ORDER BY scene_id
+"""
+
+_ORACLES_BASE["grid_gcps"] = """
+WITH sc AS (SELECT p_partkey AS k FROM part WHERE p_partkey < 60),
+g AS (SELECT i * 30 AS v FROM range(0, 3) r(i))
+SELECT sc.k AS scene_id,
+       CAST(cc.v AS DOUBLE) AS px,
+       CAST(rr.v AS DOUBLE) AS py,
+       20.0 + cc.v * 0.0009765625 AS lon,
+       (10.0 + sc.k) + rr.v * 0.00390625 AS lat,
+       CAST((3 * rr.v + 5 * cc.v) % 17 AS DOUBLE) AS alt
+FROM sc, g rr, g cc
+ORDER BY scene_id, py, px
+"""
+
+_ORACLES_BASE["common_window"] = """
+WITH g AS (SELECT p_partkey AS k, p_partkey // 4 AS stack_id, p_partkey % 4 AS m
+           FROM part WHERE p_partkey < 120),
+loc AS (SELECT k, stack_id, 15 - ((m * 2) % 5) AS r, 15 - ((m * 3) % 7) AS c FROM g),
+ext AS (SELECT *, MIN(c) OVER (PARTITION BY stack_id) AS m0,
+               MIN(30 - r) OVER (PARTITION BY stack_id) AS m1,
+               MIN(30 - c) OVER (PARTITION BY stack_id) AS m2,
+               MIN(r) OVER (PARTITION BY stack_id) AS m3
+        FROM loc)
+SELECT stack_id, k AS scene_id,
+       CAST(c - m0 AS BIGINT) AS col_min,
+       CAST(r + m1 AS BIGINT) AS row_max,
+       CAST(c + m2 AS BIGINT) AS col_max,
+       CAST(r - m3 AS BIGINT) AS row_min,
+       CAST(0.0 AS DOUBLE) AS fine_row,
+       CAST(0.0 AS DOUBLE) AS fine_col
+FROM ext
+ORDER BY stack_id, scene_id
 """
 
 ORACLES.update(_ORACLES_BASE)

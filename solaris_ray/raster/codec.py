@@ -131,6 +131,28 @@ def qnt_decode(buf: bytes) -> np.ndarray:
     return png_decode(buf[4:])
 
 
+def f64_encode(arr: np.ndarray) -> bytes:
+    """Raw float64 [H,W] / [H,W,C] container — lossless carrier for
+    SAR complex pairs, calibration outputs and lat/lon/alt grids
+    (reference keeps these as in-memory float/complex ndarrays,
+    preproc/sar.py:35-101; we need an at-rest binary column format).
+    Layout: b"F64\\x00" + <III (h, w, c)> + C-order little-endian
+    float64 payload."""
+    a = np.asarray(arr, dtype="<f8")
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    return b"F64\x00" + struct.pack("<III", h, w, c) + a.tobytes()
+
+
+def f64_decode(buf: bytes) -> np.ndarray:
+    if buf[:4] != b"F64\x00":
+        raise ValueError("not an F64 buffer")
+    h, w, c = struct.unpack("<III", buf[4:16])
+    out = np.frombuffer(buf[16:], dtype="<f8").reshape(h, w, c)
+    return out[:, :, 0] if c == 1 else out
+
+
 def encode(arr: np.ndarray, fmt: str, level: int = 4) -> bytes:
     """``level`` is the zlib effort (0 = stored, still spec-compliant
     PNG).  Noisy imagery defeats deflate (≤4% smaller at 16x the CPU),
@@ -140,6 +162,8 @@ def encode(arr: np.ndarray, fmt: str, level: int = 4) -> bytes:
         return png_encode(arr, level)
     if fmt == "qnt":
         return qnt_encode(arr, level)
+    if fmt == "f64":
+        return f64_encode(arr)
     if fmt == "gtif":
         from .gtiff import gtiff_encode
 
@@ -152,6 +176,8 @@ def decode(buf: bytes, fmt: str) -> np.ndarray:
         return png_decode(bytes(buf))
     if fmt == "qnt":
         return qnt_decode(bytes(buf))
+    if fmt == "f64":
+        return f64_decode(bytes(buf))
     if fmt == "gtif":
         from .gtiff import gtiff_decode
 
