@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "hll_distinct",
     "outer_join",
     "dissolve",
+    "capella_calibrate",
 ]
 
 

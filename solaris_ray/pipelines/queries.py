@@ -2662,6 +2662,53 @@ def q_common_window(sf_dir: str):
     return _cal.common_windows(grids).sort(["stack_id", "scene_id"])
 
 
+def q_aspect_batches(sf_dir: str):
+    """Aspect-ratio bucket batching gate (training-batch layout): part
+    keys -> deterministic (w, h) metadata -> exact integer nearest-
+    bucket argmin -> salted-md5 in-bucket permutation -> full batches
+    of 8, ragged tails dropped.  One sort is the only all-to-all."""
+    from ..stages import layout as _lay
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 1500)
+
+    def _meta(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy()
+        k = k[k < 1500]
+        return pa.table(
+            {
+                "image_id": pa.array([f"img_{v}" for v in k.tolist()], pa.string()),
+                "w": pa.array(64 + (k * 37) % 257, pa.int64()),
+                "h": pa.array(64 + (k * 91) % 193, pa.int64()),
+            }
+        )
+
+    images = p_ds.map_batches(_meta, batch_format="pyarrow", batch_size=1024)
+    return _lay.aspect_bucket_batches(images, batch_size=8, salt="aspect").sort(
+        ["bucket_id", "batch_idx", "slot"]
+    )
+
+
+def q_shard_layout(sf_dir: str):
+    """WebDataset-style shard layout gate: documents ordered by doc_id,
+    each row's shard = floor(global byte start / budget) — the
+    window-cumsum the oracle reproduces.  Only per-block byte sums
+    reach the driver."""
+    from ..stages import layout as _lay
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _size(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "nbytes": pc.cast(pc.binary_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    sized = docs.map_batches(_size, batch_format="pyarrow")
+    return _lay.shard_layout(sized, "nbytes", 9973, ["doc_id"]).sort("doc_id")
+
+
 QUERIES = {
     "tile_plan": q_tile_plan,
     "pip_count": q_pip_count,
@@ -2767,6 +2814,8 @@ QUERIES = {
     "capella_calibrate": q_capella_calibrate,
     "grid_gcps": q_grid_gcps,
     "common_window": q_common_window,
+    "aspect_batches": q_aspect_batches,
+    "shard_layout": q_shard_layout,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -4566,6 +4615,43 @@ SELECT stack_id, k AS scene_id,
        CAST(0.0 AS DOUBLE) AS fine_col
 FROM ext
 ORDER BY stack_id, scene_id
+"""
+
+_ORACLES_BASE["aspect_batches"] = """
+WITH im AS (SELECT 'img_' || CAST(p_partkey AS VARCHAR) AS image_id,
+                   64 + (p_partkey * 37) % 257 AS w,
+                   64 + (p_partkey * 91) % 193 AS h
+            FROM part WHERE p_partkey < 1500),
+ladder(i, bn, bd) AS (VALUES (0, 1, 2), (1, 3, 4), (2, 1, 1), (3, 4, 3), (4, 2, 1)),
+dist AS (SELECT im.*, l.i,
+                CAST(abs(im.w * l.bd - im.h * l.bn) AS DOUBLE) / (im.h * l.bd) AS d
+         FROM im, ladder l),
+pick AS (SELECT image_id, w, h, i AS bucket_id,
+                row_number() OVER (PARTITION BY image_id ORDER BY d, i) AS rn
+         FROM dist),
+b AS (SELECT image_id, w, h, bucket_id FROM pick WHERE rn = 1),
+r AS (SELECT *, row_number() OVER (PARTITION BY bucket_id
+                                   ORDER BY md5('aspect' || image_id), image_id) - 1 AS rk,
+             COUNT(*) OVER (PARTITION BY bucket_id) AS n
+      FROM b)
+SELECT image_id, w, h, CAST(bucket_id AS BIGINT) AS bucket_id,
+       CAST(rk // 8 AS BIGINT) AS batch_idx,
+       CAST(rk % 8 AS BIGINT) AS slot
+FROM r
+WHERE rk // 8 < n // 8
+ORDER BY bucket_id, batch_idx, slot
+"""
+
+_ORACLES_BASE["shard_layout"] = """
+WITH s AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nbytes FROM documents),
+c AS (SELECT doc_id, nbytes,
+             SUM(nbytes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nbytes AS start
+      FROM s)
+SELECT doc_id, nbytes,
+       CAST(start // 9973 AS BIGINT) AS shard_id,
+       CAST(start % 9973 AS BIGINT) AS shard_off
+FROM c
+ORDER BY doc_id
 """
 
 ORACLES.update(_ORACLES_BASE)
