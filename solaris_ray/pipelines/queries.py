@@ -2709,6 +2709,25 @@ def q_shard_layout(sf_dir: str):
     return _lay.shard_layout(sized, "nbytes", 9973, ["doc_id"]).sort("doc_id")
 
 
+def q_chunk_docs(sf_dir: str):
+    """Overlapping-window document chunking gate (embedding/RAG
+    pipeline primitive): 120-char windows at stride 80, character
+    semantics exactly matching SQL substr.  No shuffle — pure
+    flat-emission map_batches."""
+    from ..stages.corpus import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()), "text": batch["text"]}
+        )
+
+    return chunk_documents(
+        docs.map_batches(_cast, batch_format="pyarrow"), size=120, overlap=40
+    ).sort(["doc_id", "chunk_idx"])
+
+
 QUERIES = {
     "tile_plan": q_tile_plan,
     "pip_count": q_pip_count,
@@ -2816,6 +2835,7 @@ QUERIES = {
     "common_window": q_common_window,
     "aspect_batches": q_aspect_batches,
     "shard_layout": q_shard_layout,
+    "chunk_docs": q_chunk_docs,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -4652,6 +4672,18 @@ SELECT doc_id, nbytes,
        CAST(start % 9973 AS BIGINT) AS shard_off
 FROM c
 ORDER BY doc_id
+"""
+
+_ORACLES_BASE["chunk_docs"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+k AS (SELECT d.doc_id, d.text, r.i
+      FROM d, range(0, 16) r(i)
+      WHERE r.i * 80 < greatest(d.len - 40, 1))
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       substr(text, CAST(i * 80 + 1 AS INTEGER), 120) AS chunk,
+       CAST(length(substr(text, CAST(i * 80 + 1 AS INTEGER), 120)) AS BIGINT) AS n_chars
+FROM k
+ORDER BY doc_id, chunk_idx
 """
 
 ORACLES.update(_ORACLES_BASE)

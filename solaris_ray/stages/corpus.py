@@ -422,3 +422,49 @@ def source_overlap(ds, n: int = 3, n_buckets: int = 256,
             }
         )
     )
+
+
+def chunk_documents(
+    docs,
+    size: int = 500,
+    overlap: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Overlapping-window document chunking — the embedding/RAG
+    pipeline primitive (split each doc into ``size``-char windows at
+    stride ``size - overlap``; every doc emits >= 1 chunk).
+
+    Chunk k covers [k*stride, k*stride + size); k ranges over
+    0 <= k*stride < max(len - overlap, 1), i.e. each chunk after the
+    first contributes at least one character beyond the previous
+    window.  Character (codepoint) semantics on both sides so a SQL
+    ``substr`` twin is exact.
+
+    Shape: stateless ``flat_map``-style ``map_batches`` — no shuffle
+    at all; output rows carry (id, chunk_idx, chunk, n_chars)."""
+    assert 0 <= overlap < size
+    stride = size - overlap
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_k, out_txt = [], [], []
+        for i, t in zip(ids, texts):
+            n = max(len(t) - overlap, 1)
+            n_chunks = (n + stride - 1) // stride
+            for k in range(n_chunks):
+                out_id.append(i)
+                out_k.append(k)
+                out_txt.append(t[k * stride : k * stride + size])
+        arr = pa.array(out_txt, pa.string())
+        return pa.table(
+            {
+                id_col: pa.array(out_id, batch[id_col].type),
+                "chunk_idx": pa.array(out_k, pa.int64()),
+                "chunk": arr,
+                "n_chars": pc.cast(pc.utf8_length(arr), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_chunks, batch_format="pyarrow", batch_size=1024)

@@ -207,3 +207,30 @@ def test_bigram_lm_separate_train_corpus(ray_session, corpus_ds):
         )
         assert out.loc[d, "n_covered"] == n_tq
         assert out.loc[d, "lm_hits"] == 3 * n_tq
+
+
+def test_chunk_documents_edges(ray_session):
+    import pyarrow as pa
+    import ray
+    from solaris_ray.stages.corpus import chunk_documents
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["", "ab", "x" * 10, "y" * 11]),
+            }
+        )
+    )
+    rows = chunk_documents(docs, size=10, overlap=4).take_all()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk"], r["n_chars"]) for r in rows}
+    # empty + short docs emit exactly one chunk
+    assert got[(0, 0)] == ("", 0)
+    assert got[(1, 0)] == ("ab", 2)
+    # len == size: one chunk (len - overlap = 6 <= stride)
+    assert got[(2, 0)] == ("x" * 10, 10)
+    assert (2, 1) not in got
+    # len == size + 1: second chunk adds the 1 new char (+ overlap)
+    assert got[(3, 0)] == ("y" * 10, 10)
+    assert got[(3, 1)] == ("y" * 5, 5)
+    assert len(rows) == 5
