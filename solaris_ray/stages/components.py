@@ -10,12 +10,20 @@ Ray Data co-shuffles:
 
 per round (all rows are 2 int64 columns — edge ids only, never
 payloads):
-  1. LARGE-STAR: ``groupby(node)`` over the symmetrized edge set;
-     each node links its strictly-LARGER neighbors to
+  1. LARGE-STAR: ``groupby(hash-bucket(node))`` over the symmetrized
+     edge set; each node links its strictly-LARGER neighbors to
      m = min(neighbors ∪ self) — emit (m, v) for v > node.
-  2. SMALL-STAR: ``groupby(larger endpoint)``; each node links its
-     smaller neighbors (and itself) to their minimum — emit
+  2. SMALL-STAR: ``groupby(hash-bucket(larger endpoint))``; each node
+     links its smaller neighbors (and itself) to their minimum — emit
      (m, v) for v in smaller ∪ {node}, v ≠ m.
+
+Both stars group on a BUCKET of the key, not the key itself: all rows
+of a node land in one group (bucket is a function of the node), and
+the per-node reductions run as sorted segment operations (lexsort +
+``reduceat``-style boundary indexing) over the whole bucket at once —
+one vectorized numpy pass per bucket instead of one Python call per
+node (the per-node ``map_groups`` variant spent its time in ~14k
+group-dispatch calls per round at sf0.1).
 
 The edge set converges to stars rooted at each component's minimum id
 in O(log) rounds — a diameter-112 percolation graph resolves in ~8
@@ -97,42 +105,66 @@ def connected_components(
     touched = E.map_batches(_ends, batch_format="pyarrow").groupby("node").count()
     touched = touched.select_columns(["node"]).materialize() if has_edges else touched
 
+    star_buckets = 64
+
     def _sym(batch: pa.Table) -> pa.Table:
+        # symmetrize + tag with the grouping bucket of the OWNING node
         a = batch["ea"].to_numpy(zero_copy_only=False)
         b = batch["eb"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([a, b])
         return pa.table(
             {
-                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "node": pa.array(node, pa.int64()),
                 "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                "kb": pa.array(node % star_buckets, pa.int64()),
             }
         )
 
+    def _segments(key: np.ndarray, val: np.ndarray):
+        """lexsort rows by (key, val), drop duplicate pairs, return
+        (key, val, seg) with seg = index of each row's key-segment and
+        starts = first row of each segment (val[starts] is the
+        per-segment minimum since val ascends within a segment)."""
+        order = np.lexsort((val, key))
+        key, val = key[order], val[order]
+        keep = np.ones(key.size, bool)
+        keep[1:] = (key[1:] != key[:-1]) | (val[1:] != val[:-1])
+        key, val = key[keep], val[keep]
+        new = np.ones(key.size, bool)
+        new[1:] = key[1:] != key[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        return key, val, seg, starts
+
     def _large(group: pa.Table) -> pa.Table:
-        # link strictly-larger neighbors to min(neighbors ∪ self)
-        node = int(group["node"][0].as_py())
-        dst = np.unique(group["dst"].to_numpy(zero_copy_only=False))
-        m = min(int(dst[0]), node)
-        big = dst[dst > node]
-        if big.size == 0:
+        # per node: link strictly-larger neighbors to
+        # m = min(neighbors ∪ self); whole bucket in one numpy pass
+        node = group["node"].to_numpy(zero_copy_only=False)
+        dst = group["dst"].to_numpy(zero_copy_only=False)
+        node, dst, seg, starts = _segments(node, dst)
+        m = np.minimum(dst[starts], node[starts])  # per-segment min
+        big = dst > node
+        if not big.any():
             return edge_schema.empty_table()
         return pa.table(
             {
-                "ea": pa.array(np.full(big.size, m, np.int64), pa.int64()),
-                "eb": pa.array(big, pa.int64()),
+                "ea": pa.array(m[seg[big]], pa.int64()),
+                "eb": pa.array(dst[big], pa.int64()),
             }
         )
 
     def _small(group: pa.Table) -> pa.Table:
-        # group key = the LARGER endpoint; link its smaller neighbors
-        # (and itself) to their minimum
-        u = int(group["eb"][0].as_py())
-        small = np.unique(group["ea"].to_numpy(zero_copy_only=False))
-        m = int(small[0])
-        out_b = np.concatenate([small[small != m], [u]])
+        # group key = bucket of the LARGER endpoint; per larger node u:
+        # link its smaller neighbors (and u itself) to their minimum
+        u = group["eb"].to_numpy(zero_copy_only=False)
+        small = group["ea"].to_numpy(zero_copy_only=False)
+        u, small, seg, starts = _segments(u, small)
+        m = small[starts]  # per-segment min of the smaller side
+        keep = small != m[seg]  # (m, v) for v in smaller \ {m} ...
         return pa.table(
             {
-                "ea": pa.array(np.full(out_b.size, m, np.int64), pa.int64()),
-                "eb": pa.array(out_b, pa.int64()),
+                "ea": pa.array(np.concatenate([m[seg[keep]], m]), pa.int64()),
+                "eb": pa.array(np.concatenate([small[keep], u[starts]]), pa.int64()),
             }
         )
 
@@ -153,14 +185,25 @@ def connected_components(
         s = ds.map_batches(_h, batch_format="pyarrow").sum(["a", "b", "h"])
         return (n, s["sum(a)"], s["sum(b)"], s["sum(h)"])
 
+    def _tag_eb(batch: pa.Table) -> pa.Table:
+        eb = batch["eb"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "kb", pa.array(eb % star_buckets, pa.int64())
+        )
+
     prev_sig = _sig(E) if has_edges else (0, 0, 0, 0)
     for _ in range(max_rounds if has_edges else 0):
         large = (
             E.map_batches(_sym, batch_format="pyarrow")
-            .groupby("node")
+            .groupby("kb")
             .map_groups(_large, batch_format="pyarrow")
         )
-        E = large.groupby("eb").map_groups(_small, batch_format="pyarrow").materialize()
+        E = (
+            large.map_batches(_tag_eb, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(_small, batch_format="pyarrow")
+            .materialize()
+        )
         sig = _sig(E)
         if sig == prev_sig:
             break
