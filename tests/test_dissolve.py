@@ -80,3 +80,50 @@ def test_dissolve_touching_edges_do_not_join(ray_session):
     rects = [(0, 0, 100, 100), (100, 0, 200, 100), (50, 200, 80, 260)]
     got = dissolve(_rects_ds(rects), cell=64.0).to_pandas()
     assert sorted(got["component"]) == [0, 1, 2]  # all singletons
+
+
+def test_dense_cell_mass_duplicates_bounded(ray_session):
+    # 10k identical rects stack in ONE cell: the spanning path must
+    # emit O(m) edges (not ~5e7 pairs) and resolve to one component
+    rects = [(10.0, 10.0, 50.0, 50.0)] * 10_000
+    ds = _rects_ds(rects)
+    pairs = overlap_pairs(ds, cell=256.0, spanning=True, dense_cutoff=512)
+    n_pairs = pairs.count()
+    assert n_pairs < 2 * len(rects)  # spanning edges, not all-pairs
+    got = dissolve(ds, cell=256.0).to_pandas()
+    assert set(got["component"]) == {0}
+
+
+def test_spanning_mode_same_components_as_pair_mode(ray_session):
+    # forced-dense spanning path must yield identical components to the
+    # exact all-pairs path on clustered random data
+    from solaris_ray.stages.components import connected_components
+
+    rng = np.random.default_rng(11)
+    rects = []
+    for cx, cy in [(100, 100), (600, 150), (300, 700)]:
+        for _ in range(60):
+            x, y = rng.uniform(cx, cx + 220), rng.uniform(cy, cy + 220)
+            w, h = rng.uniform(10, 90, 2)
+            rects.append((x, y, x + w, y + h))
+    ds = _rects_ds(rects)
+    nodes = ds.select_columns(["fid"])
+    exp = _uf(len(rects), _brute_pairs(rects))
+    for cutoff in (2, 16):  # force the dense/chunked path
+        pairs = overlap_pairs(ds, cell=256.0, spanning=True,
+                              dense_cutoff=cutoff)
+        got = connected_components(pairs, nodes, node_col="fid").to_pandas()
+        assert dict(zip(got["fid"], got["component"])) == exp
+
+
+def test_pair_mode_dense_path_exactly_once(ray_session):
+    # chunk-blocked pair mode (dense_cutoff below cell population) must
+    # reproduce the exact all-pairs owner-cell emission
+    rects = [(0, 0, 1000, 1000)] + [
+        (100 * i + 50, 300, 100 * i + 130, 400) for i in range(8)
+    ]
+    got = overlap_pairs(_rects_ds(rects), cell=256.0,
+                        dense_cutoff=3).to_pandas()
+    pairs = sorted(map(tuple, got[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert pairs == sorted(_brute_pairs(rects))
+    assert len(pairs) == len(set(pairs))
