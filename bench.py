@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "outer_join",
     "dissolve",
     "capella_calibrate",
+    "retrieval_eval",
 ]
 
 

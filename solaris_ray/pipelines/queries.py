@@ -2728,6 +2728,37 @@ def q_chunk_docs(sf_dir: str):
     ).sort(["doc_id", "chunk_idx"])
 
 
+def q_retrieval_eval(sf_dir: str):
+    """Ranked-retrieval eval (NDCG@10 / MRR@10 / recall@10) over a
+    deterministic runs fixture from orders: query = customer bucket,
+    score = order price, graded relevance derived from the order key.
+    DCG/IDCG run in integer micro-units with the discount table
+    INLINED into the SQL oracle (same constants both sides), so the
+    per-query sums are exact int64 arithmetic — no float-sum-order or
+    libm log2 parity risk."""
+    from ..stages import rank
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _runs(batch: pa.Table) -> pa.Table:
+        ok = pc.cast(batch["o_orderkey"], pa.int64()).to_numpy()
+        ck = pc.cast(batch["o_custkey"], pa.int64()).to_numpy()
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        rel = np.where(ok % 7 == 0, (ok // 7) % 4, 0).astype(np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(ck % 50, pa.int64()),
+                "doc_id": pa.array(ok, pa.int64()),
+                "score": pa.array(price, pa.float64()),
+                "rel": pa.array(rel, pa.int64()),
+            }
+        )
+
+    return rank.retrieval_metrics(
+        orders.map_batches(_runs, batch_format="pyarrow"), k=10
+    ).sort("query_id")
+
+
 QUERIES = {
     "tile_plan": q_tile_plan,
     "pip_count": q_pip_count,
@@ -2836,6 +2867,7 @@ QUERIES = {
     "aspect_batches": q_aspect_batches,
     "shard_layout": q_shard_layout,
     "chunk_docs": q_chunk_docs,
+    "retrieval_eval": q_retrieval_eval,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -4685,6 +4717,62 @@ SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
 FROM k
 ORDER BY doc_id, chunk_idx
 """
+
+def _retrieval_eval_oracle_sql(k: int = 10) -> str:
+    """Ranked-retrieval oracle with the engine's micro-unit discount /
+    reciprocal tables inlined as VALUES (identical integer constants on
+    both sides; see stages/rank.py discount_micro)."""
+    from ..stages.rank import discount_micro, reciprocal_micro
+
+    du = discount_micro(k)
+    ru = reciprocal_micro(k)
+    disc_vals = ", ".join(f"({r + 1}, {int(du[r])})" for r in range(k))
+    rr_vals = ", ".join(f"({r + 1}, {int(ru[r])})" for r in range(k))
+    return f"""
+WITH runs AS (
+  SELECT CAST(o_custkey % 50 AS BIGINT) AS query_id,
+         CAST(o_orderkey AS BIGINT) AS doc_id,
+         CAST(o_totalprice AS DOUBLE) AS score,
+         CAST(CASE WHEN o_orderkey % 7 = 0 THEN (o_orderkey // 7) % 4
+              ELSE 0 END AS BIGINT) AS rel
+  FROM orders),
+disc(rnk, du) AS (VALUES {disc_vals}),
+rr(rnk, ru) AS (VALUES {rr_vals}),
+ranked AS (
+  SELECT *,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS BIGINT) AS irnk
+  FROM runs),
+agg AS (
+  SELECT r.query_id,
+    CAST(SUM(CASE WHEN r.rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+    CAST(COALESCE(SUM(CASE WHEN r.rel > 0 AND r.rnk <= {k}
+                      THEN r.rel * d.du END), 0) AS BIGINT) AS dcg_u,
+    CAST(COALESCE(SUM(CASE WHEN r.rel > 0 AND r.irnk <= {k}
+                      THEN r.rel * di.du END), 0) AS BIGINT) AS idcg_u,
+    CAST(SUM(CASE WHEN r.rel > 0 AND r.rnk <= {k} THEN 1 ELSE 0 END)
+         AS BIGINT) AS hits,
+    MIN(CASE WHEN r.rel > 0 AND r.rnk <= {k} THEN r.rnk END) AS first_rel
+  FROM ranked r
+  LEFT JOIN disc d ON d.rnk = r.rnk
+  LEFT JOIN disc di ON di.rnk = r.irnk
+  GROUP BY 1)
+SELECT a.query_id, a.n_rel, a.dcg_u, a.idcg_u,
+  CASE WHEN a.idcg_u > 0
+       THEN round(CAST(a.dcg_u AS DOUBLE) / a.idcg_u, 6)
+       ELSE 0.0 END AS ndcg6,
+  COALESCE(r2.ru, 0) / 1000000.0 AS mrr6,
+  CASE WHEN a.n_rel > 0
+       THEN round(CAST(a.hits AS DOUBLE) / a.n_rel, 6)
+       ELSE 0.0 END AS recall6
+FROM agg a LEFT JOIN rr r2 ON r2.rnk = a.first_rel
+ORDER BY query_id
+"""
+
+
+_ORACLES_BASE["retrieval_eval"] = _retrieval_eval_oracle_sql()
 
 ORACLES.update(_ORACLES_BASE)
 for _alias, _src in _SHARED_ORACLES:

@@ -207,14 +207,19 @@ def train_bigram_counts(docs_ds, min_count: int = 3, text_col: str = "text") -> 
         docs_ds.map_batches(_partial, batch_format="pyarrow")
         .groupby("b")
         .sum("n")
+        # min_count floor applied ENGINE-side: only the surviving vocab
+        # crosses to the driver, never the full distinct-bigram table
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["sum(n)"], min_count)),
+            batch_format="pyarrow",
+        )
     )
     parts = list(counts.iter_batches(batch_format="pyarrow"))
-    tbl = pa.concat_tables(parts) if parts else pa.table({"b": [], "sum(n)": []})
-    keep = pc.greater_equal(tbl["sum(n)"], min_count)
-    vocab = tbl.filter(keep)
+    vocab = pa.concat_tables(parts) if parts else pa.table(
+        {"b": pa.array([], pa.string()), "sum(n)": pa.array([], pa.int64())}
+    )
     logger.info(
-        "bigram LM vocab: %d bigrams >= %d occurrences (of %d distinct)",
-        len(vocab), min_count, len(tbl),
+        "bigram LM vocab: %d bigrams >= %d occurrences", len(vocab), min_count,
     )
     return pa.table(
         {"b": vocab["b"].combine_chunks(), "n": pc.cast(vocab["sum(n)"], pa.int64())}
