@@ -2759,6 +2759,29 @@ def q_retrieval_eval(sf_dir: str):
     ).sort("query_id")
 
 
+def q_label_vote(sf_dir: str):
+    """Majority-vote label resolution over an annotations fixture from
+    events (several event rows vote on each item bucket with their
+    event_type as the label).  Deterministic tie-break to the
+    lexicographically smallest label, winner share at 6 dp."""
+    from ..stages.votes import resolve_labels
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def _votes(batch: pa.Table) -> pa.Table:
+        eid = pc.cast(batch["event_id"], pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "item_id": pa.array(eid % 3000, pa.int64()),
+                "label": batch["event_type"],
+            }
+        )
+
+    return resolve_labels(
+        ev.map_batches(_votes, batch_format="pyarrow")
+    ).sort("item_id")
+
+
 QUERIES = {
     "tile_plan": q_tile_plan,
     "pip_count": q_pip_count,
@@ -2868,6 +2891,7 @@ QUERIES = {
     "shard_layout": q_shard_layout,
     "chunk_docs": q_chunk_docs,
     "retrieval_eval": q_retrieval_eval,
+    "label_vote": q_label_vote,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -4773,6 +4797,24 @@ ORDER BY query_id
 
 
 _ORACLES_BASE["retrieval_eval"] = _retrieval_eval_oracle_sql()
+
+_ORACLES_BASE["label_vote"] = """
+WITH v AS (SELECT CAST(event_id % 3000 AS BIGINT) AS item_id,
+                  event_type AS label
+           FROM events),
+c AS (SELECT item_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM v GROUP BY 1, 2),
+t AS (SELECT item_id, CAST(SUM(votes) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_labels
+      FROM c GROUP BY 1),
+r AS (SELECT *, row_number() OVER (PARTITION BY item_id
+                                   ORDER BY votes DESC, label) AS rk
+      FROM c)
+SELECT r.item_id, r.label, r.votes, t.total, t.n_labels,
+       round(CAST(r.votes AS DOUBLE) / t.total, 6) AS share6
+FROM r JOIN t USING (item_id) WHERE rk = 1
+ORDER BY item_id
+"""
 
 ORACLES.update(_ORACLES_BASE)
 for _alias, _src in _SHARED_ORACLES:
