@@ -136,6 +136,38 @@ class TestJoinOnRay:
         got_pairs = sorted(zip(got["tile_id"], got["feature_id"]))
         assert got_pairs == [(a, b) for a, b, _ in want]
 
+    def test_task_mode_join_equals_actor_pool(self, corpus):
+        import ray
+        import ray.data as rd
+
+        from solaris_ray.stages.joins import (
+            broadcast_spatial_join,
+            broadcast_spatial_join_tasks,
+            build_join_index,
+        )
+
+        imgs, feats, plan = corpus
+        # extra column rides along to prove spec_columns projection
+        plan2 = plan.append_column(
+            "noise", pa.array(np.arange(plan.num_rows, dtype=np.int64))
+        )
+        idx_ref = ray.put(build_join_index(feats))
+        got_t = broadcast_spatial_join_tasks(
+            rd.from_arrow(plan2), idx_ref,
+            spec_columns=plan.column_names,
+        ).to_pandas()
+        got_a = broadcast_spatial_join(
+            rd.from_arrow(plan), feats, concurrency=2
+        ).to_pandas()
+        key = ["tile_id", "feature_id"]
+        got_t = got_t.sort_values(key).reset_index(drop=True)
+        got_a = got_a.sort_values(key).reset_index(drop=True)
+        assert list(got_t.columns) == list(got_a.columns)
+        for c in got_a.columns:
+            ta = [list(v) if isinstance(v, np.ndarray) else v for v in got_t[c]]
+            aa = [list(v) if isinstance(v, np.ndarray) else v for v in got_a[c]]
+            assert ta == aa, c  # bit-identical incl. list geometry
+
     def test_cell_partitioned_equals_broadcast(self, corpus):
         import ray.data as rd
 
