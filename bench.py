@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dissolve",
     "capella_calibrate",
     "retrieval_eval",
+    "image_dedup",
 ]
 
 

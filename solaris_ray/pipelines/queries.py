@@ -2728,6 +2728,36 @@ def q_chunk_docs(sf_dir: str):
     ).sort(["doc_id", "chunk_idx"])
 
 
+def q_image_dedup(sf_dir: str):
+    """End-to-end perceptual-hash image dedup resolve over the
+    input-hint ``phash:int64`` column: banded Hamming pairs ->
+    connected components (large-star/small-star) -> keep the min-id
+    image per near-duplicate class.  Same derived-phash fixture as
+    ``phash_neardup`` (groups of 4 hashes differing pairwise by 2
+    bits), so every group must resolve to one component of 4."""
+    from ..stages.components import image_dedup
+
+    M62 = 1 << 62
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy().astype(np.int64)
+        e = e[e < 2000]
+        g = e // 4
+        base = ((g * g % M62) * 2654435761 + g * 97 + 12345) % M62
+        ph = np.bitwise_xor(base, np.int64(1) << (e % 4) * 7)
+        return pa.table(
+            {
+                "image_id": pa.array(e, pa.int64()),
+                "phash": pa.array(ph, pa.int64()),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "events", ["event_id"], filter=pc.field("event_id") < 2000
+    ).map_batches(_derive, batch_format="pyarrow")
+    return image_dedup(ds).sort("image_id")
+
+
 def q_retrieval_eval(sf_dir: str):
     """Ranked-retrieval eval (NDCG@10 / MRR@10 / recall@10) over a
     deterministic runs fixture from orders: query = customer bucket,
@@ -2892,6 +2922,7 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "retrieval_eval": q_retrieval_eval,
     "label_vote": q_label_vote,
+    "image_dedup": q_image_dedup,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -4797,6 +4828,37 @@ ORDER BY query_id
 
 
 _ORACLES_BASE["retrieval_eval"] = _retrieval_eval_oracle_sql()
+
+# phash pairs (same CTEs as phash_neardup) -> recursive-CTE components
+# (same shape + prune as fuzzy_dedup) -> keep min-id per class
+_ORACLES_BASE["image_dedup"] = """
+WITH RECURSIVE p AS (
+  SELECT event_id AS id,
+         xor(CAST((((event_id // 4) * (event_id // 4) % 4611686018427387904) * 2654435761
+                   + (event_id // 4) * 97 + 12345) % 4611686018427387904 AS BIGINT),
+             CAST(pow(2, (event_id % 4) * 7) AS BIGINT)) AS phash
+  FROM events WHERE event_id < 2000),
+b AS (SELECT id, phash,
+             bi, (phash // CAST(pow(2, 16 * bi) AS BIGINT)) % 65536 AS key
+      FROM p, range(0, 4) r(bi)),
+cand AS (SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+         FROM b a JOIN b bb ON a.bi = bb.bi AND a.key = bb.key AND a.id < bb.id),
+pairs AS (SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN p pa ON pa.id = c.id_a
+          JOIN p pb ON pb.id = c.id_b
+          WHERE bit_count(xor(pa.phash, pb.phash)) <= 3),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT id, id FROM p
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node AND r.lbl < e.b),
+comp AS (SELECT node AS image_id, MIN(lbl) AS component FROM reach GROUP BY node)
+SELECT image_id, component,
+       CAST(CASE WHEN image_id = component THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM comp ORDER BY image_id
+"""
 
 _ORACLES_BASE["label_vote"] = """
 WITH v AS (SELECT CAST(event_id % 3000 AS BIGINT) AS item_id,

@@ -351,3 +351,47 @@ def fuzzy_dedup(
         )
 
     return comp.map_batches(_keep, batch_format="pyarrow")
+
+
+def image_dedup(
+    ds,
+    hash_col: str = "phash",
+    id_col: str = "image_id",
+    max_dist: int = 3,
+    n_bands: int = 4,
+    max_bucket: int = 4096,
+):
+    """images -> (image_id, component, keep): perceptual-hash dedup
+    resolve — the image twin of ``fuzzy_dedup`` over the input-hint
+    ``phash:int64`` column.
+
+    Banded Hamming pairs (``dedup.hamming_neardup_pairs``) -> connected
+    components (large-star/small-star) -> keep the minimum-id image of
+    each near-duplicate class (keep=1), mark the rest keep=0.  This is
+    the end-to-end recipe a trillion-image Lance table needs: candidate
+    generation, transitive closure and representative selection all
+    engine-side; only (id, id) pairs and id-only labels ever shuffle.
+    """
+    from . import dedup
+
+    pairs = dedup.hamming_neardup_pairs(
+        ds, hash_col=hash_col, id_col=id_col, max_dist=max_dist,
+        n_bands=n_bands, max_bucket=max_bucket,
+    )
+    comp = connected_components(
+        pairs, ds.select_columns([id_col]),
+        id_a="id_a", id_b="id_b", node_col=id_col,
+    )
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        node = batch[id_col].to_numpy(zero_copy_only=False)
+        c = batch["component"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "component": batch["component"],
+                "keep": pa.array((node == c).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return comp.map_batches(_keep, batch_format="pyarrow")

@@ -128,3 +128,23 @@ def test_cc_no_edges_all_isolated(ray_session):
         _edges_ds([]), _nodes_ds(list(range(8)))
     ).to_pandas()
     assert dict(zip(got["doc_id"], got["component"])) == {i: i for i in range(8)}
+
+
+def test_image_dedup_resolves_phash_groups(ray_session):
+    # groups of 4 hashes flip distinct bits of a shared base: every
+    # group must collapse to ONE component keyed by its min id
+    import ray
+
+    from solaris_ray.stages.components import image_dedup
+
+    M62 = 1 << 62
+    e = np.arange(64, dtype=np.int64)
+    g = e // 4
+    base = ((g * g % M62) * 2654435761 + g * 97 + 12345) % M62
+    ph = np.bitwise_xor(base, np.int64(1) << (e % 4) * 7)
+    ds = ray.data.from_arrow(
+        pa.table({"image_id": pa.array(e), "phash": pa.array(ph)})
+    ).repartition(4)
+    got = image_dedup(ds).to_pandas().set_index("image_id").sort_index()
+    assert (got["component"] == (got.index // 4) * 4).all()
+    assert (got["keep"] == (got.index % 4 == 0).astype(int)).all()
