@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "capella_calibrate",
     "retrieval_eval",
     "image_dedup",
+    "filtered_ann",
 ]
 
 

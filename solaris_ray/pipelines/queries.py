@@ -717,6 +717,25 @@ def q_ann_topk(sf_dir: str):
     return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
 
 
+def q_filtered_ann(sf_dir: str):
+    """Metadata-filtered exact ANN: each query (vec_id < 10) retrieves
+    top-5 only among corpus vectors sharing its ``label`` (the
+    search-within-category pattern).  The label predicate is pushed to
+    the READ (only rows in the query label set leave storage) and
+    enforced per-query as a score-matrix mask."""
+    tbl = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    q = tbl.filter(pc.less(tbl["vec_id"], 10))
+    qids = q["vec_id"].to_numpy().astype(np.int64)
+    qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    qgroups = q["label"].to_numpy().astype(np.int64)
+    ds = _read(
+        sf_dir, "embeddings", ["vec_id", "embedding", "label"],
+        filter=pc.field("label").isin([int(g) for g in np.unique(qgroups)]),
+    )
+    out = ann.filtered_topk(ds, qids, qmat, qgroups, k=5, group_col="label")
+    return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
+
+
 # --- engine-only (no SQL oracle; driver records rows-only) ---------------
 
 def q_minhash_pairs(sf_dir: str):
@@ -2923,6 +2942,7 @@ QUERIES = {
     "retrieval_eval": q_retrieval_eval,
     "label_vote": q_label_vote,
     "image_dedup": q_image_dedup,
+    "filtered_ann": q_filtered_ann,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -3855,6 +3875,18 @@ SELECT q.vec_id AS query_id,
 FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
 CROSS JOIN embeddings v
 WHERE v.vec_id <> q.vec_id
+WINDOW w AS (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id)
+QUALIFY row_number() OVER w <= 5
+""",
+    "filtered_ann": """
+SELECT q.vec_id AS query_id,
+       CAST(row_number() OVER w AS BIGINT) AS "rank",
+       v.vec_id,
+       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) AS sim6
+FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+CROSS JOIN embeddings v
+WHERE v.vec_id <> q.vec_id AND v.label = q.label
 WINDOW w AS (PARTITION BY q.vec_id
              ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) DESC, v.vec_id)
 QUALIFY row_number() OVER w <= 5

@@ -62,16 +62,28 @@ def list_col_to_matrix(col, dtype=None):
 
 
 class BruteScorer:
-    """map_batches body: emit per-batch local top-k candidates."""
+    """map_batches body: emit per-batch local top-k candidates.
+
+    Optional metadata filtering (``group_col``): each query carries a
+    group id and only corpus rows with the SAME group id may match —
+    the search-within-category pattern (filtered ANN).  The constraint
+    is applied as a mask on the score matrix before the local top-k,
+    so filtering costs one vectorized compare, not a second pass."""
 
     def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding",
-                 exclude_self: bool = True):
+                 exclude_self: bool = True, group_col: str | None = None):
         import ray
 
-        self.q_ids, self.Q = queries_ref if isinstance(queries_ref, tuple) else ray.get(queries_ref)
+        obj = queries_ref if isinstance(queries_ref, tuple) else ray.get(queries_ref)
+        if len(obj) == 3:
+            self.q_ids, self.Q, self.q_groups = obj
+        else:
+            self.q_ids, self.Q = obj
+            self.q_groups = None
         self.k = k
         self.id_col, self.vec_col = id_col, vec_col
         self.exclude_self = exclude_self
+        self.group_col = group_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy().astype(np.int64)
@@ -79,6 +91,9 @@ class BruteScorer:
         sims = np.round(self.Q @ V.T, 6)  # (nq, nb)
         if self.exclude_self:
             sims[self.q_ids[:, None] == ids[None, :]] = -np.inf
+        if self.group_col is not None and self.q_groups is not None:
+            g = batch[self.group_col].to_numpy().astype(np.int64)
+            sims[self.q_groups[:, None] != g[None, :]] = -np.inf
         nb = sims.shape[1]
         kk = min(self.k, nb)
         # local top-k per query; candidates TIED with the kth similarity
@@ -134,6 +149,45 @@ def brute_topk(ds, queries_ids: np.ndarray, queries_mat: np.ndarray, k: int = 5,
     partial = ds.map_batches(
         BruteScorer,
         fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
+
+
+def filtered_topk(ds, queries_ids: np.ndarray, queries_mat: np.ndarray,
+                  queries_groups: np.ndarray, k: int = 5,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  group_col: str = "label",
+                  concurrency=None, batch_size: int = 4096):
+    """Metadata-filtered exact ANN: each query's top-k is restricted to
+    corpus rows whose ``group_col`` equals the query's group id — the
+    search-within-category / predicate-constrained retrieval pattern.
+
+    Same streaming shape as ``brute_topk`` (corpus streams, only q x k
+    candidate rows shuffle); the group constraint is a mask on the
+    per-batch score matrix.  Callers should ALSO push the coarse
+    predicate into the read when the query group set is small
+    (``filter=pc.field(group_col).isin(groups)``) so non-candidate
+    rows never leave storage — the mask then only enforces per-query
+    exactness within the pre-filtered stream.
+    """
+    import ray
+
+    from ..runtime import auto_concurrency
+
+    if concurrency is None:
+        concurrency = auto_concurrency()
+    ref = ray.put((
+        np.asarray(queries_ids, dtype=np.int64),
+        _normalize(np.asarray(queries_mat, dtype=np.float64)),
+        np.asarray(queries_groups, dtype=np.int64),
+    ))
+    partial = ds.map_batches(
+        BruteScorer,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col,
+                               "vec_col": vec_col, "group_col": group_col},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -87,3 +87,37 @@ def test_retrieval_metrics_edge_cases(ray_session):
     assert g[2]["n_rel"] == 1
     # q3: doc 8 (lower id) wins the tie -> relevant at rank 1
     assert g[3]["mrr6"] == 1.0
+
+
+def test_filtered_ann_restricts_to_query_group(ray_session):
+    from solaris_ray.stages.ann import brute_topk, filtered_topk
+
+    rng = np.random.default_rng(9)
+    n, dim = 400, 16
+    V = rng.standard_normal((n, dim))
+    labels = np.arange(n, dtype=np.int64) % 3
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(V.tolist(), pa.list_(pa.float64())),
+                "label": pa.array(labels),
+            }
+        )
+    ).repartition(4)
+    qids = np.arange(6, dtype=np.int64)
+    got = filtered_topk(corpus, qids, V[:6], labels[:6], k=5).to_pandas()
+    # every returned neighbor shares its query's label
+    for _, r in got.iterrows():
+        assert labels[int(r["vec_id"])] == labels[int(r["query_id"])]
+    # and equals brute force over only the query's label class
+    for q in qids:
+        mask = labels == labels[q]
+        sub = corpus.map_batches(
+            lambda b, m=labels[q]: b.filter(
+                pa.compute.equal(b["label"], int(m))),
+            batch_format="pyarrow",
+        )
+        exp = brute_topk(sub, np.array([q]), V[q:q+1], k=5).to_pandas()
+        g = got[got["query_id"] == q].sort_values("rank")
+        assert list(g["vec_id"]) == list(exp.sort_values("rank")["vec_id"])
