@@ -736,6 +736,49 @@ def q_filtered_ann(sf_dir: str):
     return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
 
 
+def q_ingest_dedup(sf_dir: str):
+    """Incremental ingest dedup: an arriving batch (doc_id % 5 == 0)
+    is checked against the EXISTING corpus (the rest) — a new doc is
+    flagged with how many existing near-duplicates it has and the
+    best MinHash Jaccard estimate.  The production don't-re-add-dups
+    gate at ingest: band co-shuffle finds cross-side candidates; same
+    banded shapes as minhash_pairs, only new×old pairs survive."""
+    from ray.data.aggregate import Count, Max
+
+    pairs = dedup.minhash_candidate_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        e = batch["max(est_jaccard)"].to_numpy(zero_copy_only=False)
+        na, nb = a % 5 == 0, b % 5 == 0
+        keep = na != nb  # exactly one side is an arriving doc
+        return pa.table(
+            {
+                "doc_id": pa.array(np.where(na, a, b)[keep], pa.int64()),
+                "est": pa.array(e[keep], pa.float64()),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(_cross, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(), Max("est"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_cand": pc.cast(t["count()"], pa.int64()),
+                "max_est": t["max(est)"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
 # --- engine-only (no SQL oracle; driver records rows-only) ---------------
 
 def q_minhash_pairs(sf_dir: str):
@@ -2943,6 +2986,7 @@ QUERIES = {
     "label_vote": q_label_vote,
     "image_dedup": q_image_dedup,
     "filtered_ann": q_filtered_ann,
+    "ingest_dedup": q_ingest_dedup,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -3993,6 +4037,26 @@ FROM comp ORDER BY doc_id
 
 _ORACLES_BASE["minhash_pairs"] = _minhash_oracle_sql()
 _ORACLES_BASE["fuzzy_dedup"] = _fuzzy_dedup_oracle_sql()
+
+
+def _ingest_dedup_oracle_sql(n_perm: int = 64, bands: int = 16, seed: int = 42,
+                             est_threshold: float = 0.5) -> str:
+    """Same MinHash CTEs; keep only pairs where exactly one side is an
+    arriving doc (doc_id % 5 == 0), aggregate per arriving doc."""
+    return (
+        "WITH " + _minhash_ctes(n_perm, bands, seed)
+        + f""",
+cross_pairs AS (
+  SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id, e
+  FROM est
+  WHERE e >= {est_threshold} AND ((doc_a % 5 = 0) <> (doc_b % 5 = 0)))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cand, MAX(e) AS max_est
+FROM cross_pairs GROUP BY 1 ORDER BY doc_id
+"""
+    )
+
+
+_ORACLES_BASE["ingest_dedup"] = _ingest_dedup_oracle_sql()
 
 
 def _kmeans_oracle_sql(dim: int = 64, k: int = 8, seed: int = 7) -> str:
