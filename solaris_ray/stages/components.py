@@ -168,10 +168,11 @@ def connected_components(
             }
         )
 
-    def _sig(ds) -> tuple:
-        # exact multiset signature: count + wraparound sums (the round
-        # function depends only on per-group uniqued neighbor sets, so
-        # equal consecutive signatures == fixed point)
+    def _sums(ds) -> tuple:
+        # multiset signature sums: wraparound hash of the edge rows
+        # (the round function depends only on per-group uniqued
+        # neighbor sets, so equal consecutive (count, sums) means the
+        # edge multiset reached its fixed point)
         def _h(batch: pa.Table) -> pa.Table:
             a = batch["ea"].to_numpy(zero_copy_only=False)
             b = batch["eb"].to_numpy(zero_copy_only=False)
@@ -179,11 +180,8 @@ def connected_components(
                 h = a * np.int64(2654435761) + b * np.int64(40503)
             return pa.table({"a": pa.array(a), "b": pa.array(b), "h": pa.array(h)})
 
-        n = ds.count()
-        if n == 0:
-            return (0, 0, 0, 0)
         s = ds.map_batches(_h, batch_format="pyarrow").sum(["a", "b", "h"])
-        return (n, s["sum(a)"], s["sum(b)"], s["sum(h)"])
+        return (s["sum(a)"], s["sum(b)"], s["sum(h)"])
 
     def _tag_eb(batch: pa.Table) -> pa.Table:
         eb = batch["eb"].to_numpy(zero_copy_only=False)
@@ -191,7 +189,12 @@ def connected_components(
             "kb", pa.array(eb % star_buckets, pa.int64())
         )
 
-    prev_sig = _sig(E) if has_edges else (0, 0, 0, 0)
+    # lazy convergence check: count() on a MATERIALIZED dataset is
+    # metadata-only (free); the sum signature (one extra execution)
+    # runs only once the count has stabilized across rounds — early
+    # rounds, where the edge count is still changing, pay nothing.
+    prev_count = E.count() if has_edges else 0
+    prev_sums: tuple | None = None
     for _ in range(max_rounds if has_edges else 0):
         large = (
             E.map_batches(_sym, batch_format="pyarrow")
@@ -204,10 +207,14 @@ def connected_components(
             .map_groups(_small, batch_format="pyarrow")
             .materialize()
         )
-        sig = _sig(E)
-        if sig == prev_sig:
+        cur_count = E.count()
+        if cur_count != prev_count:
+            prev_count, prev_sums = cur_count, None
+            continue
+        cur_sums = _sums(E) if cur_count else (0, 0, 0)
+        if prev_sums is not None and cur_sums == prev_sums:
             break
-        prev_sig = sig
+        prev_sums = cur_sums
 
     # converged star edges: every non-root points at its component's
     # min id.  Label = min(star-neighbors ∪ self); the self records
