@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "retrieval_eval",
     "image_dedup",
     "filtered_ann",
+    "ingest_dedup",
+    "label_vote",
 ]
 
 
