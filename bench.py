@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "filtered_ann",
     "ingest_dedup",
     "label_vote",
+    "group_quantiles",
 ]
 
 

@@ -2820,6 +2820,18 @@ def q_image_dedup(sf_dir: str):
     return image_dedup(ds).sort("image_id")
 
 
+def q_group_quantiles(sf_dir: str):
+    """Per-source length profile: exact discrete p50/p90/p99 of
+    n_chars per source (quantile_disc rank semantics, one bucketed
+    co-shuffle, all groups and quantiles gathered from one lexsort)."""
+    from ..stages.quantiles import group_quantiles
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return group_quantiles(
+        docs, group_col="source", value_col="n_chars", qs=[0.5, 0.9, 0.99]
+    ).sort(["source", "q"])
+
+
 def q_retrieval_eval(sf_dir: str):
     """Ranked-retrieval eval (NDCG@10 / MRR@10 / recall@10) over a
     deterministic runs fixture from orders: query = customer bucket,
@@ -2987,6 +2999,7 @@ QUERIES = {
     "image_dedup": q_image_dedup,
     "filtered_ann": q_filtered_ann,
     "ingest_dedup": q_ingest_dedup,
+    "group_quantiles": q_group_quantiles,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -4057,6 +4070,18 @@ FROM cross_pairs GROUP BY 1 ORDER BY doc_id
 
 
 _ORACLES_BASE["ingest_dedup"] = _ingest_dedup_oracle_sql()
+
+_ORACLES_BASE["group_quantiles"] = """
+SELECT source, CAST(0.5 AS DOUBLE) AS q, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS value
+FROM documents GROUP BY source
+UNION ALL
+SELECT source, CAST(0.9 AS DOUBLE), CAST(quantile_disc(n_chars, 0.9) AS BIGINT)
+FROM documents GROUP BY source
+UNION ALL
+SELECT source, CAST(0.99 AS DOUBLE), CAST(quantile_disc(n_chars, 0.99) AS BIGINT)
+FROM documents GROUP BY source
+ORDER BY source, q
+"""
 
 
 def _kmeans_oracle_sql(dim: int = 64, k: int = 8, seed: int = 7) -> str:

@@ -199,3 +199,80 @@ def tdigest_aggregate(ds, col: str, qs: list[float], delta: int = 200) -> pa.Tab
             "value": pa.array([final.quantile(q) for q in qs], pa.float64()),
         }
     )
+
+
+def group_quantiles(ds, group_col: str, value_col: str, qs: list[float],
+                    n_buckets: int = 64):
+    """Per-group exact discrete quantiles (DuckDB ``quantile_disc``
+    rank semantics: 0-based index ``ceil(q*n) - 1`` of the ascending
+    group values — always an element of the group).
+
+    One ``groupby(hash-bucket(group))`` co-shuffle of (group, value)
+    rows; inside a bucket every group's order statistics are gathered
+    from ONE lexsort (segment starts + per-q offsets) — vectorized
+    across all groups and quantiles at once.
+
+    Scale contract: a single group's rows must fit one worker (the
+    usual ``map_groups`` contract; per-source/per-language profiling
+    keys are low-cardinality).  For groups that don't fit, run
+    ``exact_quantiles`` per key (3-pass selection) or the t-digest
+    aggregate instead.
+
+    Output: one row per (group, q): (group_col, q, value).
+    """
+    import math
+    import zlib
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        gb = np.array(
+            [zlib.crc32(str(x).encode("utf-8")) % n_buckets for x in g],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "g": batch[group_col],
+                "v": pa.array(
+                    batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+                "gb": pa.array(gb, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [(group_col, pa.string()), ("q", pa.float64()), ("value", pa.int64())]
+    )
+
+    def _stats(group: pa.Table) -> pa.Table:
+        g = group["g"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        if g.size == 0:
+            return out_schema.empty_table()
+        order = np.lexsort((v, g))
+        g, v = g[order], v[order]
+        new = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, g.size])
+        out_g, out_q, out_v = [], [], []
+        for q in qs:
+            # ceil in float, matching duckdb's double arithmetic
+            idx = np.array(
+                [math.ceil(q * int(n)) - 1 for n in lens], np.int64
+            )
+            out_g.append(g[starts])
+            out_q.append(np.full(starts.size, q, np.float64))
+            out_v.append(v[starts + idx])
+        return pa.table(
+            {
+                group_col: pa.array(np.concatenate(out_g), pa.string()),
+                "q": pa.array(np.concatenate(out_q), pa.float64()),
+                "value": pa.array(np.concatenate(out_v), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(_stats, batch_format="pyarrow")
+    )

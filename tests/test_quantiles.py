@@ -56,3 +56,35 @@ def test_tdigest_aggregate_pipeline(ray_session):
     ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(6)
     out = tdigest_aggregate(ds, "v", [0.5]).to_pandas()
     assert abs(out.iloc[0]["value"] - np.quantile(vals, 0.5)) < 10
+
+
+def test_group_quantiles_match_duckdb_disc(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from solaris_ray.stages.quantiles import group_quantiles
+
+    rng = np.random.default_rng(13)
+    srcs = np.array(["a", "bb", "ccc"])[rng.integers(0, 3, 500)]
+    vals = rng.integers(0, 10_000, 500).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"source": pa.array(srcs), "n_chars": pa.array(vals)})
+    ).repartition(4)
+    got = (
+        group_quantiles(ds, "source", "n_chars", [0.5, 0.9, 0.99])
+        .to_pandas().sort_values(["source", "q"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute("set threads=2")
+    con.register("t", pa.table({"source": pa.array(srcs), "n_chars": pa.array(vals)}))
+    exp = con.execute("""
+        SELECT source, CAST(q AS DOUBLE) AS q, v FROM (
+          SELECT source, 0.5 AS q, quantile_disc(n_chars, 0.5) AS v FROM t GROUP BY source
+          UNION ALL SELECT source, 0.9, quantile_disc(n_chars, 0.9) FROM t GROUP BY source
+          UNION ALL SELECT source, 0.99, quantile_disc(n_chars, 0.99) FROM t GROUP BY source)
+        ORDER BY source, q""").df()
+    assert list(got["source"]) == list(exp["source"])
+    assert list(got["q"]) == list(exp["q"])
+    assert list(got["value"]) == list(exp["v"])
