@@ -78,8 +78,11 @@ BENCH_QUERIES = [
     "mix_sources",
     "running_sum",
     "patchify",
-    "cms_topk",
-    "hll_distinct",
+    # sketch-only bench entries (the *_check gates also run an exact
+    # twin for correctness; benching that would misattribute the cost —
+    # VERDICT r3 "What's wrong #3")
+    "cms_sketch",
+    "hll_sketch",
     "outer_join",
     "dissolve",
     "capella_calibrate",
@@ -217,6 +220,22 @@ def main() -> None:
     qtimes, qrows = run_queries(SF_DIR)
     total = round(time.time() - t0, 3)
     queries = {"flagship_tiles_join": flag["total_sec"], **qtimes}
+    detail = {
+        "metric": "bench_detail",
+        "queries": queries,
+        "query_rows": qrows,
+        "flagship": flag,
+        "sf": SF_DIR,
+        "num_cpus": args.num_cpus,
+    }
+    # Durable sidecar + early stdout line: the full per-query map.  The
+    # FINAL stdout line stays compact so the driver's bounded tail
+    # capture always parses it (round 3's single giant line truncated
+    # mid-line and BENCH_r03 recorded "parsed": null).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
     print(json.dumps({
         "metric": "bench_total",
         "value": total,
@@ -224,8 +243,10 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": args.num_cpus,
-        "flagship": flag,
-        "query_rows": qrows,
+        "flagship": {k: flag[k] for k in
+                     ("n_images", "n_tiles", "n_join_rows", "tiles_sec",
+                      "join_sec", "total_sec", "tiles_join_rows_per_sec")
+                     if k in flag},
     }))
     ray.shutdown()
 

@@ -2287,6 +2287,26 @@ def q_cms_topk(sf_dir: str):
     return cms_check(_read(sf_dir, "documents", ["doc_id", "text"]), k=30)
 
 
+def q_hll_sketch(sf_dir: str):
+    """Sketch-only bench surface: HLL estimate over lineitem part keys
+    with no exact twin (the ``hll_distinct`` gate keeps the exact pass
+    for correctness; this entry times the sketch alone)."""
+    from ..stages.sketch import hll_sketch
+
+    return hll_sketch(_read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey")
+
+
+def q_cms_sketch(sf_dir: str):
+    """Sketch-only bench surface: CMS build + point estimates for a
+    fixed term list (no exact top-k twin)."""
+    from ..stages.sketch import cms_sketch
+
+    return cms_sketch(
+        _read(sf_dir, "documents", ["text"]),
+        terms=["the", "and", "data", "of", "to"],
+    )
+
+
 def q_patchify(sf_dir: str):
     """ViT-style patch extraction (actor pool, decode once per image):
     200 formula PNGs -> 16 patches each, integer-exact patch sums the
@@ -2886,63 +2906,84 @@ def q_label_vote(sf_dir: str):
     ).sort("item_id")
 
 
+# Registry order matters: the driver's correctness gate samples the
+# FIRST ~50 entries, so the window below interleaves one gate per
+# operator family (core geospatial + the dedup/CC/relational/sketch/
+# training-layout ladders) rather than listing variants back-to-back.
 QUERIES = {
+    # --- driver correctness window: one gate per family -------------
     "tile_plan": q_tile_plan,
     "pip_count": q_pip_count,
     "clip_join": q_clip_join,
+    "partitioned_join": q_partitioned_join,
     "knn_join": q_knn_join,
     "knn_partitioned": q_knn_partitioned,
     "cell_assign": q_cell_assign,
     "aoi_tile_plan": q_aoi_tile_plan,
     "warp_nearest": q_warp_nearest,
     "cell_hist": q_cell_hist,
-    "f1_rollup": q_f1_rollup,
-    "events_window": q_events_window,
-    "lineitem_agg": q_lineitem_agg,
-    "top_docs": q_top_docs,
-    "token_count": q_token_count,
-    "quality": q_quality,
-    "lang_id": q_lang_id,
-    "fingerprint": q_fingerprint,
-    "dedup_exact": q_dedup_exact,
-    "jaccard_adjacent": q_jaccard_adjacent,
-    "embed_neardup": q_embed_neardup,
-    "embed_neardup_lsh": q_embed_neardup_lsh,
-    "ann_topk": q_ann_topk,
-    "minhash_pairs": q_minhash_pairs,
-    "simhash": q_simhash,
-    "winnow": q_winnow,
-    "lsh_ann": q_lsh_ann,
-    "ivf_ann": q_ivf_ann,
     "tiles_pipeline": q_tiles_pipeline,
     "geotiff_roundtrip": q_geotiff_roundtrip,
-    "tile_feature_join": q_tile_feature_join,
     "masks_pipeline": q_masks_pipeline,
     "instance_masks": q_instance_masks,
     "road_masks": q_road_masks,
     "eval_scores": q_eval_scores,
-    "eval_rollup": q_eval_rollup,
     "map_101": q_map_101,
+    "f1_rollup": q_f1_rollup,
+    "chip_stitch": q_chip_stitch,
+    "graph_build": q_graph_build,
+    "polygonize": q_polygonize,
+    "affine_transform": q_affine_transform,
+    "coco_export": q_coco_export,
+    "scot": q_scot,
+    "reproject_utm": q_reproject_utm,
+    "fuzzy_dedup": q_fuzzy_dedup,
+    "image_dedup": q_image_dedup,
+    "outer_join": q_outer_join,
+    "dissolve": q_dissolve,
+    "triangles": q_triangles,
+    "hll_distinct": q_hll_distinct,
+    "dup_spans": q_dup_spans,
+    "semantic_dedup": q_semantic_dedup,
+    "dedup_exact": q_dedup_exact,
+    "minhash_pairs": q_minhash_pairs,
+    "embed_neardup": q_embed_neardup,
+    "ann_topk": q_ann_topk,
+    "tdigest": q_tdigest,
+    "quantiles": q_quantiles,
+    "events_window": q_events_window,
+    "lineitem_agg": q_lineitem_agg,
+    "token_count": q_token_count,
+    "range_join": q_range_join,
+    "asof_join": q_asof_join,
+    "cms_topk": q_cms_topk,
+    "retrieval_eval": q_retrieval_eval,
+    "label_vote": q_label_vote,
+    "group_quantiles": q_group_quantiles,
+    "shard_layout": q_shard_layout,
+    "resume_manifest": q_resume_manifest,
+    # --- end of driver window; variants + remaining gates ------------
+    "tile_feature_join": q_tile_feature_join,
+    "eval_rollup": q_eval_rollup,
+    "top_docs": q_top_docs,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "jaccard_adjacent": q_jaccard_adjacent,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
+    "simhash": q_simhash,
+    "winnow": q_winnow,
+    "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "image_stats": q_image_stats,
     "image_resize": q_image_resize,
     "frame_sample": q_frame_sample,
     "embed_extract_ann": q_embed_extract_ann,
-    "resume_manifest": q_resume_manifest,
-    "affine_transform": q_affine_transform,
-    "quantiles": q_quantiles,
-    "tdigest": q_tdigest,
-    "polygonize": q_polygonize,
     "polygonize_holes": q_polygonize_holes,
-    "chip_stitch": q_chip_stitch,
-    "graph_build": q_graph_build,
     "preproc_ops": q_preproc_ops,
-    "coco_export": q_coco_export,
     "yolo_export": q_yolo_export,
     "match_join": q_match_join,
     "fill_nodata": q_fill_nodata,
-    "scot": q_scot,
-    "partitioned_join": q_partitioned_join,
-    "reproject_utm": q_reproject_utm,
     "augment": q_augment,
     "group_topk": q_group_topk,
     "sessionize": q_sessionize,
@@ -2953,7 +2994,6 @@ QUERIES = {
     "pixel_eval": q_pixel_eval,
     "hash_split": q_hash_split,
     "pack_sequences": q_pack_sequences,
-    "asof_join": q_asof_join,
     "repetition": q_repetition,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
@@ -2961,13 +3001,9 @@ QUERIES = {
     "compact_cells": q_compact_cells,
     "stratified_sample": q_stratified_sample,
     "phash_neardup": q_phash_neardup,
-    "range_join": q_range_join,
     "aoi_cell_filter": q_aoi_cell_filter,
     "global_rank": q_global_rank,
     "bloom_semi_join": q_bloom_semi_join,
-    "dup_spans": q_dup_spans,
-    "semantic_dedup": q_semantic_dedup,
-    "fuzzy_dedup": q_fuzzy_dedup,
     "kmeans": q_kmeans,
     "tfidf": q_tfidf,
     "clip_filter": q_clip_filter,
@@ -2975,7 +3011,6 @@ QUERIES = {
     "covariance": q_covariance,
     "vocab_topk": q_vocab_topk,
     "zscore": q_zscore,
-    "triangles": q_triangles,
     "search_and": q_search_and,
     "source_overlap": q_source_overlap,
     "bm25": q_bm25,
@@ -2983,23 +3018,16 @@ QUERIES = {
     "mix_sources": q_mix_sources,
     "running_sum": q_running_sum,
     "patchify": q_patchify,
-    "cms_topk": q_cms_topk,
-    "hll_distinct": q_hll_distinct,
-    "outer_join": q_outer_join,
-    "dissolve": q_dissolve,
     "pyramid_rollup": q_pyramid_rollup,
     "capella_calibrate": q_capella_calibrate,
     "grid_gcps": q_grid_gcps,
     "common_window": q_common_window,
     "aspect_batches": q_aspect_batches,
-    "shard_layout": q_shard_layout,
     "chunk_docs": q_chunk_docs,
-    "retrieval_eval": q_retrieval_eval,
-    "label_vote": q_label_vote,
-    "image_dedup": q_image_dedup,
     "filtered_ann": q_filtered_ann,
     "ingest_dedup": q_ingest_dedup,
-    "group_quantiles": q_group_quantiles,
+    "hll_sketch": q_hll_sketch,
+    "cms_sketch": q_cms_sketch,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -4884,13 +4912,15 @@ ORDER BY doc_id
 
 _ORACLES_BASE["chunk_docs"] = """
 WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
-k AS (SELECT d.doc_id, d.text, r.i
-      FROM d, range(0, 16) r(i)
-      WHERE r.i * 80 < greatest(d.len - 40, 1))
+k AS (SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(greatest(len - 40, 1) / 80.0) AS BIGINT) + 1)) AS i,
+             len
+      FROM d),
+k2 AS (SELECT doc_id, text, i FROM k WHERE i * 80 < greatest(len - 40, 1))
 SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
        substr(text, CAST(i * 80 + 1 AS INTEGER), 120) AS chunk,
        CAST(length(substr(text, CAST(i * 80 + 1 AS INTEGER), 120)) AS BIGINT) AS n_chars
-FROM k
+FROM k2
 ORDER BY doc_id, chunk_idx
 """
 

@@ -195,6 +195,7 @@ def connected_components(
     # rounds, where the edge count is still changing, pay nothing.
     prev_count = E.count() if has_edges else 0
     prev_sums: tuple | None = None
+    converged = not has_edges
     for _ in range(max_rounds if has_edges else 0):
         large = (
             E.map_batches(_sym, batch_format="pyarrow")
@@ -213,8 +214,22 @@ def connected_components(
             continue
         cur_sums = _sums(E) if cur_count else (0, 0, 0)
         if prev_sums is not None and cur_sums == prev_sums:
+            converged = True
             break
         prev_sums = cur_sums
+    if not converged:
+        # signature check is probabilistic (count + 3 wraparound sums);
+        # exhausting max_rounds without two equal consecutive
+        # signatures means labels may not be the fixed point yet
+        import warnings
+
+        warnings.warn(
+            f"connected_components: exited after max_rounds={max_rounds} "
+            "without signature convergence — labels may be stale; rerun "
+            "with a higher max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # converged star edges: every non-root points at its component's
     # min id.  Label = min(star-neighbors ∪ self); the self records

@@ -305,45 +305,158 @@ def build_graph(roads, id_col: str = "feature_id"):
     return nodes, edges
 
 
-def graph_to_geojson(nodes, edges) -> tuple[str, str]:
-    """nodes/edges Datasets -> (nodes_geojson, edges_geojson) strings —
-    the graph_to_geojson sink (solaris/vector/graph.py:453-545): Point
-    features for nodes, LineString features for edges (endpoint coords
-    resolved through the nodes table)."""
+def graph_feature_strings(nodes, edges):
+    """nodes/edges Datasets -> (node_features, edge_features) Datasets
+    with one serialized GeoJSON Feature string per row — the engine-side
+    half of the graph_to_geojson sink (solaris/vector/graph.py:453-545).
+
+    Edge endpoint coordinates resolve through TWO hash joins against
+    the nodes table (bucketed co-shuffles via ``relational.hash_join``)
+    instead of a driver-side node dict: a continental road graph never
+    materializes on one machine.  Node features sort by node_id and
+    edge features by edge_id so output is deterministic at any
+    parallelism."""
     import json
 
-    nd = nodes.to_pandas()
-    ed = edges.to_pandas()
-    coord = {int(r.node_id): (float(r.x), float(r.y)) for r in nd.itertuples()}
-    nodes_fc = {
-        "type": "FeatureCollection",
-        "features": [
+    from .relational import hash_join
+
+    def _node_feat(batch: pa.Table) -> pa.Table:
+        nid = batch["node_id"].to_numpy(zero_copy_only=False)
+        xs = batch["x"].to_numpy(zero_copy_only=False)
+        ys = batch["y"].to_numpy(zero_copy_only=False)
+        nr = batch["n_refs"].to_numpy(zero_copy_only=False)
+        feats = [
+            json.dumps(
+                {
+                    "type": "Feature",
+                    "geometry": {"type": "Point",
+                                 "coordinates": [float(x), float(y)]},
+                    "properties": {"node_id": int(i), "n_refs": int(r)},
+                }
+            )
+            for i, x, y, r in zip(nid, xs, ys, nr)
+        ]
+        return pa.table(
             {
-                "type": "Feature",
-                "geometry": {"type": "Point", "coordinates": [float(r.x), float(r.y)]},
-                "properties": {"node_id": int(r.node_id), "n_refs": int(r.n_refs)},
+                "fid": pa.array(nid.astype(np.int64), pa.int64()),
+                "feature": pa.array(feats, pa.string()),
             }
-            for r in nd.itertuples()
-        ],
-    }
-    edges_fc = {
-        "type": "FeatureCollection",
-        "features": [
+        )
+
+    def _u_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"u_id": batch["node_id"], "ux": batch["x"], "uy": batch["y"]}
+        )
+
+    def _v_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v_id": batch["node_id"], "vx": batch["x"], "vy": batch["y"]}
+        )
+
+    withu = hash_join(edges, nodes.map_batches(_u_side, batch_format="pyarrow"),
+                      "u", "u_id")
+    withuv = hash_join(withu, nodes.map_batches(_v_side, batch_format="pyarrow"),
+                       "v", "v_id")
+
+    def _edge_feat(batch: pa.Table) -> pa.Table:
+        eid = batch["edge_id"].to_numpy(zero_copy_only=False)
+        rid = batch["road_id"].to_numpy(zero_copy_only=False)
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        ln = batch["length"].to_numpy(zero_copy_only=False)
+        ux = batch["ux"].to_numpy(zero_copy_only=False)
+        uy = batch["uy"].to_numpy(zero_copy_only=False)
+        vx = batch["vx"].to_numpy(zero_copy_only=False)
+        vy = batch["vy"].to_numpy(zero_copy_only=False)
+        feats = [
+            json.dumps(
+                {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "LineString",
+                        "coordinates": [[float(ax), float(ay)],
+                                        [float(bx), float(by)]],
+                    },
+                    "properties": {
+                        "edge_id": int(e), "road_id": int(r),
+                        "u": int(a), "v": int(b), "length": float(w),
+                    },
+                }
+            )
+            for e, r, a, b, w, ax, ay, bx, by in zip(
+                eid, rid, u, v, ln, ux, uy, vx, vy)
+        ]
+        return pa.table(
             {
-                "type": "Feature",
-                "geometry": {
-                    "type": "LineString",
-                    "coordinates": [list(coord[int(r.u)]), list(coord[int(r.v)])],
-                },
-                "properties": {
-                    "edge_id": int(r.edge_id),
-                    "road_id": int(r.road_id),
-                    "u": int(r.u),
-                    "v": int(r.v),
-                    "length": float(r.length),
-                },
+                "fid": pa.array(eid.astype(np.int64), pa.int64()),
+                "feature": pa.array(feats, pa.string()),
             }
-            for r in ed.itertuples()
-        ],
-    }
-    return json.dumps(nodes_fc), json.dumps(edges_fc)
+        )
+
+    node_feats = nodes.map_batches(
+        _node_feat, batch_format="pyarrow").sort("fid")
+    edge_feats = withuv.map_batches(
+        _edge_feat, batch_format="pyarrow").sort("fid")
+    return node_feats, edge_feats
+
+
+def write_graph_geojson(nodes, edges, out_dir: str):
+    """Sharded streaming sink: nodes-*.geojson / edges-*.geojson, one
+    FeatureCollection file PER BLOCK, written inside ``map_batches`` —
+    no driver materialization of nodes, edges, or features.  Shard
+    names key on the block's min feature id (resume-stable).  Returns
+    a manifest Dataset (kind, path, n_features)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    node_feats, edge_feats = graph_feature_strings(nodes, edges)
+
+    def _writer(kind: str):
+        def _write(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"kind": pa.array([], pa.string()),
+                     "path": pa.array([], pa.string()),
+                     "n_features": pa.array([], pa.int64())}
+                )
+            fid0 = int(
+                np.min(batch["fid"].to_numpy(zero_copy_only=False)))
+            path = os.path.join(out_dir, f"{kind}-{fid0:012d}.geojson")
+            feats = batch["feature"].to_pylist()
+            with open(path, "w") as f:
+                f.write('{"type": "FeatureCollection", "features": [')
+                f.write(",".join(feats))
+                f.write("]}")
+            return pa.table(
+                {
+                    "kind": pa.array([kind], pa.string()),
+                    "path": pa.array([path], pa.string()),
+                    "n_features": pa.array([len(feats)], pa.int64()),
+                }
+            )
+
+        return _write
+
+    manifest_n = node_feats.map_batches(_writer("nodes"), batch_format="pyarrow")
+    manifest_e = edge_feats.map_batches(_writer("edges"), batch_format="pyarrow")
+    return manifest_n.union(manifest_e)
+
+
+def graph_to_geojson(nodes, edges) -> tuple[str, str]:
+    """nodes/edges Datasets -> (nodes_geojson, edges_geojson) strings —
+    API-parity convenience over ``graph_feature_strings``.  Coordinate
+    resolution and feature serialization run engine-side (hash joins +
+    per-block kernels); only the OUTPUT feature strings stream to the
+    driver (unavoidable for a single-string return — use
+    ``write_graph_geojson`` for the sharded at-scale sink)."""
+    node_feats, edge_feats = graph_feature_strings(nodes, edges)
+
+    def _collect(ds) -> str:
+        parts = []
+        for b in ds.select_columns(["feature"]).iter_batches(
+                batch_format="pyarrow"):
+            parts.extend(b["feature"].to_pylist())
+        return '{"type": "FeatureCollection", "features": [' + \
+            ",".join(parts) + "]}"
+
+    return _collect(node_feats), _collect(edge_feats)

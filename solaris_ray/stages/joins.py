@@ -515,11 +515,21 @@ def broadcast_spatial_join_tasks(
     """
     import ray
 
+    # the per-worker cache is keyed by the ObjectRef hex — a raw
+    # table/tuple has no stable identity (id() reuse after GC could
+    # serve a stale index), so require a ray.put ref up front
+    if not hasattr(index_ref, "hex"):
+        raise TypeError(
+            "broadcast_spatial_join_tasks requires a ray.ObjectRef "
+            "(ray.put the prebuilt index); raw tables/tuples have no "
+            "stable cache identity"
+        )
+
     def _join(batch: pa.Table) -> pa.Table:
-        key = index_ref.hex() if hasattr(index_ref, "hex") else str(id(index_ref))
+        key = index_ref.hex()
         cached = _TASK_INDEX_CACHE.get(key)
         if cached is None:
-            obj = ray.get(index_ref) if not isinstance(index_ref, (pa.Table, tuple)) else index_ref
+            obj = ray.get(index_ref)
             if isinstance(obj, tuple):
                 if len(obj) == 3:
                     pack, buckets, res = obj

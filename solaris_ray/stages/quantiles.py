@@ -223,6 +223,18 @@ def group_quantiles(ds, group_col: str, value_col: str, qs: list[float],
     import math
     import zlib
 
+    # int64 rank semantics only: a float column would be silently
+    # truncated by the int64 cast below — fail loudly instead (use
+    # exact_quantiles / tdigest for float values)
+    sch = ds.schema()
+    vt = dict(zip(sch.names, sch.types)).get(value_col)
+    if vt is not None and not pa.types.is_integer(vt):
+        raise TypeError(
+            f"group_quantiles: value column {value_col!r} must be "
+            f"integer-typed (got {vt}); use exact_quantiles or the "
+            "t-digest aggregate for float values"
+        )
+
     def _tag(batch: pa.Table) -> pa.Table:
         g = batch[group_col].to_numpy(zero_copy_only=False)
         gb = np.array(

@@ -202,6 +202,36 @@ def hll_distinct(ds, col: str):
     return hll_estimate(np.asarray(rows[0]["regs"], np.int64))
 
 
+def hll_sketch(ds, col: str):
+    """Bench surface: the HLL estimate ALONE (no exact twin) — one
+    int64 row.  ``hll_check`` keeps the exact pass for correctness
+    gating; benching that would time the exact twin, not the sketch."""
+    import ray
+
+    est = hll_distinct(ds, col)
+    return ray.data.from_arrow(
+        pa.table({"estimate": pa.array([int(round(est))], pa.int64())})
+    )
+
+
+def cms_sketch(ds, terms: list[str], text_col: str = "text"):
+    """Bench surface: CMS build + point estimates for a fixed term
+    list (no exact top-k twin).  Output (term, est)."""
+    import ray
+
+    grid, _n = cms_build(ds, text_col)
+    t = np.asarray(terms, object)
+    est = cms_estimate(grid, t)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "term": pa.array(t, pa.string()),
+                "est": pa.array(est, pa.int64()),
+            }
+        )
+    )
+
+
 def hll_check(ds, col: str, exact_ds=None, rel_tol: float = 0.10):
     """Gate surface: (n_exact, ok) — HLL estimate within rel_tol of the
     exact distinct count (pass-bit idiom)."""

@@ -53,11 +53,16 @@ def resolve_labels(votes, item_col: str = "item_id", label_col: str = "label",
         if item.size == 0:
             return out_schema.empty_table()
         uniq, code = np.unique(lab, return_inverse=True)  # sorted -> code
-        # integer (item, code) vote counts
-        key = item * np.int64(uniq.size) + code
-        ukey, cnt = np.unique(key, return_counts=True)
-        uitem = ukey // uniq.size
-        ucode = ukey % uniq.size
+        # (item, code) vote counts via a lexsort-segment pass (no
+        # composite integer key — item * n_labels + code can wrap
+        # int64 for large ids and silently collide)
+        o0 = np.lexsort((code, item))
+        it_s, cd_s = item[o0], code[o0]
+        newpair = np.r_[True, (it_s[1:] != it_s[:-1]) | (cd_s[1:] != cd_s[:-1])]
+        uitem = it_s[newpair]
+        ucode = cd_s[newpair]
+        pair_seg = np.cumsum(newpair) - 1
+        cnt = np.bincount(pair_seg).astype(np.int64)
         # per item: first row of (item asc, votes desc, code asc)
         o = np.lexsort((ucode, -cnt, uitem))
         uitem, ucode, cnt = uitem[o], ucode[o], cnt[o]

@@ -196,6 +196,41 @@ def test_graph_to_geojson(ray_session):
         assert f["properties"]["length"] > 0
 
 
+def test_write_graph_geojson_streams(ray_session, tmp_path):
+    """Sharded sink writes valid FeatureCollections per block with no
+    driver materialization (the graph module holds no to_pandas /
+    take_all of the node or edge tables)."""
+    import inspect
+    import json
+
+    import ray
+
+    src = inspect.getsource(graph)
+    assert "to_pandas" not in src and "take_all" not in src
+
+    nodes, edges = graph.build_graph(ray.data.from_arrow(ROADS))
+    manifest = graph.write_graph_geojson(nodes, edges, str(tmp_path)).to_pandas()
+    assert set(manifest["kind"]) == {"nodes", "edges"}
+    n_nodes = n_edges = 0
+    node_coords = set()
+    edge_rows = []
+    for _, row in manifest.iterrows():
+        doc = json.load(open(row["path"]))
+        assert doc["type"] == "FeatureCollection"
+        assert len(doc["features"]) == row["n_features"]
+        if row["kind"] == "nodes":
+            n_nodes += len(doc["features"])
+            node_coords |= {tuple(f["geometry"]["coordinates"])
+                            for f in doc["features"]}
+        else:
+            n_edges += len(doc["features"])
+            edge_rows += doc["features"]
+    assert n_nodes == 4 and n_edges == 3
+    for f in edge_rows:
+        a, b = f["geometry"]["coordinates"]
+        assert tuple(a) in node_coords and tuple(b) in node_coords
+
+
 def test_hsl_roundtrip():
     rng = np.random.default_rng(6)
     img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)

@@ -360,3 +360,17 @@ def test_partitioned_knn_escalation_pass_parity(ray_session):
     assert len(a) == len(b) == 60
     assert (a["feature_id"].values == b["feature_id"].values).all()
     assert np.allclose(a["d2"].values, b["d2"].values, rtol=0, atol=0)
+
+
+def test_task_mode_join_requires_object_ref(ray_session):
+    """Raw tables/tuples have no stable cache identity (id() reuse
+    could serve a stale index) — the task-mode join must refuse them."""
+    import pytest
+    import ray.data as rd
+
+    from solaris_ray.stages.joins import broadcast_spatial_join_tasks
+
+    with pytest.raises(TypeError, match="ObjectRef"):
+        broadcast_spatial_join_tasks(
+            rd.from_items([{"tile_id": "t"}]), index_ref=(None, None)
+        )

@@ -88,3 +88,16 @@ def test_group_quantiles_match_duckdb_disc(ray_session):
     assert list(got["source"]) == list(exp["source"])
     assert list(got["q"]) == list(exp["q"])
     assert list(got["value"]) == list(exp["v"])
+
+
+def test_group_quantiles_rejects_float_column(ray_session):
+    import pytest
+    import ray
+
+    from solaris_ray.stages.quantiles import group_quantiles
+
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(["a", "b"]), "v": pa.array([1.5, 2.5])})
+    )
+    with pytest.raises(TypeError, match="integer-typed"):
+        group_quantiles(ds, "g", "v", [0.5])

@@ -57,3 +57,18 @@ def test_resolve_labels_tie_breaks_lexicographic(ray_session):
     assert got.loc[1, "label"] == "apple"  # 1-1 tie -> smallest label
     assert got.loc[2, "label"] == "b"      # 2 votes beat 1
     assert got.loc[2, "share6"] == round(2 / 3, 6)
+
+
+def test_resolve_labels_huge_item_ids(ray_session):
+    """Item ids near 2^62: the old composite key (item * n_labels +
+    code) would wrap int64 and collide; the lexsort-segment pass must
+    not."""
+    base = np.int64(2**62)
+    rows = [(int(base + 1), "a"), (int(base + 1), "a"), (int(base + 1), "b"),
+            (int(base + 3), "b"), (int(base + 3), "c")]
+    got = resolve_labels(_votes_ds(rows)).to_pandas().set_index("item_id")
+    assert len(got) == 2
+    assert got.loc[base + 1, "label"] == "a"
+    assert got.loc[base + 1, "votes"] == 2 and got.loc[base + 1, "total"] == 3
+    assert got.loc[base + 3, "label"] == "b"
+    assert got.loc[base + 3, "n_labels"] == 2
