@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "knn_partitioned",
     "cell_hist",
     "tiles_pipeline",
+    "jpeg_roundtrip",
     "warp_nearest",
     "masks_pipeline",
     "road_masks",

@@ -168,6 +168,10 @@ def encode(arr: np.ndarray, fmt: str, level: int = 4) -> bytes:
         from .gtiff import gtiff_encode
 
         return gtiff_encode(arr)
+    if fmt in ("jpeg", "jpg"):
+        from .jpeg import jpeg_encode
+
+        return jpeg_encode(arr, quality=95)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 
@@ -183,6 +187,10 @@ def decode(buf: bytes, fmt: str) -> np.ndarray:
 
         arr, _ = gtiff_decode(bytes(buf))
         return arr[:, :, 0] if arr.shape[2] == 1 else arr
+    if fmt in ("jpeg", "jpg"):
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(bytes(buf))
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 

@@ -5,9 +5,10 @@ typed metadata and implement decode / resize / feature-extract /
 frame-sample as actor-pool ``map_batches`` stages.  The container has
 no image/audio libraries, so:
 
-- formats this repo's own codec handles (``png``, ``qnt``) decode for
-  real (solaris_ray.raster.codec);
-- foreign formats (``jpeg``, ``webp``, audio, video) go through a
+- formats this repo's own codec handles (``png``, ``qnt``, ``jpeg`` —
+  a real pure-Python baseline JPEG codec lives in
+  solaris_ray.raster.jpeg) decode for real (solaris_ray.raster.codec);
+- remaining foreign formats (``webp``, audio, video) go through a
   clearly marked STUB: ``strict=True`` raises NotImplementedError,
   ``strict=False`` produces a deterministic fake decode (seeded from
   the payload digest) so the Ray-side plumbing — schema, batch sizing,
@@ -28,8 +29,8 @@ import pyarrow as pa
 
 from ..raster import codec
 
-NATIVE_FMTS = {"png", "qnt"}
-STUB_FMTS = {"jpeg", "jpg", "webp", "tiff"}
+NATIVE_FMTS = {"png", "qnt", "jpeg", "jpg"}
+STUB_FMTS = {"webp", "tiff"}
 
 # Real-codec seam: if a PIL / imagecodecs wheel ever appears in the
 # environment, foreign-format decode self-upgrades — ``strict=True``

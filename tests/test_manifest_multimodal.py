@@ -78,12 +78,31 @@ def test_image_resizer_native(ray_session):
 def test_decode_stub_strict_raises():
     import pytest
 
+    # webp remains an honest stub (no codec in this container)
     with pytest.raises(NotImplementedError):
-        multimodal.decode_any(b"xx", "jpeg", 8, 8, strict=True)
-    a = multimodal.decode_any(b"xx", "jpeg", 8, 8, strict=False)
-    b = multimodal.decode_any(b"xx", "jpeg", 8, 8, strict=False)
+        multimodal.decode_any(b"xx", "webp", 8, 8, strict=True)
+    a = multimodal.decode_any(b"xx", "webp", 8, 8, strict=False)
+    b = multimodal.decode_any(b"xx", "webp", 8, 8, strict=False)
     assert np.array_equal(a, b)  # deterministic fake
     assert a.shape == (8, 8, 3)
+
+
+def test_decode_any_jpeg_is_real():
+    """jpeg is no longer stubbed: decode_any round-trips real baseline
+    JPEG bytes (raster.jpeg) and garbage raises instead of faking."""
+    import pytest
+
+    from solaris_ray.raster.jpeg import jpeg_encode
+
+    yy, xx = np.indices((32, 24))
+    img = (128 + 60 * np.sin(xx / 5) * np.cos(yy / 7)).astype(np.uint8)
+    rgb = np.stack([img, img[::-1], 255 - img], -1)
+    buf = jpeg_encode(rgb, quality=95)
+    dec = multimodal.decode_any(buf, "jpeg", 24, 32, strict=True)
+    assert dec.shape == (32, 24, 3)
+    assert codec.psnr(rgb, dec) >= 40.0
+    with pytest.raises(ValueError):
+        multimodal.decode_any(b"xx", "jpeg", 8, 8, strict=True)
 
 
 def test_frame_sampler_fanout(ray_session):
