@@ -121,7 +121,9 @@ def run_queries(sf_dir: str) -> tuple[dict, dict]:
 def run_flagship(n_images: int) -> dict:
     from solaris_ray.pipelines.flagship import flagship
 
-    return flagship(n_images=n_images)
+    # warmup=True: the headline measures steady-state engine throughput
+    # (the scaling criterion's quantity), not Python-worker import cost
+    return flagship(n_images=n_images, warmup=True)
 
 
 def main() -> None:

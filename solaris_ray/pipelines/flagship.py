@@ -61,7 +61,7 @@ def synthetic_features_table(n_images: int, seed: int = 42, size: int = 256,
 
 def flagship(n_images: int = 400, seed: int = 42, size: int = 256,
              tile_size: int = 128, concurrency: int | None = None,
-             warmup: bool = False) -> dict:
+             warmup: bool = False, blocks: int | None = None) -> dict:
     """Run generate -> tile -> join; return counts + timings.
 
     Tiles are materialized once (bytes stay in the object store); the
@@ -71,11 +71,19 @@ def flagship(n_images: int = 400, seed: int = 42, size: int = 256,
     ``warmup=True`` runs a tiny end-to-end pass first so worker
     startup / module import cost is excluded from the timed run
     (steady-state throughput is what the scaling criterion compares).
+    The warmup fans out over >= 2x the session's CPU count so EVERY
+    worker process the timed run will use is already imported: a
+    narrow warmup (round 3's, 8 tasks) left ~24 of 32 workers cold and
+    the first timed wave paid ~1 s of imports per cold worker — the
+    whole of the r3 tiles-leg "regression" (4.5 s vs 0.7 s warm).
     """
-    if warmup:
-        flagship(n_images=64, seed=seed, size=size, tile_size=tile_size,
-                 concurrency=concurrency, warmup=False)
     import ray
+
+    if warmup:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        flagship(n_images=max(64, 2 * cpus), seed=seed, size=size,
+                 tile_size=tile_size, concurrency=concurrency,
+                 warmup=False, blocks=2 * cpus)
 
     from ..stages.joins import build_join_index
 
@@ -98,7 +106,7 @@ def flagship(n_images: int = 400, seed: int = 42, size: int = 256,
         _gen_feats.remote(lo, min(lo + step, n_images)) for lo in range(0, n_images, step)
     ]
     index_ref = _build_index.remote(*feat_refs)
-    images = synthetic_images_ds(n_images, seed, size)
+    images = synthetic_images_ds(n_images, seed, size, blocks=blocks)
     # intermediate tiles: stored PNG (level 0) — deflate buys <=4% on
     # noisy imagery at 16x the CPU; persisted outputs re-encode at the
     # default level (codec.encode docstring)
