@@ -1494,8 +1494,14 @@ def q_resume_manifest(sf_dir: str):
         return tiles.filter(lambda r: r["col"] % 4 == pid)
 
     try:
+        from ..state.manifest import verify_partitions
+
         r1 = run_partitioned(out_dir, [0, 1], make_ds)
         r2 = run_partitioned(out_dir, [0, 1], make_ds)
+        # lineage + metrics integrity: every finished partition's
+        # recomputed content checksum matches its manifest entry
+        v = verify_partitions(out_dir)
+        csum_ok = int(len(v) == 2 and all(v.values()))
         return pa.table(
             {
                 "run": pa.array([1, 2], pa.int64()),
@@ -1504,6 +1510,7 @@ def q_resume_manifest(sf_dir: str):
                 "rows_written": pa.array(
                     [sum(m["rows"] for m in r1["metrics"].values()), 0], pa.int64()
                 ),
+                "checksum_ok": pa.array([csum_ok, csum_ok], pa.int64()),
             }
         )
     finally:
@@ -3426,9 +3433,10 @@ WITH img AS (SELECT p_partkey AS p, 1 + p_partkey % 3 AS nx, 1 + p_partkey % 2 A
              FROM part WHERE p_partkey < 400),
 n AS (SELECT SUM(least(nx, 2) * ny) AS c FROM img)
 SELECT CAST(1 AS BIGINT) AS run, CAST(2 AS BIGINT) AS n_processed,
-       CAST(0 AS BIGINT) AS n_skipped, CAST((SELECT c FROM n) AS BIGINT) AS rows_written
+       CAST(0 AS BIGINT) AS n_skipped, CAST((SELECT c FROM n) AS BIGINT) AS rows_written,
+       CAST(1 AS BIGINT) AS checksum_ok
 UNION ALL
-SELECT 2, 0, 2, 0
+SELECT 2, 0, 2, 0, 1
 """,
     "tiles_pipeline": f"""
 WITH img AS (

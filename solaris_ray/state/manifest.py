@@ -108,6 +108,10 @@ def run_partitioned(
             "wall_s": round(wall, 3),
             "rows_per_s": round(rows / wall, 1) if wall > 0 else 0.0,
             "bytes": _dir_bytes(part_dir),
+            # order-insensitive content checksum: resume verification
+            # can prove a finished partition's data is intact (not just
+            # that a manifest file exists)
+            "checksum": content_checksum(part_dir),
         }
         manifest.mark_done(pid, (lineage_of or (lambda p: {"partition": p}))(pid), metrics)
         results[pid] = metrics
@@ -117,6 +121,56 @@ def run_partitioned(
         "skipped": sorted(skipped),
         "metrics": results,
     }
+
+
+def content_checksum(part_dir: str) -> int:
+    """Order-insensitive int63 checksum of a partition's parquet rows.
+
+    Per row: md5 over the canonical "col=val|col=val" string (columns
+    sorted by name), low 63 bits; partition checksum = sum mod 2^63.
+    Row order and file layout inside the partition don't matter, so a
+    retried partition that wrote the same rows in a different order
+    verifies equal.
+    """
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    mod = 1 << 63
+    for name in sorted(os.listdir(part_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        tbl = pq.read_table(os.path.join(part_dir, name))
+        cols = sorted(tbl.column_names)
+        arrays = [tbl[c].to_pylist() for c in cols]
+        for row in zip(*arrays):
+            s = "|".join(f"{c}={v!r}" for c, v in zip(cols, row))
+            h = int.from_bytes(
+                hashlib.md5(s.encode("utf-8")).digest()[:8], "little"
+            ) & (mod - 1)
+            total = (total + h) % mod
+    return total
+
+
+def verify_partitions(out_dir: str, pids: list[int] | None = None) -> dict[int, bool]:
+    """Recompute each finished partition's checksum against its
+    manifest entry — the resume-time integrity check (a partition with
+    a manifest entry but damaged/missing data files reports False and
+    should be re-run by deleting its manifest entry)."""
+    manifest = PartitionManifest(out_dir)
+    done = manifest.done()
+    out: dict[int, bool] = {}
+    for pid, entry in done.items():
+        if pids is not None and pid not in pids:
+            continue
+        part_dir = os.path.join(out_dir, f"part={pid}")
+        want = entry.get("metrics", {}).get("checksum")
+        if want is None or not os.path.isdir(part_dir):
+            out[pid] = False
+            continue
+        out[pid] = content_checksum(part_dir) == want
+    return out
 
 
 def _count_parquet_rows(d: str) -> int:

@@ -54,6 +54,67 @@ def test_run_partitioned_resume(ray_session, tmp_path):
     assert r3["processed"] == [1] and r3["skipped"] == [0, 2]
 
 
+def test_kill_mid_run_resumes_only_missing(ray_session, tmp_path):
+    """Crash simulation: the run dies after partition 0 lands (make_ds
+    raises on partition 1).  The resume run must re-run ONLY the
+    missing partitions — partition 0's data files are untouched (same
+    mtime) and its checksum verifies."""
+    import os
+
+    import pytest
+    import ray
+
+    from solaris_ray.state.manifest import verify_partitions
+
+    boom = {"armed": True}
+
+    def make_ds(pid):
+        if pid == 1 and boom["armed"]:
+            raise RuntimeError("simulated crash mid-run")
+        return ray.data.from_arrow(
+            pa.table({"pid": pa.array([pid] * 5, pa.int64()), "v": pa.array(range(5))})
+        )
+
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_partitioned(out, [0, 1, 2], make_ds)
+    # partition 0 finished before the crash; 1 and 2 did not
+    p0_files = {
+        f: os.path.getmtime(os.path.join(out, "part=0", f))
+        for f in os.listdir(os.path.join(out, "part=0"))
+    }
+    boom["armed"] = False
+    r = run_partitioned(out, [0, 1, 2], make_ds)
+    assert r["skipped"] == [0] and r["processed"] == [1, 2]
+    for f, mt in p0_files.items():
+        assert os.path.getmtime(os.path.join(out, "part=0", f)) == mt
+    v = verify_partitions(out)
+    assert v == {0: True, 1: True, 2: True}
+
+
+def test_checksum_detects_damage(ray_session, tmp_path):
+    import os
+
+    import ray
+
+    from solaris_ray.state.manifest import verify_partitions
+
+    def make_ds(pid):
+        return ray.data.from_arrow(
+            pa.table({"pid": pa.array([pid] * 5, pa.int64()), "v": pa.array(range(5))})
+        )
+
+    out = str(tmp_path / "out")
+    run_partitioned(out, [0, 1], make_ds)
+    assert all(verify_partitions(out).values())
+    # damage partition 1's data file -> its checksum must fail
+    pdir = os.path.join(out, "part=1")
+    victim = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+    os.remove(os.path.join(pdir, victim))
+    v = verify_partitions(out)
+    assert v[0] is True and v[1] is False
+
+
 def test_manifest_torn_write_retries(tmp_path):
     m = PartitionManifest(str(tmp_path))
     m.mark_done(0, {"partition": 0}, {"rows": 1})
