@@ -52,6 +52,69 @@ import pyarrow as pa
 _MSG_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
 
+def _unionfind_task_labels(E):
+    """Canonical edge Dataset -> (node, label) Dataset via ONE remote
+    task running union-find with path halving (labels = per-component
+    min ORIGINAL id).  Engine-side: edge blocks move object-store ->
+    task; the driver only passes refs."""
+    import ray
+
+    @ray.remote
+    def _uf(*blocks):
+        # normalize per block (schema metadata can differ across the
+        # operators that produced them; empty partitions may carry a
+        # fieldless schema — drop them; values are always int64 ea/eb)
+        blocks = [b for b in blocks if "ea" in b.schema.names]
+        a = np.concatenate(
+            [b["ea"].to_numpy(zero_copy_only=False) for b in blocks]
+        ).astype(np.int64) if blocks else np.empty(0, np.int64)
+        b = np.concatenate(
+            [blk["eb"].to_numpy(zero_copy_only=False) for blk in blocks]
+        ).astype(np.int64) if blocks else np.empty(0, np.int64)
+        uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        n = uniq.size
+        ia = inv[: a.size].tolist()
+        ib = inv[a.size:].tolist()
+        parent = list(range(n))
+        for x, y in zip(ia, ib):
+            # find with path halving
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            while parent[y] != y:
+                parent[y] = parent[parent[y]]
+                y = parent[y]
+            if x != y:
+                # attach by dense index order (uniq ascends, so smaller
+                # index = smaller original id; keeps trees shallow-ish
+                # and makes the root the min id of the merged pair)
+                if x < y:
+                    parent[y] = x
+                else:
+                    parent[x] = y
+        roots = np.empty(n, np.int64)
+        for i in range(n):
+            x = i
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            roots[i] = x
+        # root index is the min dense index of its component ONLY under
+        # the attach rule above when merges always keep the smaller
+        # root; guarantee exactly via a per-root min reduction
+        lab = np.full(n, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(lab, roots, uniq)
+        return pa.table(
+            {
+                "node": pa.array(uniq, pa.int64()),
+                "label": pa.array(lab[roots], pa.int64()),
+            }
+        )
+
+    ref = _uf.remote(*E.to_arrow_refs())
+    return ray.data.from_arrow_refs([ref])
+
+
 def connected_components(
     edges,
     nodes,
@@ -59,6 +122,8 @@ def connected_components(
     id_b: str = "doc_b",
     node_col: str = "doc_id",
     max_rounds: int = 50,
+    stats_out: dict | None = None,
+    small_edge_limit: int = 500_000,
 ):
     """(edges Dataset, nodes Dataset) -> Dataset (node, component).
 
@@ -66,6 +131,24 @@ def connected_components(
     isolated nodes (present in ``nodes``, absent from ``edges``) are
     their own component.  ``nodes`` must cover every id that appears in
     ``edges``.
+
+    Two physical plans, chosen by the CANONICAL edge count (known after
+    the one-pass dedup/canonicalization, never from the corpus size):
+
+    - ``<= small_edge_limit`` edges: ONE remote task runs vectorized
+      union-find over the edge blocks (path-halving; labels = per-root
+      min id).  A dedup pair graph is tiny relative to its corpus —
+       at 16 bytes/edge the default limit is an 8 MB object — and the
+      star rounds' per-round fixed cost (2 groupby shuffles) is pure
+      latency at that size (measured flat 11 s at 4 AND 16 cpus on a
+      1.2k-edge graph).  The task runs engine-side; the DRIVER never
+      holds the edge list.
+    - larger: the large-star/small-star rounds below (O(log) rounds,
+      O(edges) id-only rows per round) — the 100 TB path.
+
+    ``stats_out``: optional dict the call fills with scale evidence —
+    {"rounds": int, "edge_rows": [per-round counts], "converged": bool,
+    "path": "union-find-task" | "star-rounds"}.
     """
     import ray  # noqa: F401  (Dataset ops only)
 
@@ -83,7 +166,8 @@ def connected_components(
         )
 
     E = edges.map_batches(_canon, batch_format="pyarrow").materialize()
-    has_edges = E.count() > 0
+    n_edges = E.count()
+    has_edges = n_edges > 0
 
     # originally edge-touched nodes (drives the final-label union and
     # the isolated anti-join)
@@ -105,182 +189,200 @@ def connected_components(
     touched = E.map_batches(_ends, batch_format="pyarrow").groupby("node").count()
     touched = touched.select_columns(["node"]).materialize() if has_edges else touched
 
-    star_buckets = 64
-
-    def _sym(batch: pa.Table) -> pa.Table:
-        # symmetrize + tag with the grouping bucket of the OWNING node
-        a = batch["ea"].to_numpy(zero_copy_only=False)
-        b = batch["eb"].to_numpy(zero_copy_only=False)
-        node = np.concatenate([a, b])
-        return pa.table(
-            {
-                "node": pa.array(node, pa.int64()),
-                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
-                "kb": pa.array(node % star_buckets, pa.int64()),
-            }
-        )
-
-    def _segments(key: np.ndarray, val: np.ndarray):
-        """lexsort rows by (key, val), drop duplicate pairs, return
-        (key, val, seg) with seg = index of each row's key-segment and
-        starts = first row of each segment (val[starts] is the
-        per-segment minimum since val ascends within a segment)."""
-        order = np.lexsort((val, key))
-        key, val = key[order], val[order]
-        keep = np.ones(key.size, bool)
-        keep[1:] = (key[1:] != key[:-1]) | (val[1:] != val[:-1])
-        key, val = key[keep], val[keep]
-        new = np.ones(key.size, bool)
-        new[1:] = key[1:] != key[:-1]
-        seg = np.cumsum(new) - 1
-        starts = np.flatnonzero(new)
-        return key, val, seg, starts
-
-    def _large(group: pa.Table) -> pa.Table:
-        # per node: link strictly-larger neighbors to
-        # m = min(neighbors ∪ self); whole bucket in one numpy pass
-        node = group["node"].to_numpy(zero_copy_only=False)
-        dst = group["dst"].to_numpy(zero_copy_only=False)
-        node, dst, seg, starts = _segments(node, dst)
-        m = np.minimum(dst[starts], node[starts])  # per-segment min
-        big = dst > node
-        if not big.any():
-            return edge_schema.empty_table()
-        return pa.table(
-            {
-                "ea": pa.array(m[seg[big]], pa.int64()),
-                "eb": pa.array(dst[big], pa.int64()),
-            }
-        )
-
-    def _small(group: pa.Table) -> pa.Table:
-        # group key = bucket of the LARGER endpoint; per larger node u:
-        # link its smaller neighbors (and u itself) to their minimum
-        u = group["eb"].to_numpy(zero_copy_only=False)
-        small = group["ea"].to_numpy(zero_copy_only=False)
-        u, small, seg, starts = _segments(u, small)
-        m = small[starts]  # per-segment min of the smaller side
-        keep = small != m[seg]  # (m, v) for v in smaller \ {m} ...
-        return pa.table(
-            {
-                "ea": pa.array(np.concatenate([m[seg[keep]], m]), pa.int64()),
-                "eb": pa.array(np.concatenate([small[keep], u[starts]]), pa.int64()),
-            }
-        )
-
-    def _sums(ds) -> tuple:
-        # multiset signature sums: wraparound hash of the edge rows
-        # (the round function depends only on per-group uniqued
-        # neighbor sets, so equal consecutive (count, sums) means the
-        # edge multiset reached its fixed point)
-        def _h(batch: pa.Table) -> pa.Table:
-            a = batch["ea"].to_numpy(zero_copy_only=False)
-            b = batch["eb"].to_numpy(zero_copy_only=False)
-            with np.errstate(over="ignore"):
-                h = a * np.int64(2654435761) + b * np.int64(40503)
-            return pa.table({"a": pa.array(a), "b": pa.array(b), "h": pa.array(h)})
-
-        s = ds.map_batches(_h, batch_format="pyarrow").sum(["a", "b", "h"])
-        return (s["sum(a)"], s["sum(b)"], s["sum(h)"])
-
-    def _tag_eb(batch: pa.Table) -> pa.Table:
-        eb = batch["eb"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "kb", pa.array(eb % star_buckets, pa.int64())
-        )
-
-    # lazy convergence check: count() on a MATERIALIZED dataset is
-    # metadata-only (free); the sum signature (one extra execution)
-    # runs only once the count has stabilized across rounds — early
-    # rounds, where the edge count is still changing, pay nothing.
-    prev_count = E.count() if has_edges else 0
-    prev_sums: tuple | None = None
-    converged = not has_edges
-    for _ in range(max_rounds if has_edges else 0):
-        large = (
-            E.map_batches(_sym, batch_format="pyarrow")
-            .groupby("kb")
-            .map_groups(_large, batch_format="pyarrow")
-        )
-        E = (
-            large.map_batches(_tag_eb, batch_format="pyarrow")
-            .groupby("kb")
-            .map_groups(_small, batch_format="pyarrow")
-            .materialize()
-        )
-        cur_count = E.count()
-        if cur_count != prev_count:
-            prev_count, prev_sums = cur_count, None
-            continue
-        cur_sums = _sums(E) if cur_count else (0, 0, 0)
-        if prev_sums is not None and cur_sums == prev_sums:
-            converged = True
-            break
-        prev_sums = cur_sums
-    if not converged:
-        # signature check is probabilistic (count + 3 wraparound sums);
-        # exhausting max_rounds without two equal consecutive
-        # signatures means labels may not be the fixed point yet
-        import warnings
-
-        warnings.warn(
-            f"connected_components: exited after max_rounds={max_rounds} "
-            "without signature convergence — labels may be stale; rerun "
-            "with a higher max_rounds",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-
-    # converged star edges: every non-root points at its component's
-    # min id.  Label = min(star-neighbors ∪ self); the self records
-    # guarantee coverage of every originally-touched node (roots
-    # included).
-    from ray.data.aggregate import Min
-
-    self_msgs = touched.map_batches(
-        lambda b: pa.table({"node": b["node"], "label": b["node"]}),
-        batch_format="pyarrow",
-    )
-    star_msgs = E.map_batches(
-        lambda b: pa.table(
-            {
-                "node": pa.array(
-                    np.concatenate(
-                        [
-                            b["ea"].to_numpy(zero_copy_only=False),
-                            b["eb"].to_numpy(zero_copy_only=False),
-                        ]
-                    ),
-                    pa.int64(),
-                ),
-                "label": pa.array(
-                    np.concatenate(
-                        [
-                            b["eb"].to_numpy(zero_copy_only=False),
-                            b["ea"].to_numpy(zero_copy_only=False),
-                        ]
-                    ),
-                    pa.int64(),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    lab = (
-        self_msgs.union(star_msgs)
-        .groupby("node")
-        .aggregate(Min("label"))
-        .map_batches(
-            lambda b: pa.table({"node": b["node"], "label": b["min(label)"]}),
+    use_small = has_edges and n_edges <= small_edge_limit
+    if use_small:
+        lab = _unionfind_task_labels(E)
+        if stats_out is not None:
+            stats_out.update(rounds=0, edge_rows=[n_edges], converged=True,
+                             path="union-find-task")
+        resolved = lab.map_batches(
+            lambda b: pa.table({node_col: b["node"], "component": b["label"]}),
             batch_format="pyarrow",
         )
-        .materialize()
-    )
+    else:
+        star_buckets = 64
 
-    resolved = lab.map_batches(
-        lambda b: pa.table({node_col: b["node"], "component": b["label"]}),
-        batch_format="pyarrow",
-    )
+        def _sym(batch: pa.Table) -> pa.Table:
+            # symmetrize + tag with the grouping bucket of the OWNING node
+            a = batch["ea"].to_numpy(zero_copy_only=False)
+            b = batch["eb"].to_numpy(zero_copy_only=False)
+            node = np.concatenate([a, b])
+            return pa.table(
+                {
+                    "node": pa.array(node, pa.int64()),
+                    "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                    "kb": pa.array(node % star_buckets, pa.int64()),
+                }
+            )
+
+        def _segments(key: np.ndarray, val: np.ndarray):
+            """lexsort rows by (key, val), drop duplicate pairs, return
+            (key, val, seg) with seg = index of each row's key-segment and
+            starts = first row of each segment (val[starts] is the
+            per-segment minimum since val ascends within a segment)."""
+            order = np.lexsort((val, key))
+            key, val = key[order], val[order]
+            keep = np.ones(key.size, bool)
+            keep[1:] = (key[1:] != key[:-1]) | (val[1:] != val[:-1])
+            key, val = key[keep], val[keep]
+            new = np.ones(key.size, bool)
+            new[1:] = key[1:] != key[:-1]
+            seg = np.cumsum(new) - 1
+            starts = np.flatnonzero(new)
+            return key, val, seg, starts
+
+        def _large(group: pa.Table) -> pa.Table:
+            # per node: link strictly-larger neighbors to
+            # m = min(neighbors ∪ self); whole bucket in one numpy pass
+            node = group["node"].to_numpy(zero_copy_only=False)
+            dst = group["dst"].to_numpy(zero_copy_only=False)
+            node, dst, seg, starts = _segments(node, dst)
+            m = np.minimum(dst[starts], node[starts])  # per-segment min
+            big = dst > node
+            if not big.any():
+                return edge_schema.empty_table()
+            return pa.table(
+                {
+                    "ea": pa.array(m[seg[big]], pa.int64()),
+                    "eb": pa.array(dst[big], pa.int64()),
+                }
+            )
+
+        def _small(group: pa.Table) -> pa.Table:
+            # group key = bucket of the LARGER endpoint; per larger node u:
+            # link its smaller neighbors (and u itself) to their minimum
+            u = group["eb"].to_numpy(zero_copy_only=False)
+            small = group["ea"].to_numpy(zero_copy_only=False)
+            u, small, seg, starts = _segments(u, small)
+            m = small[starts]  # per-segment min of the smaller side
+            keep = small != m[seg]  # (m, v) for v in smaller \ {m} ...
+            return pa.table(
+                {
+                    "ea": pa.array(np.concatenate([m[seg[keep]], m]), pa.int64()),
+                    "eb": pa.array(np.concatenate([small[keep], u[starts]]), pa.int64()),
+                }
+            )
+
+        def _sums(ds) -> tuple:
+            # multiset signature sums: wraparound hash of the edge rows
+            # (the round function depends only on per-group uniqued
+            # neighbor sets, so equal consecutive (count, sums) means the
+            # edge multiset reached its fixed point)
+            def _h(batch: pa.Table) -> pa.Table:
+                a = batch["ea"].to_numpy(zero_copy_only=False)
+                b = batch["eb"].to_numpy(zero_copy_only=False)
+                with np.errstate(over="ignore"):
+                    h = a * np.int64(2654435761) + b * np.int64(40503)
+                return pa.table({"a": pa.array(a), "b": pa.array(b), "h": pa.array(h)})
+
+            s = ds.map_batches(_h, batch_format="pyarrow").sum(["a", "b", "h"])
+            return (s["sum(a)"], s["sum(b)"], s["sum(h)"])
+
+        def _tag_eb(batch: pa.Table) -> pa.Table:
+            eb = batch["eb"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "kb", pa.array(eb % star_buckets, pa.int64())
+            )
+
+        # lazy convergence check: count() on a MATERIALIZED dataset is
+        # metadata-only (free); the sum signature (one extra execution)
+        # runs only once the count has stabilized across rounds — early
+        # rounds, where the edge count is still changing, pay nothing.
+        prev_count = E.count() if has_edges else 0
+        prev_sums: tuple | None = None
+        converged = not has_edges
+        edge_rows = [prev_count]
+        for _ in range(max_rounds if has_edges else 0):
+            large = (
+                E.map_batches(_sym, batch_format="pyarrow")
+                .groupby("kb")
+                .map_groups(_large, batch_format="pyarrow")
+            )
+            E = (
+                large.map_batches(_tag_eb, batch_format="pyarrow")
+                .groupby("kb")
+                .map_groups(_small, batch_format="pyarrow")
+                .materialize()
+            )
+            cur_count = E.count()
+            edge_rows.append(cur_count)
+            if cur_count != prev_count:
+                prev_count, prev_sums = cur_count, None
+                continue
+            cur_sums = _sums(E) if cur_count else (0, 0, 0)
+            if prev_sums is not None and cur_sums == prev_sums:
+                converged = True
+                break
+            prev_sums = cur_sums
+        if stats_out is not None:
+            stats_out.update(
+                rounds=len(edge_rows) - 1, edge_rows=edge_rows,
+                converged=converged, path="star-rounds",
+            )
+        if not converged:
+            # signature check is probabilistic (count + 3 wraparound sums);
+            # exhausting max_rounds without two equal consecutive
+            # signatures means labels may not be the fixed point yet
+            import warnings
+
+            warnings.warn(
+                f"connected_components: exited after max_rounds={max_rounds} "
+                "without signature convergence — labels may be stale; rerun "
+                "with a higher max_rounds",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+        # converged star edges: every non-root points at its component's
+        # min id.  Label = min(star-neighbors ∪ self); the self records
+        # guarantee coverage of every originally-touched node (roots
+        # included).
+        from ray.data.aggregate import Min
+
+        self_msgs = touched.map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+            batch_format="pyarrow",
+        )
+        star_msgs = E.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pa.array(
+                        np.concatenate(
+                            [
+                                b["ea"].to_numpy(zero_copy_only=False),
+                                b["eb"].to_numpy(zero_copy_only=False),
+                            ]
+                        ),
+                        pa.int64(),
+                    ),
+                    "label": pa.array(
+                        np.concatenate(
+                            [
+                                b["eb"].to_numpy(zero_copy_only=False),
+                                b["ea"].to_numpy(zero_copy_only=False),
+                            ]
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        lab = (
+            self_msgs.union(star_msgs)
+            .groupby("node")
+            .aggregate(Min("label"))
+            .map_batches(
+                lambda b: pa.table({"node": b["node"], "label": b["min(label)"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+        resolved = lab.map_batches(
+            lambda b: pa.table({node_col: b["node"], "component": b["label"]}),
+            batch_format="pyarrow",
+        )
 
     # isolated nodes: anti-join all nodes against the touched set in
     # one bucketed co-shuffle of id-only rows; each is its own component
@@ -343,6 +445,8 @@ def fuzzy_dedup(
     seed: int = 42,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cc_stats: dict | None = None,
+    small_edge_limit: int = 500_000,
 ):
     """documents -> (doc_id, component, keep): full fuzzy-dedup resolve.
 
@@ -358,7 +462,8 @@ def fuzzy_dedup(
         text_col=text_col, id_col=id_col,
     )
     comp = connected_components(
-        pairs, ds.select_columns([id_col]), node_col=id_col
+        pairs, ds.select_columns([id_col]), node_col=id_col,
+        stats_out=cc_stats, small_edge_limit=small_edge_limit,
     )
 
     def _keep(batch: pa.Table) -> pa.Table:

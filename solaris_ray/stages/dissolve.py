@@ -250,7 +250,8 @@ def overlap_pairs(rects, cell: float = 256.0, id_col: str = "fid",
 
 
 def dissolve(rects, cell: float = 256.0, id_col: str = "fid",
-             max_rounds: int = 50):
+             max_rounds: int = 50, cc_stats: dict | None = None,
+             small_edge_limit: int = 500_000):
     """rects -> (fid, component): transitive-overlap dissolve groups.
 
     Uses ``overlap_pairs(spanning=True)``: dense cells emit O(m)
@@ -262,5 +263,6 @@ def dissolve(rects, cell: float = 256.0, id_col: str = "fid",
     pairs = overlap_pairs(rects, cell=cell, id_col=id_col, spanning=True)
     return connected_components(
         pairs, rects.select_columns([id_col]), node_col=id_col,
-        max_rounds=max_rounds,
+        max_rounds=max_rounds, stats_out=cc_stats,
+        small_edge_limit=small_edge_limit,
     )

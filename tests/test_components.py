@@ -77,7 +77,10 @@ def test_cc_random_graph_matches_union_find(ray_session):
     rng = np.random.default_rng(7)
     ids = list(range(200))
     pairs = [tuple(sorted(p)) for p in rng.integers(0, 200, (150, 2)) if p[0] != p[1]]
-    assert _run_cc(ids, pairs) == _uf(ids, pairs)
+    want = _uf(ids, pairs)
+    # both physical plans must agree with the local oracle
+    assert _run_cc(ids, pairs) == want                        # union-find task
+    assert _run_cc(ids, pairs, small_edge_limit=0) == want    # star rounds
 
 
 def test_cc_clique_mass_duplicates(ray_session):
@@ -148,3 +151,36 @@ def test_image_dedup_resolves_phash_groups(ray_session):
     got = image_dedup(ds).to_pandas().set_index("image_id").sort_index()
     assert (got["component"] == (got.index // 4) * 4).all()
     assert (got["keep"] == (got.index % 4 == 0).astype(int)).all()
+
+
+def test_cc_stats_out_scale_evidence(ray_session):
+    """stats_out fills the O(log)-rounds evidence: rounds, per-round
+    edge-row counts, and convergence flag."""
+    import ray
+
+    from solaris_ray.stages.components import connected_components
+
+    # chain of 33 nodes: diameter 32, star rounds must converge in
+    # O(log) rounds (far fewer than 32)
+    a = np.arange(32, dtype=np.int64)
+    edges = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array(a), "doc_b": pa.array(a + 1)})
+    ).repartition(4)
+    nodes = ray.data.from_arrow(pa.table({"doc_id": pa.array(np.arange(33, dtype=np.int64))}))
+    # default: tiny graph routes to the single-task union-find path
+    stats = {}
+    got = connected_components(edges, nodes, stats_out=stats).to_pandas()
+    assert (got["component"] == 0).all()
+    assert stats["path"] == "union-find-task"
+    assert stats["converged"] is True and stats["rounds"] == 0
+    # forced star rounds: O(log n) convergence, not O(diameter)=32
+    stats = {}
+    got2 = connected_components(
+        edges, nodes, stats_out=stats, small_edge_limit=0
+    ).to_pandas()
+    assert (got2["component"] == 0).all()
+    assert stats["path"] == "star-rounds"
+    assert stats["converged"] is True
+    assert 1 <= stats["rounds"] <= 10
+    assert len(stats["edge_rows"]) == stats["rounds"] + 1
+    assert all(isinstance(v, int) for v in stats["edge_rows"])
