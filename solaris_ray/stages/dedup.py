@@ -225,6 +225,22 @@ class MinHasher:
         )
 
 
+class _SigStage(MinHasher):
+    """map_batches body: text -> ONE (doc_id, sig) row per doc (no band
+    fan-out, no signature duplication)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        ids = batch[self.id_col].to_numpy()
+        shingles = word_shingles(batch[self.text_col], self.shingle_n)
+        sigs = [self.signature(s).astype(np.int64).tolist() for s in shingles]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "sig": pa.array(sigs, pa.list_(pa.int64())),
+            }
+        )
+
+
 def minhash_candidate_pairs(
     ds,
     n_perm: int = 64,
@@ -238,29 +254,66 @@ def minhash_candidate_pairs(
 ):
     """documents -> distinct near-dup candidate pairs with est. Jaccard.
 
-    ``groupby(band, key)`` co-shuffles band keys (tiny rows); buckets
-    larger than ``max_bucket`` are truncated — a huge bucket means a
-    degenerate key — and every truncation is LOGGED (warning with the
-    band key and dropped-row count; no silent caps).
-    Pair estimate = fraction of agreeing signature positions.
+    Shuffle-volume shape (round 4): signatures are computed ONCE per
+    doc (``_SigStage``, materialized — shingling dominates, recompute
+    would triple CPU); the LSH co-shuffle moves only (doc_id, band,
+    key) rows (~20 B each, not the 64-int signature on every band row —
+    an 8x volume cut); buckets emit id-only pairs; the Jaccard estimate
+    is computed after a cross-band DISTINCT by joining each pair's two
+    signatures back in (two bucketed hash joins over the sig table,
+    O(docs) rows each).  Buckets larger than ``max_bucket`` are
+    truncated — a huge bucket means a degenerate key — and every
+    truncation is LOGGED (warning with the band key and dropped-row
+    count; no silent caps).  Pair estimate = fraction of agreeing
+    signature positions (count/n_perm, exactly representable — output
+    is bit-identical to the carry-sigs plan).
     """
-    banded = ds.map_batches(
-        MinHasher(n_perm, bands, shingle_n, seed, text_col, id_col),
+    sigs = ds.map_batches(
+        _SigStage(n_perm, bands, shingle_n, seed, text_col, id_col),
         batch_format="pyarrow",
         batch_size=1024,
-    )
+    ).materialize()
 
-    def _bucket(group: pa.Table) -> pa.Table:
-        m = group.num_rows
-        empty = pa.table(
+    rows_per_band = n_perm // bands
+    weights = np.uint64(1099511628211) ** np.arange(rows_per_band, dtype=np.uint64)
+
+    def _band_keys(batch: pa.Table) -> pa.Table:
+        from .ann import list_col_to_matrix
+
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "key": pa.array([], pa.int64()),
+                }
+            )
+        sg = list_col_to_matrix(batch["sig"], np.int64).astype(np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        doc, band, key = [], [], []
+        for bi in range(bands):
+            sl = sg[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            bk = ((sl * weights[None, :]) % _MERSENNE).sum(axis=1) % _MERSENNE
+            doc.append(ids)
+            band.append(np.full(n, bi, dtype=np.int32))
+            key.append(bk.astype(np.int64))
+        return pa.table(
             {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64()),
+                "doc_id": pa.array(np.concatenate(doc), pa.int64()),
+                "band": pa.array(np.concatenate(band), pa.int32()),
+                "key": pa.array(np.concatenate(key), pa.int64()),
             }
         )
+
+    banded = sigs.map_batches(_band_keys, batch_format="pyarrow")
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def _bucket_ids(group: pa.Table) -> pa.Table:
+        m = group.num_rows
         if m < 2:
-            return empty
+            return pair_schema.empty_table()
         if m > max_bucket:
             import logging
 
@@ -270,28 +323,64 @@ def minhash_candidate_pairs(
             )
             group = group.slice(0, max_bucket)
             m = max_bucket
-        ids = group["doc_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        sigs = np.asarray(group["sig"].to_pylist(), dtype=np.int64)[order]
+        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
         ia, ib = np.triu_indices(m, k=1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        keep = est >= est_threshold
-        if not keep.any():
-            return empty
         return pa.table(
             {
-                "doc_a": pa.array(ids[ia[keep]], pa.int64()),
-                "doc_b": pa.array(ids[ib[keep]], pa.int64()),
-                "est_jaccard": pa.array(est[keep], pa.float64()),
+                "doc_a": pa.array(ids[ia], pa.int64()),
+                "doc_b": pa.array(ids[ib], pa.int64()),
             }
         )
 
-    pairs = banded.groupby(["band", "key"]).map_groups(_bucket, batch_format="pyarrow")
-    # distinct pairs (a pair can collide in several bands)
-    from ray.data.aggregate import Max
+    cand = (
+        banded.groupby(["band", "key"])
+        .map_groups(_bucket_ids, batch_format="pyarrow")
+        # cross-band distinct BEFORE the sig joins (a pair colliding in
+        # k bands would otherwise join its signatures k times)
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+    )
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard"))
+    from .relational import hash_join
+
+    sig_a = sigs.map_batches(
+        lambda b: pa.table({"ida": b["doc_id"], "sig_a": b["sig"]}),
+        batch_format="pyarrow",
+    )
+    sig_b = sigs.map_batches(
+        lambda b: pa.table({"idb": b["doc_id"], "sig_b": b["sig"]}),
+        batch_format="pyarrow",
+    )
+    j = hash_join(
+        hash_join(cand, sig_a, "doc_a", "ida", strategy="shuffle"),
+        sig_b, "doc_b", "idb", strategy="shuffle",
+    )
+
+    def _estimate(batch: pa.Table) -> pa.Table:
+        from .ann import list_col_to_matrix
+
+        out_schema = pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("max(est_jaccard)", pa.float64())]
+        )
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        sa = list_col_to_matrix(batch["sig_a"], np.int64)
+        sb = list_col_to_matrix(batch["sig_b"], np.int64)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= est_threshold
+        return pa.table(
+            {
+                "doc_a": pc.cast(batch["doc_a"], pa.int64()).filter(pa.array(keep)),
+                "doc_b": pc.cast(batch["doc_b"], pa.int64()).filter(pa.array(keep)),
+                # column name kept from the old carry-sigs plan (the
+                # per-band Max of an identical value) for gate parity
+                "max(est_jaccard)": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    return j.map_batches(_estimate, batch_format="pyarrow")
 
 
 # --- SimHash -------------------------------------------------------------
