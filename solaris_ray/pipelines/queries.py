@@ -970,11 +970,14 @@ def _smooth_pixels(k: int, w: int, h: int, color: bool) -> "np.ndarray":
     return np.stack([a, b, c], -1).clip(0, 255).astype(np.uint8)
 
 
-def _smooth_jpeg_images(sf_dir: str, limit: int):
+def _smooth_jpeg_images(sf_dir: str, limit: int, georef: bool = False):
     """part rows -> real baseline-JPEG rows (gray/RGB alternating,
     4:4:4 / 4:2:0 mixed) with dims derivable in SQL: w = 48*(1+k%2),
     h = 48*(1+k%3).  The pixel content is deterministic per k so any
-    downstream check can regenerate the pre-encode reference."""
+    downstream check can regenerate the pre-encode reference.
+    ``georef=True`` adds the unit-pixel geotransform + nodata + caption
+    columns the tiler consumes (same convention as
+    ``_formula_gray_images``)."""
     p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < limit)
 
     def _gen(batch: pa.Table) -> pa.Table:
@@ -992,17 +995,78 @@ def _smooth_jpeg_images(sf_dir: str, limit: int):
             bufs.append(jpeg_encode(img, quality=95, subsample=sub))
             ws.append(w)
             hs.append(h)
+        cols = {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(["jpeg"] * len(ids), pa.string()),
+        }
+        if georef:
+            ks = p.tolist()
+            cols["caption"] = pa.array([f"jpeg {k}" for k in ks], pa.string())
+            cols["gt_a"] = pa.array([1.0] * len(ks), pa.float64())
+            cols["gt_b"] = pa.array([0.0] * len(ks), pa.float64())
+            cols["gt_c"] = pa.array(
+                [float((k % GRID) * TILE) for k in ks], pa.float64())
+            cols["gt_d"] = pa.array([0.0] * len(ks), pa.float64())
+            cols["gt_e"] = pa.array([-1.0] * len(ks), pa.float64())
+            cols["gt_f"] = pa.array(
+                [float((k // GRID % GRID) * TILE + h)
+                 for k, h in zip(ks, hs)], pa.float64())
+            cols["nodata"] = pa.array([0.0] * len(ks), pa.float64())
+        return pa.table(cols)
+
+    return p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=64)
+
+
+def q_tiles_jpeg(sf_dir: str):
+    """Raster tiler over a REAL jpeg corpus (the input-hint ``fmt``
+    column end to end): smooth jpeg rows -> decode + window-slice +
+    re-encode through the SAME TileCutter as the flagship -> per-tile
+    BYTE-equality check against an independently computed twin: decode
+    the source jpeg, slice the same window, encode with the same codec
+    settings (the whole path is deterministic, so the tile's jpeg bytes
+    must match bit-for-bit).  Output (image_id, col, row, ok)."""
+    images = _smooth_jpeg_images(sf_dir, limit=60, georef=True)
+    tiles = tiler.cut_tiles(images, tile_size=48, batch_size=8)
+
+    def _check(batch: pa.Table) -> pa.Table:
+        from ..raster import codec as _codec
+        from ..raster.jpeg import jpeg_decode, jpeg_encode
+
+        out = {"image_id": [], "col": [], "row": [], "ok": []}
+        full_cache: dict[str, np.ndarray] = {}
+        for i in range(batch.num_rows):
+            img_id = batch["image_id"][i].as_py()
+            k = int(img_id.split("_")[1])
+            col = int(batch["col"][i].as_py())
+            row = int(batch["row"][i].as_py())
+            if img_id not in full_cache:
+                w = 48 * (1 + k % 2)
+                h = 48 * (1 + k % 3)
+                ref = _smooth_pixels(k, w, h, color=bool(k % 2))
+                sub = "420" if (k % 3 == 0 and k % 2) else "444"
+                full_cache[img_id] = jpeg_decode(
+                    jpeg_encode(ref, quality=95, subsample=sub))
+            full = full_cache[img_id]
+            want = full[row * 48:(row + 1) * 48, col * 48:(col + 1) * 48]
+            twin = _codec.encode(want, "jpeg")
+            got = batch["bytes"][i].as_py()
+            out["image_id"].append(img_id)
+            out["col"].append(col)
+            out["row"].append(row)
+            out["ok"].append(int(got == twin))
         return pa.table(
             {
-                "image_id": pa.array(ids, pa.string()),
-                "bytes": pa.array(bufs, pa.binary()),
-                "w": pa.array(ws, pa.int32()),
-                "h": pa.array(hs, pa.int32()),
-                "fmt": pa.array(["jpeg"] * len(ids), pa.string()),
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "col": pa.array(out["col"], pa.int64()),
+                "row": pa.array(out["row"], pa.int64()),
+                "ok": pa.array(out["ok"], pa.int64()),
             }
         )
 
-    return p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=64)
+    return tiles.map_batches(_check, batch_format="pyarrow", batch_size=32)
 
 
 def q_jpeg_roundtrip(sf_dir: str):
@@ -3203,6 +3267,7 @@ QUERIES = {
     # --- end of driver window; variants + remaining gates ------------
     "instance_masks": q_instance_masks,
     "jpeg_stats": q_jpeg_stats,
+    "tiles_jpeg": q_tiles_jpeg,
     "graph_geojson": q_graph_geojson,
     "tile_feature_join": q_tile_feature_join,
     "eval_rollup": q_eval_rollup,
@@ -3533,6 +3598,16 @@ SELECT 'img_' || CAST(p_partkey AS VARCHAR) AS image_id,
        CAST(48*(1 + p_partkey % 3) AS BIGINT) AS h,
        CAST(1 AS BIGINT) AS ok
 FROM part WHERE p_partkey < 80
+""",
+    "tiles_jpeg": """
+WITH img AS (SELECT p_partkey AS k, 48*(1 + p_partkey % 2) AS w,
+                    48*(1 + p_partkey % 3) AS h
+             FROM part WHERE p_partkey < 60)
+SELECT 'img_' || CAST(k AS VARCHAR) AS image_id,
+       CAST(c.i AS BIGINT) AS col, CAST(r.i AS BIGINT) AS row,
+       CAST(1 AS BIGINT) AS ok
+FROM img, range(0, 2) c(i), range(0, 3) r(i)
+WHERE c.i < w / 48 AND r.i < h / 48
 """,
     "jpeg_stats": """
 SELECT 'img_' || CAST(p_partkey AS VARCHAR) AS image_id,
