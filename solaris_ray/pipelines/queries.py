@@ -2825,6 +2825,68 @@ def q_fuzzy_dedup(sf_dir: str):
     return fuzzy_dedup(_read(sf_dir, "documents", ["doc_id", "text"])).sort("doc_id")
 
 
+def _saw_audio_rows(sf_dir: str, limit: int = 60):
+    """part rows -> real WAV PCM16 rows: integer sawtooth
+    s[i] = ((i*(k%7+3)) % 2001) - 1000, n = 4000*(1+k%2), rate 8000 —
+    every stat downstream is exact integer arithmetic the oracle
+    reproduces, while the Ray side exercises the real codec."""
+    p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < limit)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        from ..stages.audio import wav_encode
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < limit]
+        ids, bufs = [], []
+        for k in p.tolist():
+            n = 4000 * (1 + k % 2)
+            i = np.arange(n, dtype=np.int64)
+            s = ((i * (k % 7 + 3)) % 2001 - 1000).astype(np.int16)
+            ids.append(f"aud_{k}")
+            bufs.append(wav_encode(s, rate=8000))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+            }
+        )
+
+    return p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=64)
+
+
+def q_wav_stats(sf_dir: str):
+    """Real WAV/PCM decode (stages/audio.py — the audio stub closed for
+    the pure-struct container): sawtooth WAVs -> AudioStats actor stage
+    -> exact n_samples/rate/peak + 6-dp duration and RMS the DuckDB
+    oracle reproduces from the closed form."""
+    from ..stages import audio
+
+    rows = _saw_audio_rows(sf_dir, limit=60)
+    stats = rows.map_batches(audio.AudioStats(), batch_format="pyarrow",
+                             batch_size=16)
+    return stats.map_batches(
+        lambda b: b.select(
+            ["media_id", "n_samples", "rate", "duration6", "rms6", "peak"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_wav_clips(sf_dir: str):
+    """Audio window fan-out (AudioClips, the audio chipper): 0.25 s
+    tumbling clips, each re-encoded standalone; per-clip integer sample
+    sums are the content check the oracle enumerates."""
+    from ..stages import audio
+
+    rows = _saw_audio_rows(sf_dir, limit=40)
+    clips = rows.map_batches(audio.AudioClips(clip_s=0.25),
+                             batch_format="pyarrow", batch_size=16)
+    return clips.map_batches(
+        lambda b: b.select(["media_id", "clip_idx", "n_samples", "sample_sum"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_graph_geojson(sf_dir: str):
     """Streamed graph GeoJSON sink gate (VERDICT r3 weak #2 closed):
     build the road graph, stream nodes/edges to sharded per-block
@@ -3269,6 +3331,8 @@ QUERIES = {
     "jpeg_stats": q_jpeg_stats,
     "tiles_jpeg": q_tiles_jpeg,
     "graph_geojson": q_graph_geojson,
+    "wav_stats": q_wav_stats,
+    "wav_clips": q_wav_clips,
     "tile_feature_join": q_tile_feature_join,
     "eval_rollup": q_eval_rollup,
     "top_docs": q_top_docs,
@@ -3581,6 +3645,34 @@ SELECT 'img_' || CAST(p AS VARCHAR) || '_' || CAST(CAST(round(x0) AS BIGINT) AS 
        CAST(col AS BIGINT) AS col, CAST(row AS BIGINT) AS row,
        CAST(px_sum AS BIGINT) AS px_sum, CAST(n_zero AS BIGINT) AS n_zero
 FROM s
+""",
+    "wav_stats": """
+WITH a AS (SELECT p_partkey AS k, 4000*(1 + p_partkey % 2) AS n,
+                  (p_partkey % 7 + 3) AS f
+           FROM part WHERE p_partkey < 60),
+s AS (SELECT k, n, ((r.i * f) % 2001 - 1000) AS v
+      FROM a, range(0, 8000) r(i) WHERE r.i < n)
+SELECT 'aud_' || CAST(k AS VARCHAR) AS media_id,
+       CAST(n AS BIGINT) AS n_samples, CAST(8000 AS BIGINT) AS rate,
+       ROUND(CAST(n AS DOUBLE) / 8000, 6) AS duration6,
+       ROUND(SQRT(SUM(CAST(v AS DOUBLE) * v) / n), 6) AS rms6,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak
+FROM s GROUP BY k, n
+""",
+    "wav_clips": """
+WITH a AS (SELECT p_partkey AS k, 4000*(1 + p_partkey % 2) AS n,
+                  (p_partkey % 7 + 3) AS f
+           FROM part WHERE p_partkey < 40),
+c AS (SELECT k, n, f, r.i AS clip FROM a, range(0, 4) r(i)
+      WHERE r.i * 2000 < n),
+s AS (SELECT k, clip, ((r.i * f) % 2001 - 1000) AS v
+      FROM c, range(0, 8000) r(i)
+      WHERE r.i >= clip * 2000 AND r.i < (clip + 1) * 2000 AND r.i < n)
+SELECT 'aud_' || CAST(k AS VARCHAR) AS media_id,
+       CAST(clip AS BIGINT) AS clip_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sample_sum
+FROM s GROUP BY k, clip
 """,
     "graph_geojson": """
 WITH v AS (SELECT DISTINCT ((o_orderkey*7 + r.j*13) % 40) AS gx,

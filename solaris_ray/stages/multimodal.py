@@ -8,8 +8,10 @@ no image/audio libraries, so:
 - formats this repo's own codec handles (``png``, ``qnt``, ``jpeg`` —
   a real pure-Python baseline JPEG codec lives in
   solaris_ray.raster.jpeg) decode for real (solaris_ray.raster.codec);
-- remaining foreign formats (``webp``, audio, video) go through a
-  clearly marked STUB: ``strict=True`` raises NotImplementedError,
+- WAV/PCM audio decodes for real too (solaris_ray.stages.audio — a
+  pure-struct RIFF container);
+- remaining foreign formats (``webp``, compressed audio, video) go
+  through a clearly marked STUB: ``strict=True`` raises NotImplementedError,
   ``strict=False`` produces a deterministic fake decode (seeded from
   the payload digest) so the Ray-side plumbing — schema, batch sizing,
   actor signature, output layout — is real and testable end-to-end.
