@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 
 from ..geom import cells
 from ..stages import ann, dedup, knn, pip, text, tiler
-from ..stages.joins import broadcast_spatial_join
+from ..stages.joins import broadcast_spatial_join, spatial_join_tasks
 
 GRID = 50
 TILE = 64.0
@@ -1258,7 +1258,7 @@ def q_masks_pipeline(sf_dir: str):
         sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 800
     ).map_batches(_part_images_px, batch_format="pyarrow", batch_size=4096)
     specs = tiler.plan_tiles_ds(images, tile_size=64)
-    joined = broadcast_spatial_join(specs, _customer_rects(sf_dir, limit=4000))
+    joined = spatial_join_tasks(specs, _customer_rects(sf_dir, limit=4000))
     mk = masks_stage.masks_from_join(
         joined, tile_size=64, boundary_width=3, contact_spacing=10
     )
@@ -1301,7 +1301,7 @@ def q_road_masks(sf_dir: str):
             "maxy": pa.array(ys),
         }
     )
-    joined = broadcast_spatial_join(specs, roads)
+    joined = spatial_join_tasks(specs, roads)
     mk = masks_stage.masks_from_join(joined, tile_size=64, road_width=4)
     return mk.map_batches(
         lambda b: b.select(["tile_id", "n_features", "road_px", "footprint_px"]),
@@ -1318,7 +1318,7 @@ def q_instance_masks(sf_dir: str):
         sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 800
     ).map_batches(_part_images_px, batch_format="pyarrow", batch_size=4096)
     specs = tiler.plan_tiles_ds(images, tile_size=64)
-    joined = broadcast_spatial_join(specs, _customer_rects(sf_dir, limit=4000))
+    joined = spatial_join_tasks(specs, _customer_rects(sf_dir, limit=4000))
     inst = masks_stage.instance_masks(joined, tile_size=64)
     return inst.map_batches(
         lambda b: b.select(["tile_id", "feature_id", "mask_px"]),
@@ -1711,7 +1711,7 @@ def q_polygonize(sf_dir: str):
             "maxy": pa.array(cy + hh),
         }
     )
-    joined = broadcast_spatial_join(specs, feats)
+    joined = spatial_join_tasks(specs, feats)
     mk = masks_stage.masks_from_join(joined, tile_size=64)
     polys = pz.masks_to_polygons(mk, mask_col="footprint", min_area=4.0)
     return polys.map_batches(
@@ -2328,11 +2328,11 @@ def q_pixel_eval(sf_dir: str):
     ).map_batches(_part_images_px, batch_format="pyarrow", batch_size=4096)
     specs = tiler.plan_tiles_ds(images, tile_size=64)
     truth = masks_stage.masks_from_join(
-        broadcast_spatial_join(specs, _in_cell_rects(sf_dir)), tile_size=64
+        spatial_join_tasks(specs, _in_cell_rects(sf_dir)), tile_size=64
     ).select_columns(["tile_id", "footprint"])
     specs2 = tiler.plan_tiles_ds(images, tile_size=64)
     pred = masks_stage.masks_from_join(
-        broadcast_spatial_join(specs2, _in_cell_rects(sf_dir, shift_x=4.0)), tile_size=64
+        spatial_join_tasks(specs2, _in_cell_rects(sf_dir, shift_x=4.0)), tile_size=64
     ).select_columns(["tile_id", "footprint"])
 
     # grouped pairing (no driver materialization of mask bytes): each

@@ -61,12 +61,27 @@ def rasterize_rings(
 def _fill_ring(out: np.ndarray, ring: np.ndarray, value, h: int, w: int) -> None:
     x0 = ring[:, 0]
     y0 = ring[:, 1]
-    x1 = np.roll(x0, -1)
-    y1 = np.roll(y0, -1)
+    # manual roll: np.roll's axis normalization costs more than the
+    # whole fill on small rings
+    x1 = np.empty_like(x0)
+    x1[:-1] = x0[1:]
+    x1[-1] = x0[0]
+    y1 = np.empty_like(y0)
+    y1[:-1] = y0[1:]
+    y1[-1] = y0[0]
     ymin = max(int(np.ceil(y0.min() - 0.5)), 0)
     ymax = min(int(np.floor(y0.max() - 0.5)) + 1, h)  # exclusive
     if ymax <= ymin:
         return
+    # window the parity accumulator to the ring's x-extent: crossings
+    # can only toggle inside it, and parity left of it is 0 — a small
+    # footprint on a wide tile otherwise pays O(rows * W) cumsum per
+    # ring for O(rows * footprint) of actual work
+    wx0 = max(int(np.ceil(x0.min() - 0.5)), 0)
+    wx1 = min(int(np.ceil(x0.max() - 0.5)) + 1, w)  # exclusive
+    if wx1 <= wx0:
+        return
+    ww = wx1 - wx0
     rows = np.arange(ymin, ymax)
     ys = rows + 0.5
     # edges crossing each scanline (half-open [min, max) to handle vertices)
@@ -74,7 +89,7 @@ def _fill_ring(out: np.ndarray, ring: np.ndarray, value, h: int, w: int) -> None
     ehi = np.maximum(y0, y1)
     nonhoriz = ehi > elo
     # diff-array fill: +1 at span start pixel, -1 at span end pixel
-    acc = np.zeros((len(rows), w + 1), dtype=np.int32)
+    acc = np.zeros((len(rows), ww + 1), dtype=np.int32)
     for e in np.nonzero(nonhoriz)[0]:
         m = (ys >= elo[e]) & (ys < ehi[e])
         if not m.any():
@@ -83,10 +98,10 @@ def _fill_ring(out: np.ndarray, ring: np.ndarray, value, h: int, w: int) -> None
         ri = rows[m] - ymin
         # crossing toggles parity at pixel index ceil(x - 0.5)
         px = np.ceil(xint - 0.5).astype(np.int64)
-        px = np.clip(px, 0, w)
+        px = np.clip(px, wx0, wx1) - wx0
         np.add.at(acc, (ri, px), 1)
     inside = (np.cumsum(acc[:, :-1], axis=1) % 2) == 1
-    sub = out[ymin:ymax]
+    sub = out[ymin:ymax, wx0:wx1]
     sub[inside] = value
 
 

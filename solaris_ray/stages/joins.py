@@ -578,6 +578,29 @@ def build_join_index(features: pa.Table, cell_res: int | None = None):
     return pack, build_buckets(pack, cell_res), cell_res
 
 
+def spatial_join_tasks(
+    tile_specs,
+    features: pa.Table,
+    cell_res: int | None = None,
+    min_partial_perc: float = 0.0,
+    out_columns: list[str] | None = None,
+    batch_size: int | None = 256,
+):
+    """Convenience wrapper: build the broadcast index once, ``ray.put``
+    it, and run the TASK-mode join (``broadcast_spatial_join_tasks``)
+    — bit-identical rows to ``broadcast_spatial_join`` (parity-tested)
+    without the per-execution actor-pool spin-up, which dominates
+    short gate pipelines (~3-5 s fixed regardless of width)."""
+    import ray
+
+    index_ref = ray.put(build_join_index(features, cell_res))
+    return broadcast_spatial_join_tasks(
+        tile_specs, index_ref=index_ref,
+        min_partial_perc=min_partial_perc,
+        out_columns=out_columns, batch_size=batch_size,
+    )
+
+
 def broadcast_spatial_join(
     tile_specs,
     features: pa.Table | None = None,

@@ -187,23 +187,65 @@ def tile_masks(
     )
 
 
-def masks_from_join(joined, tile_size: int = 128, **kwargs):
+def masks_from_join(joined, tile_size: int = 128, n_buckets: int = 64, **kwargs):
     """tile_features Dataset -> masks Dataset (one row per tile).
 
     The join output must carry tile bounds; if it doesn't, join them
-    back by tile_id first.  The groupby is the mask shuffle of
-    SURVEY.md §7.3 (key = tile_id).
+    back by tile_id first.  The shuffle groups on a HASH BUCKET of
+    tile_id (all rows of a tile land in one bucket) and each bucket
+    call loops its tiles — ~n_buckets group dispatches instead of one
+    Python ``map_groups`` call per tile (the same bucket-dispatch fix
+    as the CC star rounds; per-tile dispatch dominated the wall at
+    thousands of small tiles).
     """
-    return joined.groupby("tile_id").map_groups(
-        lambda g: tile_masks(g, tile_size=tile_size, **kwargs),
-        batch_format="pyarrow",
+    import zlib
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        tid = batch["tile_id"].to_pylist()
+        kb = np.array(
+            [zlib.crc32(t.encode("utf-8")) % n_buckets for t in tid], np.int64
+        )
+        return batch.append_column("_mb", pa.array(kb, pa.int64()))
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_mb"])
+        if group.num_rows == 0:
+            return tile_masks(group, tile_size=tile_size, **kwargs)
+        tid = np.asarray(group["tile_id"].to_pylist(), object)
+        order = np.argsort(tid, kind="stable")
+        group = group.take(pa.array(order))
+        tid = tid[order]
+        new = np.r_[True, tid[1:] != tid[:-1]]
+        starts = np.flatnonzero(new).tolist() + [len(tid)]
+        parts = [
+            tile_masks(group.slice(starts[i], starts[i + 1] - starts[i]),
+                       tile_size=tile_size, **kwargs)
+            for i in range(len(starts) - 1)
+        ]
+        return pa.concat_tables(parts)
+
+    return (
+        joined.map_batches(_tag, batch_format="pyarrow")
+        # the groupby sort inherits the input block count; a join that
+        # materialized to one block would otherwise run every bucket's
+        # rasterization in ONE task (measured serial: 8.7 s of kernel
+        # at 32 cpus) — spread rows first so map_groups fans out
+        .repartition(n_buckets)
+        .groupby("_mb")
+        .map_groups(_bucket, batch_format="pyarrow")
     )
 
 
-def instance_masks(joined, tile_size: int = 128, burn_value: int = 255, out_fmt: str = "png"):
+def instance_masks(joined, tile_size: int = 128, burn_value: int = 255,
+                   out_fmt: str = "png", n_blocks: int = 64):
     """One row per (tile, feature) with that feature's own mask —
     the sparse-row replacement for instance_mask's [Y,X,n] ndarray
-    (solaris/vector/mask.py:845-976; SURVEY.md §7.4 wide-row note)."""
+    (solaris/vector/mask.py:845-976; SURVEY.md §7.4 wide-row note).
+
+    The input is repartitioned first: a join that materialized to one
+    block would rasterize every instance in ONE task (task granularity
+    is blocks, not batches)."""
+    joined = joined.repartition(n_blocks)
 
     def _one(batch: pa.Table) -> pa.Table:
         out = {
