@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "ingest_dedup",
     "label_vote",
     "group_quantiles",
+    # round-4: real MJPEG-AVI video (index-seek frame sampling)
+    "video_frames",
 ]
 
 

@@ -2887,6 +2887,104 @@ def q_wav_clips(sf_dir: str):
     )
 
 
+def _smooth_frame(k: int, w: int, h: int, f: int) -> "np.ndarray":
+    """Deterministic smooth RGB frame for the MJPEG-AVI gates — the
+    jpeg gates' _smooth_pixels with a per-frame phase shift so motion
+    is real but stays DCT-friendly (PSNR bar assumes natural-ish
+    data)."""
+    yy, xx = np.indices((h, w), dtype=np.float64)
+    a = 128 + 90 * np.sin(xx / 23 + k + 0.3 * f) * np.cos(yy / 17 + 0.5 * k)
+    b = 128 + 80 * np.cos(xx / 31 + k) * np.sin(yy / 13 + k + 0.2 * f)
+    c = 128 + 70 * np.sin((xx + yy) / 19 + 2 * k + 0.1 * f)
+    return np.stack([a, b, c], -1).clip(0, 255).astype(np.uint8)
+
+
+def _mjpeg_video_rows(sf_dir: str, limit: int = 40):
+    """part rows -> real MJPEG-AVI rows: clip k has 4 + k%4 smooth
+    48x32 RGB frames at 5 fps, each frame a standalone baseline JPEG
+    inside the RIFF container (stages/video.py) — every metadata field
+    downstream is exact container arithmetic the oracle reproduces,
+    while the Ray side exercises the real codec end to end."""
+    p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < limit)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        from ..stages.video import avi_encode
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < limit]
+        ids, bufs = [], []
+        for k in p.tolist():
+            n = 4 + k % 4
+            frames = [_smooth_frame(k, 48, 32, f) for f in range(n)]
+            ids.append(f"vid_{k}")
+            bufs.append(avi_encode(frames, fps=5, quality=95))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "fmt": pa.array(["avi"] * len(ids), pa.string()),
+            }
+        )
+
+    return p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=64)
+
+
+def q_video_stats(sf_dir: str):
+    """Real MJPEG-AVI container parse (stages/video.py — the video stub
+    closed round 4): VideoStats reads n_frames/dims/fps/duration from
+    the avih header + frame index WITHOUT decoding a single frame —
+    the metadata pass a 100 TB corpus scan would run."""
+    from ..stages import video
+
+    rows = _mjpeg_video_rows(sf_dir, limit=40)
+    stats = rows.map_batches(video.VideoStats(), batch_format="pyarrow",
+                             batch_size=16)
+    return stats.map_batches(
+        lambda b: b.select(["media_id", "n_frames", "w", "h", "fps", "duration6"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_video_frames(sf_dir: str):
+    """Real video frame sampling: FrameSampler(every_k=2) seeks each
+    sampled frame by the container index (unsampled frames never
+    decode), JPEG-decodes it, re-encodes PNG; the gate then decodes
+    that PNG and scores PSNR >= 40 vs the closed-form pre-encode frame.
+    Output (media_id, frame_idx, w, h, ok); the oracle enumerates the
+    sampled index grid with ok = 1."""
+    from ..raster import codec as _codec
+    from ..stages import multimodal
+
+    rows = _mjpeg_video_rows(sf_dir, limit=30)
+    frames = rows.map_batches(
+        multimodal.FrameSampler(every_k=2, out_fmt="png", strict=True),
+        batch_format="pyarrow", batch_size=8,
+    )
+
+    def _check(batch: pa.Table) -> pa.Table:
+        out_ok = []
+        for i in range(batch.num_rows):
+            mid = batch["media_id"][i].as_py()
+            k = int(mid.split("_")[1])
+            fi = int(batch["frame_idx"][i].as_py())
+            ref = _smooth_frame(k, 48, 32, fi)
+            dec = _codec.decode(batch["bytes"][i].as_py(), "png")
+            ok = int(dec.shape[:2] == (32, 48) and _codec.psnr(ref, dec) >= 40.0)
+            out_ok.append(ok)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame_idx": pa.array(
+                    batch["frame_idx"].to_numpy().astype(np.int64)),
+                "w": pa.array(batch["w"].to_numpy().astype(np.int64)),
+                "h": pa.array(batch["h"].to_numpy().astype(np.int64)),
+                "ok": pa.array(out_ok, pa.int64()),
+            }
+        )
+
+    return frames.map_batches(_check, batch_format="pyarrow", batch_size=64)
+
+
 def q_graph_geojson(sf_dir: str):
     """Streamed graph GeoJSON sink gate (VERDICT r3 weak #2 closed):
     build the road graph, stream nodes/edges to sharded per-block
@@ -3333,6 +3431,8 @@ QUERIES = {
     "graph_geojson": q_graph_geojson,
     "wav_stats": q_wav_stats,
     "wav_clips": q_wav_clips,
+    "video_stats": q_video_stats,
+    "video_frames": q_video_frames,
     "tile_feature_join": q_tile_feature_join,
     "eval_rollup": q_eval_rollup,
     "top_docs": q_top_docs,
@@ -3673,6 +3773,24 @@ SELECT 'aud_' || CAST(k AS VARCHAR) AS media_id,
        CAST(COUNT(*) AS BIGINT) AS n_samples,
        CAST(SUM(v) AS BIGINT) AS sample_sum
 FROM s GROUP BY k, clip
+""",
+    "video_stats": """
+SELECT 'vid_' || CAST(p_partkey AS VARCHAR) AS media_id,
+       CAST(4 + p_partkey % 4 AS BIGINT) AS n_frames,
+       CAST(48 AS BIGINT) AS w, CAST(32 AS BIGINT) AS h,
+       CAST(5 AS BIGINT) AS fps,
+       ROUND((4 + p_partkey % 4) * 0.2, 6) AS duration6
+FROM part WHERE p_partkey < 40
+""",
+    "video_frames": """
+WITH a AS (SELECT p_partkey AS k, 4 + p_partkey % 4 AS n
+           FROM part WHERE p_partkey < 30)
+SELECT 'vid_' || CAST(k AS VARCHAR) AS media_id,
+       CAST(r.i AS BIGINT) AS frame_idx,
+       CAST(48 AS BIGINT) AS w, CAST(32 AS BIGINT) AS h,
+       CAST(1 AS BIGINT) AS ok
+FROM a, range(0, 8) r(i)
+WHERE r.i < n AND r.i % 2 = 0
 """,
     "graph_geojson": """
 WITH v AS (SELECT DISTINCT ((o_orderkey*7 + r.j*13) % 40) AS gx,

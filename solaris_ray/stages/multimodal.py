@@ -10,7 +10,11 @@ no image/audio libraries, so:
   solaris_ray.raster.jpeg) decode for real (solaris_ray.raster.codec);
 - WAV/PCM audio decodes for real too (solaris_ray.stages.audio — a
   pure-struct RIFF container);
-- remaining foreign formats (``webp``, compressed audio, video) go
+- MJPEG-AVI video decodes for real (solaris_ray.stages.video — RIFF
+  container + per-frame JPEG through raster/jpeg.py), with sampled
+  frames seeked by index so unsampled frames never decode;
+- remaining foreign formats (``webp``, compressed audio, inter-frame
+  video codecs) go
   through a clearly marked STUB: ``strict=True`` raises NotImplementedError,
   ``strict=False`` produces a deterministic fake decode (seeded from
   the payload digest) so the Ray-side plumbing — schema, batch sizing,
@@ -142,13 +146,19 @@ class ImageStats:
 
 
 class FrameSampler:
-    """Actor-pool stage for video rows: sample every k-th frame (STUB).
+    """Actor-pool stage for video rows: sample every k-th frame.
 
     Expects ``(media_id, bytes, fmt, n_frames, w, h)``; emits one row
-    per sampled frame with a fake-decoded frame payload.  The Ray
-    plumbing (1 row -> many rows fan-out, binary passthrough, frame
-    index column) is real; only the bitstream parsing is stubbed.
+    per sampled frame.  ``fmt`` in {"avi", "mjpeg"} decodes for REAL
+    (stages/video.py MJPEG-AVI container + the in-repo JPEG codec) and
+    — scale-critical — decodes ONLY the sampled frames, seeking by the
+    container's frame index rather than decoding the whole clip.
+    Foreign codecs (h264/vp9/...) keep the documented stub path:
+    ``strict=True`` raises, else a deterministic fake frame so the
+    fan-out plumbing stays testable.
     """
+
+    REAL_FMTS = ("avi", "mjpeg")
 
     def __init__(self, every_k: int = 10, out_fmt: str = "png", strict: bool = False):
         self.every_k = every_k
@@ -156,15 +166,35 @@ class FrameSampler:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import video as _video
+
         out = {"media_id": [], "frame_idx": [], "bytes": [], "w": [], "h": [], "fmt": []}
+        has_fmt = "fmt" in batch.column_names
         for i in range(batch.num_rows):
+            buf = batch["bytes"][i].as_py()
+            mid = batch["media_id"][i].as_py()
+            fmt = batch["fmt"][i].as_py() if has_fmt else "avi"
+            if fmt in self.REAL_FMTS:
+                info = _video.avi_info(buf)
+                ranges = _video.avi_frame_ranges(buf)
+                w, h = info["w"], info["h"]
+                for fi in range(0, info["n_frames"], self.every_k):
+                    frame = _video.avi_decode_frame(buf, fi, ranges)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["bytes"].append(codec.encode(
+                        frame.squeeze(-1) if frame.shape[2] == 1 else frame,
+                        self.out_fmt))
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["fmt"].append(self.out_fmt)
+                continue
             if self.strict:
-                raise NotImplementedError("no video codec in this environment (stub)")
+                raise NotImplementedError(
+                    f"no {fmt} video codec in this environment (stub)")
             n_frames = int(batch["n_frames"][i].as_py())
             w = int(batch["w"][i].as_py())
             h = int(batch["h"][i].as_py())
-            buf = batch["bytes"][i].as_py()
-            mid = batch["media_id"][i].as_py()
             for fi in range(0, n_frames, self.every_k):
                 frame = _fake_decode(buf + fi.to_bytes(4, "little"), w, h)
                 out["media_id"].append(mid)
