@@ -714,26 +714,47 @@ def _tag_features_with_cells(batch: pa.Table, cell_res: int) -> pa.Table:
 
 
 def _retag_hot(rows_cells: tuple[np.ndarray, np.ndarray], minx, miny, maxx, maxy,
-               hot: frozenset, cell_res: int) -> tuple[np.ndarray, np.ndarray]:
-    """Replace assignments to hot cells by res+1 child assignments.
+               hot, cell_res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Replace assignments to hot cells by finer child assignments.
 
-    Exactly-once emission survives mixed resolutions because the
-    per-group owner test (_join_group) derives the resolution from the
-    group's own cell id: the pair is emitted only by the group whose
-    cell (at ITS resolution) contains the intersection's min corner.
+    ``hot`` maps cell id -> split depth (a frozenset is accepted as
+    depth-1 everywhere for backward compatibility).  Splits can go
+    MULTIPLE levels: a cell holding 100x the target density descends
+    log4(ratio) levels in one step, so a dense AOI can't leave a
+    monster group behind (one level only quarters it).  Exactly-once
+    emission survives mixed resolutions because the per-group owner
+    test derives the resolution from the group's own cell id: the pair
+    is emitted only by the group whose cell (at ITS resolution)
+    contains the intersection's min corner.
     """
     rows, cc = rows_cells
-    is_hot = np.isin(cc, np.fromiter(hot, dtype=np.uint64)) if hot else np.zeros(len(cc), bool)
-    if not is_hot.any():
+    if not hot:
         return rows, cc
-    keep_r, keep_c = rows[~is_hot], cc[~is_hot]
-    hrows = rows[is_hot]
-    r2, c2 = cells.cover_bboxes(minx[hrows], miny[hrows], maxx[hrows], maxy[hrows], cell_res + 1)
-    # keep only children whose parent is the hot cell being split
-    parent = cells.cell_parent(c2, cell_res)
-    orig = cc[is_hot][r2]
-    m = parent == orig
-    return np.concatenate([keep_r, hrows[r2[m]]]), np.concatenate([keep_c, c2[m]])
+    if not isinstance(hot, dict):
+        hot = {c: 1 for c in hot}
+    hc = np.fromiter(hot.keys(), dtype=np.uint64, count=len(hot))
+    hl = np.fromiter(hot.values(), dtype=np.int64, count=len(hot))
+    order = np.argsort(hc)
+    hc, hl = hc[order], hl[order]
+    pos = np.searchsorted(hc, cc)
+    posc = np.minimum(pos, len(hc) - 1)
+    lv = np.where(hc[posc] == cc, hl[posc], 0)
+    if not (lv > 0).any():
+        return rows, cc
+    out_r, out_c = [rows[lv == 0]], [cc[lv == 0]]
+    for L in np.unique(lv[lv > 0]):
+        m = lv == L
+        hrows = rows[m]
+        r2, c2 = cells.cover_bboxes(
+            minx[hrows], miny[hrows], maxx[hrows], maxy[hrows], cell_res + int(L)
+        )
+        # keep only children whose ancestor is the hot cell being split
+        parent = cells.cell_parent(c2, cell_res)
+        orig = cc[m][r2]
+        keep = parent == orig
+        out_r.append(hrows[r2[keep]])
+        out_c.append(c2[keep])
+    return np.concatenate(out_r), np.concatenate(out_c)
 
 
 def cell_partitioned_join(
@@ -743,6 +764,8 @@ def cell_partitioned_join(
     min_partial_perc: float = 0.0,
     hot_cell_factor: float = 8.0,
     hist_sample: float = 0.25,
+    nbuckets: int = 64,
+    max_cell_feats: int = 512,
 ):
     """Both-sides-large spatial join via groupby(cell) co-shuffle.
 
@@ -756,6 +779,13 @@ def cell_partitioned_join(
     sizes stay bounded without changing RESULTS (owner-cell dedup is
     resolution-aware; the hot set only shapes the physical plan, so
     sampling error costs at most balance, never correctness).
+
+    DISPATCH: groups shuffle by ``hash(cell) % nbuckets``, not by raw
+    cell — one Python call handles a whole bucket of cells, with pair
+    candidates generated vectorized across every cell segment at once
+    (the same block-granularity lesson as the mask family: per-cell
+    ``map_groups`` paid one dispatch + kernel setup per cell, which
+    dominated wall time once cells outnumbered cores by 100x).
     """
     # pass 0: sampled feature-count histogram -> hot-cell set (tiny,
     # driver-side); deterministic hash sampling so plans are stable
@@ -776,12 +806,20 @@ def cell_partitioned_join(
         .aggregate(Count())
         .to_pandas()
     )
-    hot: frozenset = frozenset()
+    # hot triggers: RELATIVE (skew vs the median cell) or ABSOLUTE
+    # (more than max_cell_feats features regardless of skew — a
+    # uniformly dense AOI makes every cell a monster and the median
+    # test alone never fires).  Depth = log4(est / target) so one
+    # split lands at the target density instead of quartering a
+    # 100x-over cell and leaving 25x behind.
+    hot: dict = {}
     if len(hist):
-        med = max(1.0, float(hist["count()"].median()))
-        hot = frozenset(
-            np.uint64(c) for c in hist.loc[hist["count()"] > hot_cell_factor * med, "cell"]
-        )
+        est = hist["count()"].to_numpy() / max(1e-9, min(1.0, hist_sample))
+        med = max(1.0, float(np.median(est)))
+        is_hot = (est > hot_cell_factor * med) | (est > max_cell_feats)
+        for c, e in zip(hist.loc[is_hot, "cell"].to_numpy(), est[is_hot]):
+            depth = int(np.ceil(np.log(max(e, 1.0) / max_cell_feats) / np.log(4.0)))
+            hot[np.uint64(c)] = min(6, max(1, depth))
 
     def _tag_feats(batch: pa.Table) -> pa.Table:
         minx = batch["minx"].to_numpy()
@@ -813,21 +851,47 @@ def cell_partitioned_join(
 
     tiles_tagged = tile_specs.map_batches(_tag_tiles, batch_format="pyarrow", batch_size=8192)
 
-    # co-group: union with a side tag; schemas aligned with nulls
+    # co-group: union with a side tag; schemas aligned with nulls.
+    # Shuffle key is hash(cell) % nbuckets so dispatch cost is per
+    # BUCKET; cells never split across buckets, so owner-cell dedup
+    # semantics are untouched.
     t_side = tiles_tagged.map_batches(
-        lambda b: _pad_side(b, 0), batch_format="pyarrow", batch_size=8192
+        lambda b: _add_bucket(_pad_side(b, 0), nbuckets),
+        batch_format="pyarrow", batch_size=8192,
     )
     f_side = feats_tagged.map_batches(
-        lambda b: _pad_side(b, 1), batch_format="pyarrow", batch_size=8192
+        lambda b: _add_bucket(_pad_side(b, 1), nbuckets),
+        batch_format="pyarrow", batch_size=8192,
     )
     both = t_side.union(f_side)
+    # the groupby's sort inherits the input block count (often tiny
+    # here: a handful of map blocks per side), which would cap group
+    # dispatch parallelism — fan the union out to nbuckets blocks
+    # first so every bucket can run as its own task
+    both = both.repartition(nbuckets)
 
-    def _join_group(group: pa.Table) -> pa.Table:
+    def _join_bucket(group: pa.Table) -> pa.Table:
         side = group["side"].to_numpy()
         tiles = group.filter(pa.array(side == 0))
         feats = group.filter(pa.array(side == 1))
         if tiles.num_rows == 0 or feats.num_rows == 0:
             return _out_to_table(_empty_out())
+        # sort each side by cell; per-cell segments become slices
+        cell_t = tiles["cell"].to_numpy().astype(np.uint64)
+        cell_f = feats["cell"].to_numpy().astype(np.uint64)
+        ot = np.argsort(cell_t, kind="stable")
+        of = np.argsort(cell_f, kind="stable")
+        tiles = tiles.take(pa.array(ot))
+        feats = feats.take(pa.array(of))
+        cell_t, cell_f = cell_t[ot], cell_f[of]
+        uct, t_off, t_cnt = np.unique(cell_t, return_index=True, return_counts=True)
+        ucf, f_off, f_cnt = np.unique(cell_f, return_index=True, return_counts=True)
+        common, it, jf = np.intersect1d(uct, ucf, assume_unique=True,
+                                        return_indices=True)
+        if common.size == 0:
+            return _out_to_table(_empty_out())
+        t_off, t_cnt = t_off[it].astype(np.int64), t_cnt[it].astype(np.int64)
+        f_off, f_cnt = f_off[jf].astype(np.int64), f_cnt[jf].astype(np.int64)
         ftbl = pa.table(
             {
                 "feature_id": feats["feature_id"],
@@ -842,31 +906,80 @@ def cell_partitioned_join(
             }
         )
         pack = FeaturePack.from_arrow(ftbl)
-        # within one cell: vectorized (tiles x feats) bbox prefilter,
-        # then the SAME batched clip kernel as the broadcast join
         x0 = tiles["x0"].to_numpy()
         y0 = tiles["y0"].to_numpy()
         x1 = tiles["x1"].to_numpy()
         y1 = tiles["y1"].to_numpy()
-        this_cell = int(tiles["cell"][0].as_py())
         b = pack.bbox
-        hit = (
-            (b[None, :, 0] < x1[:, None])
-            & (b[None, :, 2] > x0[:, None])
-            & (b[None, :, 1] < y1[:, None])
-            & (b[None, :, 3] > y0[:, None])
-        )
-        pt, pf = np.nonzero(hit)
+        # candidate generation, memory-bounded at ~CHUNK pairs live:
+        # small cells batch into flat vectorized chunks (int64 index
+        # math); a monster cell (dense AOI where salting wasn't enough)
+        # switches to a dense boolean slab scan — 1 byte per candidate
+        # instead of 5 int64 arrays, the same kernel the per-cell
+        # dispatch used, so worst-case memory is CHUNK bytes, not 40x.
+        CHUNK = 1 << 22
+        pairs_per = t_cnt * f_cnt
+        S = common.size
+        sur_pt, sur_pf, sur_pc = [], [], []
+        i = 0
+        while i < S:
+            if pairs_per[i] > CHUNK:
+                t0s, tcs = int(t_off[i]), int(t_cnt[i])
+                f0s, fcs = int(f_off[i]), int(f_cnt[i])
+                bb = b[f0s:f0s + fcs]
+                slab = max(1, CHUNK // max(1, fcs))
+                for s0 in range(0, tcs, slab):
+                    tt = slice(t0s + s0, t0s + min(s0 + slab, tcs))
+                    hit = (
+                        (bb[None, :, 0] < x1[tt][:, None])
+                        & (bb[None, :, 2] > x0[tt][:, None])
+                        & (bb[None, :, 1] < y1[tt][:, None])
+                        & (bb[None, :, 3] > y0[tt][:, None])
+                    )
+                    lt, lf = np.nonzero(hit)
+                    sur_pt.append(lt + (t0s + s0))
+                    sur_pf.append(lf + f0s)
+                    sur_pc.append(np.full(len(lt), common[i], dtype=np.uint64))
+                i += 1
+                continue
+            j, tot = i, 0
+            while j < S and pairs_per[j] <= CHUNK and tot + pairs_per[j] <= CHUNK:
+                tot += int(pairs_per[j])
+                j += 1
+            pp = pairs_per[i:j]
+            seg = np.repeat(np.arange(i, j), pp)
+            base = np.cumsum(pp) - pp
+            within = np.arange(int(pp.sum()), dtype=np.int64) - base[seg - i]
+            fcs = f_cnt[seg]
+            cpt = t_off[seg] + within // fcs
+            cpf = f_off[seg] + within % fcs
+            hit = (
+                (b[cpf, 0] < x1[cpt]) & (b[cpf, 2] > x0[cpt])
+                & (b[cpf, 1] < y1[cpt]) & (b[cpf, 3] > y0[cpt])
+            )
+            sur_pt.append(cpt[hit])
+            sur_pf.append(cpf[hit])
+            sur_pc.append(common[seg][hit])
+            i = j
+        if not sur_pt:
+            return _out_to_table(_empty_out())
+        pt = np.concatenate(sur_pt).astype(np.int64)
+        pf = np.concatenate(sur_pf).astype(np.int64)
+        pcell = np.concatenate(sur_pc)
         if len(pt) == 0:
             return _out_to_table(_empty_out())
         # dedup guard: emit a (tile, feature) pair only in the cell that
         # owns the intersection's min corner, so replicated copies on
-        # both sides can't double-count
+        # both sides can't double-count (res-aware for salted cells)
         ix0 = np.maximum(b[pf, 0], x0[pt])
         iy0 = np.maximum(b[pf, 1], y0[pt])
-        owner = cells.cell_of_point(ix0, iy0, _cell_res_of(this_cell)).astype(np.int64)
-        keep = owner == this_cell
-        pt, pf = pt[keep], pf[keep]
+        res = (pcell >> np.uint64(58)).astype(np.int64)
+        owner = np.empty(len(pt), dtype=np.uint64)
+        for r in np.unique(res):
+            m = res == r
+            owner[m] = cells.cell_of_point(ix0[m], iy0[m], int(r))
+        keep = owner == pcell
+        pt, pf, pcell = pt[keep], pf[keep], pcell[keep]
         if len(pt) == 0:
             return _out_to_table(_empty_out())
         tid_arr = tiles["tile_id"].combine_chunks()
@@ -874,12 +987,19 @@ def cell_partitioned_join(
         if isinstance(tid_arr, pa.ChunkedArray):
             tid_arr = pa.concat_arrays(tid_arr.chunks)
             iid_arr = pa.concat_arrays(iid_arr.chunks)
-        pcell = np.full(len(pt), this_cell, dtype=np.int64)
         return clip_pairs(
-            pack, pt, pf, tid_arr, iid_arr, x0, y0, x1, y1, pcell, min_partial_perc
+            pack, pt, pf, tid_arr, iid_arr, x0, y0, x1, y1,
+            pcell.astype(np.int64), min_partial_perc,
         )
 
-    return both.groupby("cell").map_groups(_join_group, batch_format="pyarrow")
+    return both.groupby("bucket").map_groups(_join_bucket, batch_format="pyarrow")
+
+
+def _add_bucket(batch: pa.Table, nbuckets: int) -> pa.Table:
+    """Shuffle-key column: Knuth hash of the cell id mod nbuckets."""
+    c = batch["cell"].to_numpy().astype(np.uint64)
+    bucket = ((c * np.uint64(2654435761)) % np.uint64(nbuckets)).astype(np.int32)
+    return batch.append_column("bucket", pa.array(bucket))
 
 
 def _cell_res_of(cell: int) -> int:
