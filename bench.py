@@ -241,18 +241,30 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail))
-    print(json.dumps({
+    headline = {
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
-        "queries": queries,
+        "queries": dict(queries),
         "sf": SF_DIR,
         "num_cpus": args.num_cpus,
         "flagship": {k: flag[k] for k in
                      ("n_images", "n_tiles", "n_join_rows", "tiles_sec",
                       "join_sec", "total_sec", "tiles_join_rows_per_sec")
                      if k in flag},
-    }))
+    }
+    # The driver captures only the LAST ~2000 bytes of stdout; a final
+    # line past that truncates mid-JSON (BENCH_r03 "parsed": null).
+    # Keep the headline under the limit by dropping the FASTEST query
+    # timings first — the full map is always in the detail line above
+    # and in BENCH_DETAIL.json; the drop is announced, never silent.
+    dropped = 0
+    by_time = sorted(queries, key=queries.get)  # ascending: drop cheap first
+    while len(json.dumps(headline)) > 1900 and by_time:
+        headline["queries"].pop(by_time.pop(0), None)
+        dropped += 1
+        headline["queries_truncated"] = dropped
+    print(json.dumps(headline))
     ray.shutdown()
 
 

@@ -164,7 +164,7 @@ def encode(arr: np.ndarray, fmt: str, level: int = 4) -> bytes:
         return qnt_encode(arr, level)
     if fmt == "f64":
         return f64_encode(arr)
-    if fmt == "gtif":
+    if fmt in ("gtif", "tif", "tiff"):
         from .gtiff import gtiff_encode
 
         return gtiff_encode(arr)
@@ -182,7 +182,10 @@ def decode(buf: bytes, fmt: str) -> np.ndarray:
         return qnt_decode(bytes(buf))
     if fmt == "f64":
         return f64_decode(bytes(buf))
-    if fmt == "gtif":
+    if fmt in ("gtif", "tif", "tiff"):
+        # gtiff_decode reads general baseline TIFF too (both byte
+        # orders, deflate/LZW/PackBits strips, predictor 2), so plain
+        # ``tiff`` payloads are native, not stubbed
         from .gtiff import gtiff_decode
 
         arr, _ = gtiff_decode(bytes(buf))

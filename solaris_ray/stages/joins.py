@@ -766,6 +766,7 @@ def cell_partitioned_join(
     hist_sample: float = 0.25,
     nbuckets: int = 64,
     max_cell_feats: int = 512,
+    max_cell_pairs: int = 1 << 17,
 ):
     """Both-sides-large spatial join via groupby(cell) co-shuffle.
 
@@ -806,20 +807,59 @@ def cell_partitioned_join(
         .aggregate(Count())
         .to_pandas()
     )
-    # hot triggers: RELATIVE (skew vs the median cell) or ABSOLUTE
-    # (more than max_cell_feats features regardless of skew — a
-    # uniformly dense AOI makes every cell a monster and the median
-    # test alone never fires).  Depth = log4(est / target) so one
-    # split lands at the target density instead of quartering a
-    # 100x-over cell and leaving 25x behind.
+
+    # sampled TILE-side histogram: the group's work is t_cnt x f_cnt, so
+    # a cell dense in tiles is just as hot as one dense in features (a
+    # 24k-tile x 6k-feature cell = 151M candidate pairs observed at
+    # sf0.1 before this pass existed).  Sampling key hashes the tile's
+    # origin bits so tiles sharing a cell sample independently.
+    def _sampled_tile_cells(b: pa.Table) -> pa.Table:
+        t = b.select(["cell"])
+        if hist_sample < 1.0:
+            key = b["x0"].to_numpy().view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            key ^= b["y0"].to_numpy().view(np.uint64) * np.uint64(2654435761)
+            keep = key % np.uint64(1000) < np.uint64(int(hist_sample * 1000))
+            t = t.filter(pa.array(keep))
+        return t
+
+    t_hist = (
+        tile_specs.map_batches(_sampled_tile_cells, batch_format="pyarrow", batch_size=8192)
+        .groupby("cell")
+        .aggregate(Count())
+        .to_pandas()
+    )
+    # hot triggers: RELATIVE (feature skew vs the median cell), ABSOLUTE
+    # (more than max_cell_feats features — a uniformly dense AOI makes
+    # every cell a monster and the median test alone never fires), or
+    # PAIR MASS (est tiles x est feats > max_cell_pairs — either side
+    # alone can look modest while the product is a straggler).  Depth:
+    # one split level quarters each side, so feature density heals at
+    # 4^d and pair mass at 16^d; take whichever ask is deeper.
     hot: dict = {}
     if len(hist):
-        est = hist["count()"].to_numpy() / max(1e-9, min(1.0, hist_sample))
+        scale = 1.0 / max(1e-9, min(1.0, hist_sample))
+        est = hist["count()"].to_numpy() * scale
+        t_by_cell = {}
+        if len(t_hist):
+            t_by_cell = dict(
+                zip(
+                    t_hist["cell"].to_numpy().astype(np.uint64),
+                    t_hist["count()"].to_numpy() * scale,
+                )
+            )
+        cells_f = hist["cell"].to_numpy().astype(np.uint64)
+        est_t = np.array([t_by_cell.get(c, 0.0) for c in cells_f])
+        est_pairs = est * est_t
         med = max(1.0, float(np.median(est)))
-        is_hot = (est > hot_cell_factor * med) | (est > max_cell_feats)
-        for c, e in zip(hist.loc[is_hot, "cell"].to_numpy(), est[is_hot]):
-            depth = int(np.ceil(np.log(max(e, 1.0) / max_cell_feats) / np.log(4.0)))
-            hot[np.uint64(c)] = min(6, max(1, depth))
+        is_hot = (
+            (est > hot_cell_factor * med)
+            | (est > max_cell_feats)
+            | (est_pairs > max_cell_pairs)
+        )
+        for c, e, p in zip(cells_f[is_hot], est[is_hot], est_pairs[is_hot]):
+            d_feat = np.ceil(np.log(max(e, 1.0) / max_cell_feats) / np.log(4.0))
+            d_pair = np.ceil(np.log(max(p, 1.0) / max_cell_pairs) / np.log(16.0))
+            hot[np.uint64(c)] = min(6, max(1, int(max(d_feat, d_pair))))
 
     def _tag_feats(batch: pa.Table) -> pa.Table:
         minx = batch["minx"].to_numpy()

@@ -35,8 +35,8 @@ import pyarrow as pa
 
 from ..raster import codec
 
-NATIVE_FMTS = {"png", "qnt", "jpeg", "jpg"}
-STUB_FMTS = {"webp", "tiff"}
+NATIVE_FMTS = {"png", "qnt", "jpeg", "jpg", "tiff", "tif", "gtif"}
+STUB_FMTS = {"webp"}
 
 # Real-codec seam: if a PIL / imagecodecs wheel ever appears in the
 # environment, foreign-format decode self-upgrades — ``strict=True``
