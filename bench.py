@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "cell_hist",
     "tiles_pipeline",
     "jpeg_roundtrip",
+    "webp_roundtrip",
     "warp_nearest",
     "masks_pipeline",
     "road_masks",

@@ -1109,6 +1109,65 @@ def q_jpeg_roundtrip(sf_dir: str):
     return images.map_batches(_rt, batch_format="pyarrow", batch_size=32)
 
 
+def q_webp_roundtrip(sf_dir: str):
+    """WebP codec gate (system-libwebp binding, raster/webp.py — the
+    last image-format stub closed): per part row build a deterministic
+    image (gray / RGB / RGBA cycling so the channel-preservation paths
+    all run), lossless-encode -> decode -> EXACT pixel equality, plus a
+    lossy leg on the smooth fixture held to the PSNR >= 40 dB
+    input_hint bar.  Output (image_id, w, h, channels, ok_lossless,
+    ok_lossy); the DuckDB oracle reproduces dims + pass bits in closed
+    form."""
+    images = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 60)
+
+    def _rt(batch: pa.Table) -> pa.Table:
+        from ..raster import codec as _codec
+        from ..raster.webp import webp_decode, webp_encode
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 60]
+        out = {"image_id": [], "w": [], "h": [], "channels": [], "ok_lossless": [], "ok_lossy": []}
+        for k in p.tolist():
+            w = 48 * (1 + k % 2)
+            h = 48 * (1 + k % 3)
+            mode = k % 3  # 0 gray, 1 rgb, 2 rgba
+            rgb = _smooth_pixels(k, w, h, color=True)
+            if mode == 0:
+                img = rgb[:, :, 0]
+                ref = np.repeat(img[:, :, None], 3, axis=2)  # gray widens to RGB
+            elif mode == 1:
+                img = ref = rgb
+            else:
+                # alpha stays > 0: libwebp's lossless encoder is free to
+                # discard RGB under fully-transparent pixels
+                alpha = (55 + (np.indices((h, w)).sum(0) * 7 + k) % 200).astype(np.uint8)
+                img = ref = np.dstack([rgb, alpha])
+            dec = webp_decode(webp_encode(img, lossless=True))
+            ok_ll = int(dec.shape == ref.shape and np.array_equal(dec, ref))
+            lossy = webp_decode(webp_encode(rgb, lossless=False, quality=95))
+            ok_lossy = int(
+                lossy.shape[:2] == (h, w) and _codec.psnr(rgb, lossy[:, :, :3]) >= 40.0
+            )
+            out["image_id"].append(f"img_{k}")
+            out["w"].append(w)
+            out["h"].append(h)
+            out["channels"].append(3 if mode < 2 else 4)
+            out["ok_lossless"].append(ok_ll)
+            out["ok_lossy"].append(ok_lossy)
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "w": pa.array(out["w"], pa.int64()),
+                "h": pa.array(out["h"], pa.int64()),
+                "channels": pa.array(out["channels"], pa.int64()),
+                "ok_lossless": pa.array(out["ok_lossless"], pa.int64()),
+                "ok_lossy": pa.array(out["ok_lossy"], pa.int64()),
+            }
+        )
+
+    return images.map_batches(_rt, batch_format="pyarrow", batch_size=16)
+
+
 def q_jpeg_stats(sf_dir: str):
     """image_stats/image_resize recall over REAL jpeg rows (the decode
     path that was stubbed until round 4): ImageStats actor stage means
@@ -3387,6 +3446,7 @@ QUERIES = {
     "tiles_pipeline": q_tiles_pipeline,
     "geotiff_roundtrip": q_geotiff_roundtrip,
     "jpeg_roundtrip": q_jpeg_roundtrip,
+    "webp_roundtrip": q_webp_roundtrip,
     "masks_pipeline": q_masks_pipeline,
     "road_masks": q_road_masks,
     "eval_scores": q_eval_scores,
@@ -3808,6 +3868,15 @@ SELECT 'img_' || CAST(p_partkey AS VARCHAR) AS image_id,
        CAST(48*(1 + p_partkey % 3) AS BIGINT) AS h,
        CAST(1 AS BIGINT) AS ok
 FROM part WHERE p_partkey < 80
+""",
+    "webp_roundtrip": """
+SELECT 'img_' || CAST(p_partkey AS VARCHAR) AS image_id,
+       CAST(48*(1 + p_partkey % 2) AS BIGINT) AS w,
+       CAST(48*(1 + p_partkey % 3) AS BIGINT) AS h,
+       CAST(CASE WHEN p_partkey % 3 = 2 THEN 4 ELSE 3 END AS BIGINT) AS channels,
+       CAST(1 AS BIGINT) AS ok_lossless,
+       CAST(1 AS BIGINT) AS ok_lossy
+FROM part WHERE p_partkey < 60
 """,
     "tiles_jpeg": """
 WITH img AS (SELECT p_partkey AS k, 48*(1 + p_partkey % 2) AS w,

@@ -172,6 +172,10 @@ def encode(arr: np.ndarray, fmt: str, level: int = 4) -> bytes:
         from .jpeg import jpeg_encode
 
         return jpeg_encode(arr, quality=95)
+    if fmt == "webp":
+        from .webp import webp_encode
+
+        return webp_encode(arr, lossless=True)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 
@@ -194,6 +198,10 @@ def decode(buf: bytes, fmt: str) -> np.ndarray:
         from .jpeg import jpeg_decode
 
         return jpeg_decode(bytes(buf))
+    if fmt == "webp":
+        from .webp import webp_decode
+
+        return webp_decode(bytes(buf))
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 

@@ -13,8 +13,14 @@ no image/audio libraries, so:
 - MJPEG-AVI video decodes for real (solaris_ray.stages.video — RIFF
   container + per-frame JPEG through raster/jpeg.py), with sampled
   frames seeked by index so unsampled frames never decode;
-- remaining foreign formats (``webp``, compressed audio, inter-frame
-  video codecs) go
+- ``webp`` decodes/encodes for real through the system libwebp shared
+  library (solaris_ray.raster.webp, ctypes — no wheel needed); where
+  that library is absent it falls back to the stub path;
+- ``tiff`` decodes for real through the general baseline-TIFF reader
+  (raster/gtiff.py: both byte orders, Deflate/LZW/PackBits strips,
+  predictor 2);
+- remaining foreign formats (compressed audio, inter-frame video
+  codecs) go
   through a clearly marked STUB: ``strict=True`` raises NotImplementedError,
   ``strict=False`` produces a deterministic fake decode (seeded from
   the payload digest) so the Ray-side plumbing — schema, batch sizing,
@@ -36,7 +42,16 @@ import pyarrow as pa
 from ..raster import codec
 
 NATIVE_FMTS = {"png", "qnt", "jpeg", "jpg", "tiff", "tif", "gtif"}
-STUB_FMTS = {"webp"}
+STUB_FMTS: set = set()
+
+# webp self-upgrades through the system libwebp (raster/webp.py) — on
+# boxes without the shared library it stays a documented stub.
+from ..raster.webp import available as _webp_available  # noqa: E402
+
+if _webp_available():
+    NATIVE_FMTS.add("webp")
+else:  # pragma: no cover - environment-dependent
+    STUB_FMTS.add("webp")
 
 # Real-codec seam: if a PIL / imagecodecs wheel ever appears in the
 # environment, foreign-format decode self-upgrades — ``strict=True``

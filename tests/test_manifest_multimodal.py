@@ -139,13 +139,20 @@ def test_image_resizer_native(ray_session):
 def test_decode_stub_strict_raises():
     import pytest
 
-    # webp remains an honest stub (no codec in this container)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_any(b"xx", "webp", 8, 8, strict=True)
-    a = multimodal.decode_any(b"xx", "webp", 8, 8, strict=False)
-    b = multimodal.decode_any(b"xx", "webp", 8, 8, strict=False)
-    assert np.array_equal(a, b)  # deterministic fake
-    assert a.shape == (8, 8, 3)
+    if multimodal.STUB_FMTS:
+        # on boxes without libwebp, webp stays an honest stub
+        fmt = next(iter(multimodal.STUB_FMTS))
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_any(b"xx", fmt, 8, 8, strict=True)
+        a = multimodal.decode_any(b"xx", fmt, 8, 8, strict=False)
+        b = multimodal.decode_any(b"xx", fmt, 8, 8, strict=False)
+        assert np.array_equal(a, b)  # deterministic fake
+        assert a.shape == (8, 8, 3)
+    else:
+        # every image format is real here (webp upgraded through the
+        # system libwebp); garbage must raise, never fake
+        with pytest.raises(ValueError):
+            multimodal.decode_any(b"xx", "webp", 8, 8, strict=True)
 
 
 def test_decode_any_jpeg_is_real():
