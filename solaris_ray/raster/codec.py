@@ -128,7 +128,7 @@ def qnt_encode(arr: np.ndarray, level: int = 4) -> bytes:
 def qnt_decode(buf: bytes) -> np.ndarray:
     if buf[:4] != b"QNT0":
         raise ValueError("not a QNT buffer")
-    return png_decode(buf[4:])
+    return decode(buf[4:], "png")
 
 
 def f64_encode(arr: np.ndarray) -> bytes:
@@ -181,6 +181,14 @@ def encode(arr: np.ndarray, fmt: str, level: int = 4) -> bytes:
 
 def decode(buf: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
+        # libpng fast path when the system library exists (3x on our
+        # own filter-0 streams; required for foreign filtered /
+        # 16-bit / palette / interlaced PNGs, which the pure decoder
+        # rejects or unfilters per-byte in Python)
+        from . import pnglib
+
+        if pnglib.available():
+            return pnglib.png_decode_fast(bytes(buf))
         return png_decode(bytes(buf))
     if fmt == "qnt":
         return qnt_decode(bytes(buf))
