@@ -766,7 +766,7 @@ def cell_partitioned_join(
     hist_sample: float = 0.25,
     nbuckets: int = 64,
     max_cell_feats: int = 512,
-    max_cell_pairs: int = 1 << 17,
+    max_cell_pairs: int = 1 << 15,
 ):
     """Both-sides-large spatial join via groupby(cell) co-shuffle.
 
