@@ -352,9 +352,18 @@ def minhash_candidate_pairs(
         lambda b: pa.table({"idb": b["doc_id"], "sig_b": b["sig"]}),
         batch_format="pyarrow",
     )
+    # sig tables below BROADCAST_LIMIT ship once via ray.put and probe
+    # map-side (no all-to-all; 2 of this pipeline's 4 exchanges vanish
+    # at small-corpus scale); above it the bucketed co-shuffle runs as
+    # before — rows are bit-identical either way.  Strategy picked from
+    # the materialized sig count (metadata, free) rather than
+    # strategy="auto", whose count() would re-execute the side.
+    from .relational import BROADCAST_LIMIT
+
+    strat = "broadcast" if sigs.count() <= BROADCAST_LIMIT else "shuffle"
     j = hash_join(
-        hash_join(cand, sig_a, "doc_a", "ida", strategy="shuffle"),
-        sig_b, "doc_b", "idb", strategy="shuffle",
+        hash_join(cand, sig_a, "doc_a", "ida", strategy=strat),
+        sig_b, "doc_b", "idb", strategy=strat,
     )
 
     def _estimate(batch: pa.Table) -> pa.Table:
