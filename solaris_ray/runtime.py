@@ -67,6 +67,55 @@ def auto_concurrency(cap: int = 16) -> int:
     return max(2, min(cap, (cpus * 3) // 4))
 
 
+# Per-worker-process instance cache for task-mode broadcast stages
+# (keyed by class + ctor args, ObjectRefs by hex).  Broadcast
+# artifacts here are Arrow/numpy — zero-copy out of plasma — so plain
+# TASKS with a first-use ray.get beat an actor pool: pool spin-up
+# (process start + module imports x pool size) is a 3-5 s fixed cost
+# per run while the stage __init__ does no real work beyond the get.
+_TASK_STATE: dict = {}
+
+
+def _state_key(cls, kwargs: dict) -> str:
+    parts = [cls.__module__, cls.__qualname__]
+    for k in sorted(kwargs):
+        v = kwargs[k]
+        parts.append(k)
+        parts.append(v.hex() if type(v).__name__ == "ObjectRef" else repr(v))
+    return "|".join(parts)
+
+
+def stateful_map(ds, cls, ctor_kwargs: dict, *, batch_size: int,
+                 concurrency: int | None = None, **mb_kwargs):
+    """``map_batches`` over a stage class holding broadcast state.
+
+    Default (``concurrency=None``): TASK mode — per-worker lazy
+    instance construction memoized in ``_TASK_STATE`` (the ctor's
+    ``ray.get`` of an Arrow/numpy broadcast is zero-copy, so first-use
+    init costs ~nothing and the stage scales elastically with no pool
+    spin-up).  An explicit ``concurrency`` selects the classic actor
+    pool — right when the ctor does real work (model load, index
+    build from raw parts) that a long scan amortizes.
+    """
+    if concurrency:
+        return ds.map_batches(
+            cls, fn_constructor_kwargs=ctor_kwargs, batch_format="pyarrow",
+            batch_size=batch_size, concurrency=concurrency, **mb_kwargs,
+        )
+    key = _state_key(cls, ctor_kwargs)
+
+    def _fn(batch):
+        inst = _TASK_STATE.get(key)
+        if inst is None:
+            if len(_TASK_STATE) >= 16:
+                _TASK_STATE.clear()
+            inst = _TASK_STATE[key] = cls(**ctor_kwargs)
+        return inst(batch)
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=batch_size,
+                          **mb_kwargs)
+
+
 def tune_data_context() -> None:
     """Per-process Ray Data executor tuning (safe without ray.init).
 

@@ -141,17 +141,13 @@ def brute_topk(ds, queries_ids: np.ndarray, queries_mat: np.ndarray, k: int = 5,
     """Exact cosine top-k of each query over the whole Dataset."""
     import ray
 
-    from ..runtime import auto_concurrency
+    from ..runtime import stateful_map
 
-    if concurrency is None:
-        concurrency = auto_concurrency()
     ref = ray.put((np.asarray(queries_ids, dtype=np.int64), _normalize(np.asarray(queries_mat, dtype=np.float64))))
-    partial = ds.map_batches(
-        BruteScorer,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    partial = stateful_map(
+        ds, BruteScorer,
+        {"queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col},
+        batch_size=batch_size, concurrency=concurrency,
     )
     return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
 
@@ -175,22 +171,18 @@ def filtered_topk(ds, queries_ids: np.ndarray, queries_mat: np.ndarray,
     """
     import ray
 
-    from ..runtime import auto_concurrency
+    from ..runtime import stateful_map
 
-    if concurrency is None:
-        concurrency = auto_concurrency()
     ref = ray.put((
         np.asarray(queries_ids, dtype=np.int64),
         _normalize(np.asarray(queries_mat, dtype=np.float64)),
         np.asarray(queries_groups, dtype=np.int64),
     ))
-    partial = ds.map_batches(
-        BruteScorer,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col,
-                               "vec_col": vec_col, "group_col": group_col},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    partial = stateful_map(
+        ds, BruteScorer,
+        {"queries_ref": ref, "k": k, "id_col": id_col,
+         "vec_col": vec_col, "group_col": group_col},
+        batch_size=batch_size, concurrency=concurrency,
     )
     return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
 

@@ -106,14 +106,12 @@ def bloom_semi_join(
     (true matches + deterministic false positives)."""
     import ray
 
-    from ..runtime import auto_concurrency
+    from ..runtime import stateful_map
 
     bits = build_bloom_positions(ref_ds, ref_key_col or key_col, m=m, k=k)
     bits_ref = ray.put(bits)
-    return probe_ds.map_batches(
-        _BloomProbe,
-        batch_format="pyarrow",
-        batch_size=8192,
-        fn_constructor_kwargs=dict(bits_ref=bits_ref, key_col=key_col, m=m, k=k),
-        concurrency=concurrency or auto_concurrency(),
+    return stateful_map(
+        probe_ds, _BloomProbe,
+        dict(bits_ref=bits_ref, key_col=key_col, m=m, k=k),
+        batch_size=8192, concurrency=concurrency,
     )

@@ -233,13 +233,11 @@ def aoi_cell_filter(points_ds, compact_ds, x_col: str = "x", y_col: str = "y",
     """Filter a point Dataset to those inside a compact AOI cell set."""
     import ray
 
-    from ..runtime import auto_concurrency
+    from ..runtime import stateful_map
 
     aoi_ref = ray.put(collect_compact_set(compact_ds))
-    return points_ds.map_batches(
-        AoiCellFilter,
-        batch_format="pyarrow",
-        batch_size=8192,
-        fn_constructor_kwargs=dict(aoi_ref=aoi_ref, x_col=x_col, y_col=y_col),
-        concurrency=concurrency or auto_concurrency(),
+    return stateful_map(
+        points_ds, AoiCellFilter,
+        dict(aoi_ref=aoi_ref, x_col=x_col, y_col=y_col),
+        batch_size=8192, concurrency=concurrency,
     )

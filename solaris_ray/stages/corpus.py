@@ -38,23 +38,6 @@ logger = logging.getLogger(__name__)
 
 WORD_SPLIT = r"\s+"
 
-# Per-worker-process instance cache for task-mode broadcast stages.
-# Arrow broadcast artifacts are zero-copy out of plasma, so plain
-# TASKS + a first-use ray.get beat an actor pool here: pool spin-up
-# (process start + module imports x pool size) was a 3-5 s fixed cost
-# per gate while __init__ does no real work beyond the get.  Keyed by
-# ObjectRef hex; bounded.
-_TASK_STATE: dict = {}
-
-
-def _cached_state(cls, ref, *args):
-    key = (cls.__name__, ref.hex() if hasattr(ref, "hex") else str(id(ref)))
-    inst = _TASK_STATE.get(key)
-    if inst is None:
-        if len(_TASK_STATE) >= 8:
-            _TASK_STATE.clear()
-        inst = _TASK_STATE[key] = cls(ref, *args)
-    return inst
 
 
 def _char_kgrams(text: pa.Array, k: int) -> tuple[np.ndarray, pa.Array]:
@@ -171,25 +154,14 @@ def decontaminate(
     """
     import ray
 
+    from ..runtime import stateful_map
+
     gram_ref = ray.put(benchmark_gram_set(bench_ds, k=k, text_col=text_col))
-    if concurrency:  # explicit pool request (long scans amortize it)
-        return docs_ds.map_batches(
-            _Decontaminator,
-            batch_format="pyarrow",
-            batch_size=1024,
-            fn_constructor_kwargs=dict(
-                gram_set_ref=gram_ref, k=k, text_col=text_col, id_col=id_col
-            ),
-            concurrency=concurrency,
-        )
-
-    # default: task mode — the gram set is Arrow (zero-copy ray.get),
-    # so per-worker lazy init via _cached_state costs ~nothing and the
-    # stage scales elastically with no pool spin-up
-    def _fn(batch: pa.Table) -> pa.Table:
-        return _cached_state(_Decontaminator, gram_ref, k, text_col, id_col)(batch)
-
-    return docs_ds.map_batches(_fn, batch_format="pyarrow", batch_size=1024)
+    return stateful_map(
+        docs_ds, _Decontaminator,
+        dict(gram_set_ref=gram_ref, k=k, text_col=text_col, id_col=id_col),
+        batch_size=1024, concurrency=concurrency,
+    )
 
 
 # --- corpus bigram LM ----------------------------------------------------
@@ -306,22 +278,14 @@ def bigram_lm_scores(
 
     vocab = train_bigram_counts(train_ds if train_ds is not None else docs_ds,
                                 min_count=min_count, text_col=text_col)
+    from ..runtime import stateful_map
+
     vocab_ref = ray.put(vocab)
-    if concurrency:  # explicit pool request (long scans amortize it)
-        return docs_ds.map_batches(
-            _BigramScorer,
-            batch_format="pyarrow",
-            batch_size=1024,
-            fn_constructor_kwargs=dict(
-                vocab_ref=vocab_ref, text_col=text_col, id_col=id_col
-            ),
-            concurrency=concurrency,
-        )
-
-    def _fn(batch: pa.Table) -> pa.Table:
-        return _cached_state(_BigramScorer, vocab_ref, text_col, id_col)(batch)
-
-    return docs_ds.map_batches(_fn, batch_format="pyarrow", batch_size=1024)
+    return stateful_map(
+        docs_ds, _BigramScorer,
+        dict(vocab_ref=vocab_ref, text_col=text_col, id_col=id_col),
+        batch_size=1024, concurrency=concurrency,
+    )
 
 
 # --- cross-source overlap matrix -----------------------------------------

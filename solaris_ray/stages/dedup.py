@@ -640,10 +640,7 @@ def embedding_neardup_pairs(ds, embeddings_table: pa.Table, tau: float = 0.4,
                             concurrency=None):
     import ray
 
-    from ..runtime import auto_concurrency
-
-    if concurrency is None:
-        concurrency = auto_concurrency()
+    from ..runtime import stateful_map
 
     from .ann import list_col_to_matrix
 
@@ -651,12 +648,10 @@ def embedding_neardup_pairs(ds, embeddings_table: pa.Table, tau: float = 0.4,
     M = list_col_to_matrix(embeddings_table[vec_col], np.float64).copy()
     M /= np.linalg.norm(M, axis=1, keepdims=True)
     ref = ray.put((ids, M))
-    return ds.map_batches(
-        CosinePairFinder,
-        fn_constructor_kwargs={"mat_ref": ref, "tau": tau, "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=concurrency,
+    return stateful_map(
+        ds, CosinePairFinder,
+        {"mat_ref": ref, "tau": tau, "id_col": id_col, "vec_col": vec_col},
+        batch_size=2048, concurrency=concurrency,
     )
 
 

@@ -509,10 +509,8 @@ def broadcast_knn_join(
     """points Dataset × in-memory centroid table → kNN rows Dataset."""
     import ray
 
-    from ..runtime import auto_concurrency
+    from ..runtime import stateful_map
 
-    if concurrency is None:
-        concurrency = auto_concurrency()
     if cell_res is None:
         fx = features[col_kwargs.get("fx_col", "cx")]
         fy = features[col_kwargs.get("fy_col", "cy")]
@@ -525,10 +523,8 @@ def broadcast_knn_join(
         )
     ref = ray.put(CentroidIndex(features, cell_res,
                                 col_kwargs.get("fx_col", "cx"), col_kwargs.get("fy_col", "cy")))
-    return points.map_batches(
-        BroadcastKNNJoiner,
-        fn_constructor_kwargs={"features_ref": ref, "k": k, "cell_res": cell_res, **col_kwargs},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    return stateful_map(
+        points, BroadcastKNNJoiner,
+        {"features_ref": ref, "k": k, "cell_res": cell_res, **col_kwargs},
+        batch_size=batch_size, concurrency=concurrency,
     )

@@ -34,7 +34,7 @@ def broadcast_equi_join(left, right: pa.Table, key: str = "match_str",
     """
     import ray
 
-    from ..runtime import auto_concurrency
+    from ..runtime import stateful_map
 
     rk = right[key].to_numpy(zero_copy_only=False)
     order = np.argsort(rk, kind="stable")
@@ -67,12 +67,9 @@ def broadcast_equi_join(left, right: pa.Table, key: str = "match_str",
                 cols[f"r_{n}" if n in cols else n] = right_part[n]
             return pa.table(cols)
 
-    return left.map_batches(
-        Joiner,
-        fn_constructor_kwargs={"ref": ref},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or auto_concurrency(),
+    return stateful_map(
+        left, Joiner, {"ref": ref},
+        batch_size=batch_size, concurrency=concurrency,
     )
 
 

@@ -222,10 +222,8 @@ def broadcast_pip_join(
     """
     import ray
 
-    from ..runtime import auto_concurrency
+    from ..runtime import stateful_map
 
-    if concurrency is None:
-        concurrency = auto_concurrency()
     if cell_res is None:
         cell_res = cells.choose_res(
             float(pa.compute.min(features["minx"]).as_py()),
@@ -235,17 +233,9 @@ def broadcast_pip_join(
             features.num_rows,
         )
     ref = ray.put(BoxIndex(features, cell_res, with_rings=exact))
-    return points.map_batches(
-        BroadcastPIPJoiner,
-        fn_constructor_kwargs={
-            "features_ref": ref,
-            "cell_res": cell_res,
-            "exact": exact,
-            "id_col": id_col,
-            "x_col": x_col,
-            "y_col": y_col,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    return stateful_map(
+        points, BroadcastPIPJoiner,
+        {"features_ref": ref, "cell_res": cell_res, "exact": exact,
+         "id_col": id_col, "x_col": x_col, "y_col": y_col},
+        batch_size=batch_size, concurrency=concurrency,
     )

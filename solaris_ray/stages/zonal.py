@@ -90,10 +90,8 @@ def zonal_stats(tiles, features: pa.Table, cell_res: int | None = None,
     """
     import ray
 
-    from ..runtime import auto_concurrency
+    from ..runtime import stateful_map
 
-    if concurrency is None:
-        concurrency = auto_concurrency()
     if cell_res is None:
         cell_res = cells.choose_res(
             float(pc.min(features["minx"]).as_py()),
@@ -104,12 +102,10 @@ def zonal_stats(tiles, features: pa.Table, cell_res: int | None = None,
         )
     pack = FeaturePack.from_arrow(features)
     ref = ray.put((pack, build_buckets(pack, cell_res)))
-    partials = tiles.map_batches(
-        ZonalPartials,
-        fn_constructor_kwargs={"index_ref": ref, "cell_res": cell_res},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    partials = stateful_map(
+        tiles, ZonalPartials,
+        {"index_ref": ref, "cell_res": cell_res},
+        batch_size=batch_size, concurrency=concurrency,
     )
 
     def _combine(group: pa.Table) -> pa.Table:
