@@ -2946,6 +2946,91 @@ def q_wav_clips(sf_dir: str):
     )
 
 
+def _g711_audio_rows(sf_dir: str, limit: int = 50):
+    """part rows -> G.711-compressed WAV rows: a wide sawtooth
+    s[i] = ((i*f*16) % 32001) - 16000 (exercises every segment of the
+    companding curve), mu-law for even k / A-law for odd k.  The codec
+    is exact integer arithmetic (Sun g711.c segment tables), so the
+    DuckDB oracle reproduces the decoded samples bit-for-bit."""
+    p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < limit)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        from ..stages.audio import wav_encode_g711
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < limit]
+        ids, bufs = [], []
+        for k in p.tolist():
+            n = 4000 * (1 + k % 2)
+            i = np.arange(n, dtype=np.int64)
+            s = ((i * (k % 7 + 3) * 16) % 32001 - 16000).astype(np.int16)
+            ids.append(f"g711_{k}")
+            bufs.append(wav_encode_g711(s, 8000, "ulaw" if k % 2 == 0 else "alaw"))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+            }
+        )
+
+    return p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=64)
+
+
+def q_g711_stats(sf_dir: str):
+    """G.711 mu-law/A-law WAVs (stages/audio.py round 4b — real
+    compressed telephony codecs, bit-exact vs Sun g711.c) -> AudioStats.
+    The oracle replays compress+expand as integer CASE math in SQL, so
+    rms6/peak check the companding curve itself, not just plumbing."""
+    from ..stages import audio
+
+    rows = _g711_audio_rows(sf_dir, limit=50)
+    stats = rows.map_batches(audio.AudioStats(), batch_format="pyarrow",
+                             batch_size=16)
+    return stats.map_batches(
+        lambda b: b.select(["media_id", "n_samples", "rate", "rms6", "peak"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_adpcm_roundtrip(sf_dir: str):
+    """IMA ADPCM WAV roundtrip (fmt 17, 4-bit): encode a sine-ish
+    integer signal per part row, decode through the block-vectorized
+    IMA kernel, emit exact n_samples plus an engine-side quality bit
+    (first sample exact AND SNR > 20 dB) the oracle predicts as 1."""
+    p_ds = _read(sf_dir, "part", ["p_partkey"],
+                 filter=pc.field("p_partkey") < 40)
+
+    def _check(batch: pa.Table) -> pa.Table:
+        from ..stages.audio import wav_decode, wav_encode_adpcm
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 40]
+        ids, ns, oks = [], [], []
+        for k in p.tolist():
+            n = 3000 + 500 * (k % 3)
+            i = np.arange(n, dtype=np.float64)
+            s = (9000 * np.sin(i / (8.0 + k % 5))
+                 + 2500 * np.sin(i / 3.1)).astype(np.int16)
+            back, rate = wav_decode(wav_encode_adpcm(s, 8000))
+            d = back[:, 0].astype(np.float64)
+            noise = d - s
+            snr = 10 * np.log10(
+                (s.astype(np.float64) ** 2).sum() / max((noise ** 2).sum(), 1e-9))
+            ids.append(f"adpcm_{k}")
+            ns.append(int(back.shape[0]))
+            oks.append(int(back.shape[0] == n and back[0, 0] == s[0]
+                           and rate == 8000 and snr > 20.0))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "ok": pa.array(oks, pa.int64()),
+            }
+        )
+
+    return p_ds.map_batches(_check, batch_format="pyarrow", batch_size=64)
+
+
 def _smooth_frame(k: int, w: int, h: int, f: int) -> "np.ndarray":
     """Deterministic smooth RGB frame for the MJPEG-AVI gates — the
     jpeg gates' _smooth_pixels with a per-frame phase shift so motion
@@ -3491,6 +3576,8 @@ QUERIES = {
     "graph_geojson": q_graph_geojson,
     "wav_stats": q_wav_stats,
     "wav_clips": q_wav_clips,
+    "g711_stats": q_g711_stats,
+    "adpcm_roundtrip": q_adpcm_roundtrip,
     "video_stats": q_video_stats,
     "video_frames": q_video_frames,
     "tile_feature_join": q_tile_feature_join,
@@ -3833,6 +3920,56 @@ SELECT 'aud_' || CAST(k AS VARCHAR) AS media_id,
        CAST(COUNT(*) AS BIGINT) AS n_samples,
        CAST(SUM(v) AS BIGINT) AS sample_sum
 FROM s GROUP BY k, clip
+""",
+    "g711_stats": """
+WITH a AS (SELECT p_partkey AS k, 4000*(1 + p_partkey % 2) AS n,
+                  (p_partkey % 7 + 3) AS f
+           FROM part WHERE p_partkey < 50),
+s AS (SELECT k, n, ((r.i * f * 16) % 32001 - 16000) AS v
+      FROM a, range(0, 8000) r(i) WHERE r.i < n),
+x AS (SELECT k, n,
+        CAST(floor(v / 4.0) AS BIGINT) AS x14,
+        CAST(floor(v / 8.0) AS BIGINT) AS x13
+      FROM s),
+m1 AS (SELECT k, n, x14, x13,
+         LEAST(CASE WHEN x14 < 0 THEN -x14 ELSE x14 END, 8159) + 33 AS mu,
+         CASE WHEN x13 < 0 THEN -x13 - 1 ELSE x13 END AS ma
+       FROM x),
+m2 AS (SELECT *,
+         CASE WHEN mu <= 63 THEN 0 WHEN mu <= 127 THEN 1 WHEN mu <= 255 THEN 2
+              WHEN mu <= 511 THEN 3 WHEN mu <= 1023 THEN 4 WHEN mu <= 2047 THEN 5
+              WHEN mu <= 4095 THEN 6 WHEN mu <= 8191 THEN 7 ELSE 8 END AS su,
+         CASE WHEN ma <= 31 THEN 0 WHEN ma <= 63 THEN 1 WHEN ma <= 127 THEN 2
+              WHEN ma <= 255 THEN 3 WHEN ma <= 511 THEN 4 WHEN ma <= 1023 THEN 5
+              WHEN ma <= 2047 THEN 6 ELSE 7 END AS sa
+       FROM m1),
+m3 AS (SELECT *,
+         CASE WHEN su >= 8 THEN 15
+              ELSE CAST(floor(mu / POW(2, su + 1)) AS BIGINT) % 16 END AS qu,
+         CASE WHEN sa < 2 THEN CAST(floor(ma / 2.0) AS BIGINT) % 16
+              ELSE CAST(floor(ma / POW(2, sa)) AS BIGINT) % 16 END AS qa
+       FROM m2),
+m4 AS (SELECT k, n,
+         CASE WHEN x14 < 0
+              THEN 132 - (qu*8 + 132) * CAST(POW(2, LEAST(su, 7)) AS BIGINT)
+              ELSE (qu*8 + 132) * CAST(POW(2, LEAST(su, 7)) AS BIGINT) - 132
+         END AS du,
+         (CASE WHEN x13 < 0 THEN -1 ELSE 1 END)
+         * (CASE WHEN sa = 0 THEN qa*16 + 8
+                 ELSE (qa*16 + 264) * CAST(POW(2, sa - 1) AS BIGINT) END) AS da
+       FROM m3),
+d AS (SELECT k, n, CASE WHEN k % 2 = 0 THEN du ELSE da END AS dec FROM m4)
+SELECT 'g711_' || CAST(k AS VARCHAR) AS media_id,
+       CAST(n AS BIGINT) AS n_samples, CAST(8000 AS BIGINT) AS rate,
+       ROUND(SQRT(CAST(SUM(dec*dec) AS DOUBLE) / n), 6) AS rms6,
+       CAST(MAX(ABS(dec)) AS BIGINT) AS peak
+FROM d GROUP BY k, n
+""",
+    "adpcm_roundtrip": """
+SELECT 'adpcm_' || CAST(p_partkey AS VARCHAR) AS media_id,
+       CAST(3000 + 500 * (p_partkey % 3) AS BIGINT) AS n_samples,
+       CAST(1 AS BIGINT) AS ok
+FROM part WHERE p_partkey < 40
 """,
     "video_stats": """
 SELECT 'vid_' || CAST(p_partkey AS VARCHAR) AS media_id,

@@ -14,7 +14,14 @@ pure-struct container (same discipline as ``raster/gtiff.py`` and
   each clip re-encoded as a standalone WAV — the audio twin of the
   image chipper.
 
-Compressed codecs (mp3/flac/ogg/aac) remain honestly stubbed in
+Compressed telephony codecs are REAL (round 4b): G.711 mu-law (WAV
+format code 7) and A-law (code 6) via vectorized segment math, and
+IMA ADPCM (code 17, the standard 4-bit DVI/IMA scheme) with the
+per-sample feedback loop vectorized ACROSS blocks (blocks are
+independent by spec, so a [n_blocks, samples_per_block] matrix steps
+through sample positions with numpy ops — the classic way to make a
+sequential codec data-parallel).  Perceptual-transform codecs
+(mp3/flac/ogg/aac) remain honestly stubbed in
 ``stages/multimodal.py`` — no wheel exists here and a DCT/entropy
 audio decoder is out of scope; the seam upgrades the same way the
 jpeg one did.
@@ -64,6 +71,8 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a WAV (missing RIFF/WAVE header)")
     pos = 12
     fmt_code = channels = rate = bits = None
+    block_align = 0
+    n_fact = None
     data = None
     n = len(buf)
     while pos + 8 <= n:
@@ -72,7 +81,9 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
         body = buf[pos + 8:pos + 8 + size]
         if tag == b"fmt ":
             fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
-            (bits,) = struct.unpack_from("<H", body, 14)
+            (block_align, bits) = struct.unpack_from("<HH", body, 12)
+        elif tag == b"fact" and size >= 4:
+            (n_fact,) = struct.unpack_from("<I", body, 0)
         elif tag == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -85,10 +96,217 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
     elif fmt_code == 3 and bits == 32:
         f = np.frombuffer(data, "<f4").astype(np.float64)
         s = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
+    elif fmt_code == 7 and bits == 8:  # G.711 mu-law
+        s = ulaw_expand(np.frombuffer(data, np.uint8))
+    elif fmt_code == 6 and bits == 8:  # G.711 A-law
+        s = alaw_expand(np.frombuffer(data, np.uint8))
+    elif fmt_code == 17 and bits == 4 and channels == 1:  # IMA ADPCM mono
+        if block_align < 5:
+            raise ValueError("IMA ADPCM needs block_align >= 5")
+        nb = len(data) // block_align
+        raw = np.frombuffer(data[: nb * block_align], np.uint8).reshape(
+            nb, block_align)
+        pred0 = (raw[:, 0].astype(np.int32)
+                 | (raw[:, 1].astype(np.int32) << 8))
+        pred0 = (pred0 ^ 0x8000) - 0x8000  # sign-extend int16
+        idx0 = raw[:, 2].astype(np.int32)
+        packed = raw[:, 4:]
+        nibs = np.empty((nb, packed.shape[1] * 2), dtype=np.uint8)
+        nibs[:, 0::2] = packed & 0x0F  # low nibble = earlier sample
+        nibs[:, 1::2] = packed >> 4
+        s = _ima_decode_blocks(nibs, pred0, idx0).reshape(-1)
+        if n_fact is not None:
+            s = s[:n_fact]
     else:
         raise ValueError(f"unsupported WAV format code={fmt_code} bits={bits}")
     ch = max(1, int(channels))
     return s.reshape(-1, ch), int(rate)
+
+
+# --- G.711 mu-law / A-law (WAV fmt 7 / 6) --------------------------------
+#
+# Exact Sun g711.c semantics (the canonical public-domain reference):
+# segment-table search + shifts, vectorized with np.searchsorted.  The
+# invariant tested below is the standard one: expand(compress(x)) is
+# within one quantization step AND compress(expand(c)) == c for every
+# one of the 256 codes (codec idempotence).
+
+_SEG_UEND = np.array([0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF],
+                     dtype=np.int32)
+_SEG_AEND = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF],
+                     dtype=np.int32)
+_ULAW_BIAS = 0x84  # in the 16-bit domain; 0x21 in the 14-bit search domain
+_ULAW_CLIP14 = 8159
+
+
+def ulaw_compress(s: np.ndarray) -> np.ndarray:
+    """int16 PCM -> mu-law bytes (G.711 linear2ulaw), vectorized."""
+    x = s.astype(np.int32) >> 2  # 16 -> 14 bit
+    neg = x < 0
+    mask = np.where(neg, 0x7F, 0xFF)
+    x = np.where(neg, -x, x)
+    x = np.minimum(x, _ULAW_CLIP14) + (_ULAW_BIAS >> 2)
+    seg = np.searchsorted(_SEG_UEND, x)  # first i with x <= uend[i]
+    segc = np.minimum(seg, 7)
+    uval = (segc << 4) | ((x >> (segc + 1)) & 0xF)
+    return (np.where(seg >= 8, 0x7F, uval) ^ mask).astype(np.uint8)
+
+
+def ulaw_expand(b: np.ndarray) -> np.ndarray:
+    """mu-law bytes -> int16 PCM (G.711 ulaw2linear), vectorized."""
+    u = (~np.asarray(b, dtype=np.uint8)).astype(np.int32)
+    t = (((u & 0xF) << 3) + _ULAW_BIAS) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, _ULAW_BIAS - t, t - _ULAW_BIAS).astype(np.int16)
+
+
+def alaw_compress(s: np.ndarray) -> np.ndarray:
+    """int16 PCM -> A-law bytes (G.711 linear2alaw), vectorized."""
+    x = s.astype(np.int32) >> 3  # 16 -> 13 bit
+    neg = x < 0
+    mask = np.where(neg, 0x55, 0xD5)
+    x = np.where(neg, -x - 1, x)  # x in [0, 4095] -> seg always < 8
+    seg = np.searchsorted(_SEG_AEND, x)
+    aval = (seg << 4) | np.where(seg < 2, (x >> 1) & 0xF, (x >> seg) & 0xF)
+    return (aval ^ mask).astype(np.uint8)
+
+
+def alaw_expand(b: np.ndarray) -> np.ndarray:
+    """A-law bytes -> int16 PCM (G.711 alaw2linear), vectorized."""
+    a = (np.asarray(b, dtype=np.uint8) ^ 0x55).astype(np.int32)
+    t = (a & 0xF) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8,
+                 (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+# --- IMA ADPCM (WAV fmt 17) -----------------------------------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_encode_blocks(s2d: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """[nb, spb] int16 -> (nibbles [nb, spb-1] uint8, pred0, idx0).
+
+    Sequential per block by spec; vectorized across blocks (each numpy
+    step advances every block one sample).
+    """
+    nb, spb = s2d.shape
+    pred = s2d[:, 0].astype(np.int32)
+    pred0 = pred.copy()
+    # Seed each block's step index from its mean |successive diff| —
+    # blocks can't inherit the previous block's running index without
+    # serializing the encode, and the header stores idx0 so any choice
+    # decodes exactly; this one skips the step-adaptation ramp.
+    mean_d = np.abs(np.diff(s2d.astype(np.int32), axis=1)).mean(axis=1)
+    idx = np.clip(np.searchsorted(_IMA_STEPS, mean_d), 0, 88).astype(np.int32)
+    idx0 = idx.copy()
+    nibs = np.zeros((nb, spb - 1), dtype=np.uint8)
+    for t in range(1, spb):
+        step = _IMA_STEPS[idx]
+        diff = s2d[:, t].astype(np.int32) - pred
+        sign = diff < 0
+        d = np.abs(diff)
+        delta = np.zeros(nb, dtype=np.int32)
+        vpdiff = step >> 3
+        ge = d >= step
+        delta |= np.where(ge, 4, 0); d = d - np.where(ge, step, 0); vpdiff += np.where(ge, step, 0)
+        step = step >> 1
+        ge = d >= step
+        delta |= np.where(ge, 2, 0); d = d - np.where(ge, step, 0); vpdiff += np.where(ge, step, 0)
+        step = step >> 1
+        ge = d >= step
+        delta |= np.where(ge, 1, 0); vpdiff += np.where(ge, step, 0)
+        pred = np.clip(pred + np.where(sign, -vpdiff, vpdiff), -32768, 32767)
+        code = delta | np.where(sign, 8, 0)
+        nibs[:, t - 1] = code.astype(np.uint8)
+        idx = np.clip(idx + _IMA_INDEX[delta], 0, 88)
+    return nibs, pred0, idx0
+
+
+def _ima_decode_blocks(nibs: np.ndarray, pred0: np.ndarray, idx0: np.ndarray) -> np.ndarray:
+    """(nibbles [nb, m], per-block initial predictor/index) -> [nb, m+1] int16."""
+    nb, m = nibs.shape
+    out = np.empty((nb, m + 1), dtype=np.int16)
+    pred = pred0.astype(np.int32)
+    idx = np.clip(idx0.astype(np.int32), 0, 88)
+    out[:, 0] = pred.astype(np.int16)
+    for t in range(m):
+        step = _IMA_STEPS[idx]
+        code = nibs[:, t].astype(np.int32)
+        delta = code & 7
+        vpdiff = (step >> 3) + np.where(delta & 4, step, 0) \
+            + np.where(delta & 2, step >> 1, 0) + np.where(delta & 1, step >> 2, 0)
+        pred = np.clip(pred + np.where(code & 8, -vpdiff, vpdiff), -32768, 32767)
+        out[:, t + 1] = pred.astype(np.int16)
+        idx = np.clip(idx + _IMA_INDEX[delta], 0, 88)
+    return out
+
+
+def _wav_header(fmt_code: int, ch: int, rate: int, bits: int, block_align: int,
+                byte_rate: int, data_len: int, n_samples: int,
+                extra: bytes = b"") -> bytes:
+    fmt_body = struct.pack("<HHIIHH", fmt_code, ch, rate, byte_rate,
+                           block_align, bits) + extra
+    fact = b"fact" + struct.pack("<II", 4, n_samples)
+    riff_len = 4 + (8 + len(fmt_body)) + len(fact) + 8 + data_len
+    return (b"RIFF" + struct.pack("<I", riff_len) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + fact + b"data" + struct.pack("<I", data_len))
+
+
+def wav_encode_g711(samples: np.ndarray, rate: int = 8000, law: str = "ulaw") -> bytes:
+    """[n] int16 mono -> WAV with G.711 mu-law (fmt 7) or A-law (fmt 6)."""
+    s = np.asarray(samples, dtype=np.int16).reshape(-1)
+    comp = ulaw_compress(s) if law == "ulaw" else alaw_compress(s)
+    data = comp.tobytes()
+    code = 7 if law == "ulaw" else 6
+    return _wav_header(code, 1, rate, 8, 1, rate, len(data), len(s),
+                       extra=struct.pack("<H", 0)) + data
+
+
+def wav_encode_adpcm(samples: np.ndarray, rate: int = 8000,
+                     block_align: int = 256) -> bytes:
+    """[n] int16 mono -> WAV IMA ADPCM (fmt 17).
+
+    Standard mono block layout: 4-byte state header (predictor int16,
+    step index uint8, reserved) + 2 samples/byte, low nibble first.
+    The tail block is zero-padded in the nibble area (decoders stop at
+    the fact-chunk sample count).
+    """
+    s = np.asarray(samples, dtype=np.int16).reshape(-1)
+    if len(s) == 0:
+        raise ValueError("empty signal")
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    nb = (len(s) + spb - 1) // spb
+    padded = np.zeros(nb * spb, dtype=np.int16)
+    padded[: len(s)] = s
+    # repeat-pad the tail so padding nibbles stay cheap/determinate
+    if len(s) < len(padded):
+        padded[len(s):] = s[-1]
+    blocks = padded.reshape(nb, spb)
+    nibs, pred0, idx0 = _ima_encode_blocks(blocks)
+    # pack: low nibble = earlier sample
+    lo = nibs[:, 0::2]
+    hi = nibs[:, 1::2]
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    hdrs = np.zeros((nb, 4), dtype=np.uint8)
+    hdrs[:, 0] = (pred0 & 0xFF).astype(np.uint8)
+    hdrs[:, 1] = ((pred0 >> 8) & 0xFF).astype(np.uint8)
+    hdrs[:, 2] = idx0.astype(np.uint8)
+    data = np.concatenate([hdrs, packed], axis=1).tobytes()
+    byte_rate = (rate * block_align + spb - 1) // spb
+    extra = struct.pack("<HH", 2, spb)  # cbSize=2, samples/block
+    return _wav_header(17, 1, rate, 4, block_align, byte_rate, len(data),
+                       len(s), extra=extra) + data
 
 
 class AudioStats:

@@ -89,3 +89,94 @@ def test_audio_clips_tumbling_and_ragged_tail():
     # tail below min_frac is dropped
     out2 = audio.AudioClips(clip_s=1.0, min_frac=0.6)(tbl).to_pandas()
     assert list(out2["clip_idx"]) == [0, 1]
+
+
+# --- G.711 / ADPCM codecs (round 4b) ---------------------------------------
+
+
+def test_g711_code_idempotence():
+    """expand->compress is the identity on codes (except mu-law 0x7F,
+    G.711's 'negative zero', which re-encodes as positive zero 0xFF)."""
+    codes = np.arange(256, dtype=np.uint8)
+    u = audio.ulaw_compress(audio.ulaw_expand(codes))
+    mismatch = np.nonzero(u != codes)[0]
+    assert list(mismatch) == [0x7F] and u[0x7F] == 0xFF
+    assert np.array_equal(audio.alaw_compress(audio.alaw_expand(codes)), codes)
+
+
+def test_g711_matches_audioop_reference():
+    """Bit-exact vs CPython's audioop (the canonical Sun g711.c)."""
+    audioop = pytest.importorskip("audioop")
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    raw = x.astype("<i2").tobytes()
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(
+        np.frombuffer(audioop.lin2ulaw(raw, 2), np.uint8), audio.ulaw_compress(x))
+    assert np.array_equal(
+        np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), "<i2"),
+        audio.ulaw_expand(codes))
+    assert np.array_equal(
+        np.frombuffer(audioop.lin2alaw(raw, 2), np.uint8), audio.alaw_compress(x))
+    assert np.array_equal(
+        np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), "<i2"),
+        audio.alaw_expand(codes))
+
+
+def test_adpcm_transition_matches_audioop():
+    """The IMA decode transition function is bit-exact vs audioop's
+    adpcm2lin (Jansen adpcm.c) given the same state.  audioop's raw
+    stream is high-nibble-first; WAV IMA blocks are low-first, so the
+    comparison feeds pair-swapped nibbles."""
+    audioop = pytest.importorskip("audioop")
+    rng = np.random.default_rng(3)
+    nibs = rng.integers(0, 16, size=400, dtype=np.uint8)
+    packed = (nibs[0::2] | (nibs[1::2] << 4)).astype(np.uint8).tobytes()
+    ref = np.frombuffer(audioop.adpcm2lin(packed, 2, (0, 0))[0], "<i2")
+    order = nibs.reshape(-1, 2)[:, ::-1].reshape(-1)
+    mine = audio._ima_decode_blocks(order[None, :], np.array([0]), np.array([0]))[0]
+    assert np.array_equal(ref, mine[1:])
+
+
+def test_g711_wav_roundtrip_error_bound():
+    rng = np.random.default_rng(7)
+    sig = rng.normal(0, 6000, 4000).clip(-32768, 32767).astype(np.int16)
+    for law, bound in (("ulaw", 1024), ("alaw", 512)):
+        back, rate = audio.wav_decode(audio.wav_encode_g711(sig, 8000, law))
+        assert rate == 8000 and back.shape == (4000, 1)
+        err = np.abs(back[:, 0].astype(np.int32) - sig.astype(np.int32))
+        assert err.max() <= bound
+
+
+def test_adpcm_wav_roundtrip_snr_and_lengths():
+    t = np.arange(20000) / 8000.0
+    sig = (8000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    back, rate = audio.wav_decode(audio.wav_encode_adpcm(sig, 8000))
+    assert rate == 8000 and back.shape[0] == len(sig)
+    noise = back[:, 0].astype(np.float64) - sig
+    snr = 10 * np.log10((sig.astype(np.float64) ** 2).sum() / (noise ** 2).sum())
+    assert snr > 22.0
+    # ragged tails across block boundaries (spb=505 at block_align=256)
+    rng = np.random.default_rng(11)
+    for n in (1, 2, 504, 505, 506, 1011):
+        x = rng.integers(-20000, 20000, n).astype(np.int16)
+        y, _ = audio.wav_decode(audio.wav_encode_adpcm(x, 8000))
+        assert y.shape[0] == n
+
+
+def test_audio_stats_over_g711_and_adpcm():
+    """AudioStats consumes compressed WAVs through the same decode seam."""
+    s = (np.sin(np.arange(800) / 20.0) * 12000).astype(np.int16)
+    tbl = pa.table({
+        "media_id": pa.array(["u", "a", "i"]),
+        "bytes": pa.array([
+            audio.wav_encode_g711(s, 8000, "ulaw"),
+            audio.wav_encode_g711(s, 8000, "alaw"),
+            audio.wav_encode_adpcm(s, 8000),
+        ]),
+    })
+    out = audio.AudioStats()(tbl).to_pandas().set_index("media_id")
+    ref_rms = float(np.sqrt((s.astype(np.int64) ** 2).sum() / len(s)))
+    for mid in ("u", "a", "i"):
+        assert out.loc[mid, "n_samples"] == 800
+        assert out.loc[mid, "rate"] == 8000
+        assert abs(out.loc[mid, "rms6"] - ref_rms) / ref_rms < 0.05
