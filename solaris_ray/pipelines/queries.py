@@ -2992,6 +2992,45 @@ def q_g711_stats(sf_dir: str):
     )
 
 
+def q_flac_stats(sf_dir: str):
+    """FLAC audio (stages/flac.py — pure-numpy lossless codec, the
+    LibriSpeech-style corpus format): sawtooth signals encoded to real
+    FLAC (fixed predictors + vectorized rice), decoded back through
+    AudioStats via the audio_decode sniffer.  Lossless => the oracle
+    is the same exact closed form as wav_stats."""
+    from ..stages import audio
+    from ..stages.flac import flac_encode
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"],
+                 filter=pc.field("p_partkey") < 50)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 50]
+        ids, bufs = [], []
+        for k in p.tolist():
+            n = 4000 * (1 + k % 2)
+            i = np.arange(n, dtype=np.int64)
+            s = ((i * (k % 7 + 3)) % 2001 - 1000).astype(np.int16)
+            ids.append(f"flac_{k}")
+            bufs.append(flac_encode(s, rate=16000))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+            }
+        )
+
+    rows = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=64)
+    stats = rows.map_batches(audio.AudioStats(), batch_format="pyarrow",
+                             batch_size=16)
+    return stats.map_batches(
+        lambda b: b.select(
+            ["media_id", "n_samples", "rate", "duration6", "rms6", "peak"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_adpcm_roundtrip(sf_dir: str):
     """IMA ADPCM WAV roundtrip (fmt 17, 4-bit): encode a sine-ish
     integer signal per part row, decode through the block-vectorized
@@ -3578,6 +3617,7 @@ QUERIES = {
     "wav_clips": q_wav_clips,
     "g711_stats": q_g711_stats,
     "adpcm_roundtrip": q_adpcm_roundtrip,
+    "flac_stats": q_flac_stats,
     "video_stats": q_video_stats,
     "video_frames": q_video_frames,
     "tile_feature_join": q_tile_feature_join,
@@ -3970,6 +4010,19 @@ SELECT 'adpcm_' || CAST(p_partkey AS VARCHAR) AS media_id,
        CAST(3000 + 500 * (p_partkey % 3) AS BIGINT) AS n_samples,
        CAST(1 AS BIGINT) AS ok
 FROM part WHERE p_partkey < 40
+""",
+    "flac_stats": """
+WITH a AS (SELECT p_partkey AS k, 4000*(1 + p_partkey % 2) AS n,
+                  (p_partkey % 7 + 3) AS f
+           FROM part WHERE p_partkey < 50),
+s AS (SELECT k, n, ((r.i * f) % 2001 - 1000) AS v
+      FROM a, range(0, 8000) r(i) WHERE r.i < n)
+SELECT 'flac_' || CAST(k AS VARCHAR) AS media_id,
+       CAST(n AS BIGINT) AS n_samples, CAST(16000 AS BIGINT) AS rate,
+       ROUND(CAST(n AS DOUBLE) / 16000, 6) AS duration6,
+       ROUND(SQRT(SUM(CAST(v AS DOUBLE) * v) / n), 6) AS rms6,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak
+FROM s GROUP BY k, n
 """,
     "video_stats": """
 SELECT 'vid_' || CAST(p_partkey AS VARCHAR) AS media_id,

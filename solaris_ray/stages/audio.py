@@ -20,11 +20,12 @@ IMA ADPCM (code 17, the standard 4-bit DVI/IMA scheme) with the
 per-sample feedback loop vectorized ACROSS blocks (blocks are
 independent by spec, so a [n_blocks, samples_per_block] matrix steps
 through sample positions with numpy ops — the classic way to make a
-sequential codec data-parallel).  Perceptual-transform codecs
-(mp3/flac/ogg/aac) remain honestly stubbed in
-``stages/multimodal.py`` — no wheel exists here and a DCT/entropy
-audio decoder is out of scope; the seam upgrades the same way the
-jpeg one did.
+sequential codec data-parallel).  FLAC (the speech-corpus format) is
+REAL too — see ``stages/flac.py``; every stage reaches codecs through
+the ``audio_decode`` container sniffer.  Perceptual-transform codecs
+(mp3/ogg/aac) remain honestly stubbed in ``stages/multimodal.py`` —
+no wheel exists here and a psychoacoustic decoder is out of scope;
+the seam upgrades the same way the jpeg one did.
 """
 
 from __future__ import annotations
@@ -309,6 +310,22 @@ def wav_encode_adpcm(samples: np.ndarray, rate: int = 8000,
                        len(s), extra=extra) + data
 
 
+def audio_decode(buf: bytes) -> tuple[np.ndarray, int]:
+    """Container-sniffing decode: RIFF/WAVE (PCM/G.711/ADPCM) or FLAC.
+
+    Returns ([n, ch] int samples, rate).  The one seam every audio
+    stage goes through, so a new codec upgrades all of them at once.
+    """
+    if buf[:4] == b"RIFF":
+        return wav_decode(buf)
+    if buf[:4] == b"fLaC":
+        from .flac import flac_decode
+
+        s, rate = flac_decode(buf)
+        return s, rate
+    raise ValueError("unsupported audio container (expected RIFF/WAVE or FLAC)")
+
+
 class AudioStats:
     """Actor-pool stage: (media_id, bytes) -> per-row audio stats.
 
@@ -321,7 +338,7 @@ class AudioStats:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, ns, chs, rates, durs, rmss, peaks = [], [], [], [], [], [], []
         for i in range(batch.num_rows):
-            s, rate = wav_decode(batch["bytes"][i].as_py())
+            s, rate = audio_decode(batch["bytes"][i].as_py())
             n, ch = s.shape
             sq = int((s.astype(np.int64) ** 2).sum())
             ids.append(batch["media_id"][i].as_py())
@@ -363,7 +380,7 @@ class AudioClips:
         out = {"media_id": [], "clip_idx": [], "n_samples": [],
                "sample_sum": [], "bytes": []}
         for i in range(batch.num_rows):
-            s, rate = wav_decode(batch["bytes"][i].as_py())
+            s, rate = audio_decode(batch["bytes"][i].as_py())
             mid = batch["media_id"][i].as_py()
             clip = int(round(self.clip_s * rate))
             hop = int(round(self.hop_s * rate))

@@ -8,8 +8,11 @@ no image/audio libraries, so:
 - formats this repo's own codec handles (``png``, ``qnt``, ``jpeg`` —
   a real pure-Python baseline JPEG codec lives in
   solaris_ray.raster.jpeg) decode for real (solaris_ray.raster.codec);
-- WAV/PCM audio decodes for real too (solaris_ray.stages.audio — a
-  pure-struct RIFF container);
+- WAV audio decodes for real too (solaris_ray.stages.audio — RIFF
+  with PCM16/PCM8/float32, G.711 mu-law/A-law and IMA ADPCM), and so
+  does FLAC (solaris_ray.stages.flac — a pure-numpy lossless decoder
+  covering fixed + LPC predictors, all rice modes and all stereo
+  decorrelation modes);
 - MJPEG-AVI video decodes for real (solaris_ray.stages.video — RIFF
   container + per-frame JPEG through raster/jpeg.py), with sampled
   frames seeked by index so unsampled frames never decode;
@@ -19,8 +22,8 @@ no image/audio libraries, so:
 - ``tiff`` decodes for real through the general baseline-TIFF reader
   (raster/gtiff.py: both byte orders, Deflate/LZW/PackBits strips,
   predictor 2);
-- remaining foreign formats (compressed audio, inter-frame video
-  codecs) go
+- remaining foreign formats (perceptual audio — mp3/ogg/aac — and
+  inter-frame video codecs) go
   through a clearly marked STUB: ``strict=True`` raises NotImplementedError,
   ``strict=False`` produces a deterministic fake decode (seeded from
   the payload digest) so the Ray-side plumbing — schema, batch sizing,
