@@ -3031,6 +3031,71 @@ def q_flac_stats(sf_dir: str):
     )
 
 
+def q_spectrogram(sf_dir: str):
+    """Framed-FFT audio features (AudioSpectrogram): per-frame exact
+    integer time-domain energy (the SQL-replicable half) plus a
+    Parseval pass bit — spectral energy equals time energy only if the
+    FFT itself is correct, so the bit is a real frequency-domain
+    check inside a hash-exact gate."""
+    from ..stages import audio
+
+    rows = _saw_audio_rows(sf_dir, limit=30)
+    sp = rows.map_batches(audio.AudioSpectrogram(win=256, hop=128),
+                          batch_format="pyarrow", batch_size=16)
+    return sp.map_batches(
+        lambda b: b.select(
+            ["media_id", "frame_idx", "time_energy", "parseval_ok"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_audio_resample(sf_dir: str):
+    """Polyphase windowed-sinc resampling (AudioResample, 8 kHz ->
+    16 kHz): band-limited two-tone fixtures; exact output-length math
+    (m = ceil(n*L/M)) plus an RMS-preservation pass bit."""
+    from ..stages import audio
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"],
+                 filter=pc.field("p_partkey") < 40)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 40]
+        ids, bufs = [], []
+        for k in p.tolist():
+            n = 3200 + 400 * (k % 4)
+            i = np.arange(n, dtype=np.float64)
+            hz = 200.0 * (1 + k % 5)  # well under both Nyquists
+            s = (9000 * np.sin(2 * np.pi * hz * i / 8000.0)
+                 + 3000 * np.sin(2 * np.pi * 137 * i / 8000.0)).astype(np.int16)
+            ids.append(f"rs_{k}")
+            bufs.append(audio.wav_encode(s, 8000))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+            }
+        )
+
+    rows = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=64)
+    rs = rows.map_batches(audio.AudioResample(16000),
+                          batch_format="pyarrow", batch_size=16)
+
+    def _fin(b: pa.Table) -> pa.Table:
+        rr = b["rms_ratio6"].to_numpy()
+        ok = ((rr > 0.97) & (rr < 1.03)).astype(np.int64)
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "n_in": b["n_in"],
+                "n_out": b["n_out"],
+                "ok": pa.array(ok, pa.int64()),
+            }
+        )
+
+    return rs.map_batches(_fin, batch_format="pyarrow")
+
+
 def q_adpcm_roundtrip(sf_dir: str):
     """IMA ADPCM WAV roundtrip (fmt 17, 4-bit): encode a sine-ish
     integer signal per part row, decode through the block-vectorized
@@ -3618,6 +3683,8 @@ QUERIES = {
     "g711_stats": q_g711_stats,
     "adpcm_roundtrip": q_adpcm_roundtrip,
     "flac_stats": q_flac_stats,
+    "spectrogram": q_spectrogram,
+    "audio_resample": q_audio_resample,
     "video_stats": q_video_stats,
     "video_frames": q_video_frames,
     "tile_feature_join": q_tile_feature_join,
@@ -4008,6 +4075,28 @@ FROM d GROUP BY k, n
     "adpcm_roundtrip": """
 SELECT 'adpcm_' || CAST(p_partkey AS VARCHAR) AS media_id,
        CAST(3000 + 500 * (p_partkey % 3) AS BIGINT) AS n_samples,
+       CAST(1 AS BIGINT) AS ok
+FROM part WHERE p_partkey < 40
+""",
+    "spectrogram": """
+WITH a AS (SELECT p_partkey AS k, 4000*(1 + p_partkey % 2) AS n,
+                  (p_partkey % 7 + 3) AS f
+           FROM part WHERE p_partkey < 30),
+fr AS (SELECT k, n, f, r.j AS frame_idx
+       FROM a, range(0, 61) r(j) WHERE r.j * 128 + 256 <= n),
+s AS (SELECT k, frame_idx, ((i.i * f) % 2001 - 1000) AS v
+      FROM fr, range(0, 8000) i(i)
+      WHERE i.i >= frame_idx * 128 AND i.i < frame_idx * 128 + 256)
+SELECT 'aud_' || CAST(k AS VARCHAR) AS media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(SUM(v*v) AS BIGINT) AS time_energy,
+       CAST(1 AS BIGINT) AS parseval_ok
+FROM s GROUP BY k, frame_idx
+""",
+    "audio_resample": """
+SELECT 'rs_' || CAST(p_partkey AS VARCHAR) AS media_id,
+       CAST(3200 + 400 * (p_partkey % 4) AS BIGINT) AS n_in,
+       CAST(2 * (3200 + 400 * (p_partkey % 4)) AS BIGINT) AS n_out,
        CAST(1 AS BIGINT) AS ok
 FROM part WHERE p_partkey < 40
 """,

@@ -405,3 +405,165 @@ class AudioClips:
                 "bytes": pa.array(out["bytes"], pa.binary()),
             }
         )
+
+
+# --- resampling (polyphase windowed-sinc) ----------------------------------
+
+
+def _resample_filter_bank(L: int, M: int, half_taps: int = 16
+                          ) -> tuple[np.ndarray, int]:
+    """Zero-phase polyphase bank for rational L/M resampling.
+
+    Returns (bank [L, 2Q+1], Q).  In the L-upsampled domain the ideal
+    kernel is h[d] = fc*sinc(fc*d)*hann, d in [-H, H], H = half_taps *
+    max(L, M), fc = 1/max(L, M) (anti-image + anti-alias).  Output j
+    sits at u = j*M = r + base*L; y[j] = sum_q h[r + qL] * x[base - q].
+    Rows are stored pre-flipped so the dot runs over ascending input
+    indices base-Q..base+Q, and each row is normalized to unity DC
+    gain (a flat signal passes exactly)."""
+    top = max(L, M)
+    H = half_taps * top
+    d = np.arange(-H, H + 1, dtype=np.float64)
+    fc = 1.0 / top
+    h = fc * np.sinc(fc * d) * np.hanning(2 * H + 1)
+    Q = -(-H // L)  # ceil
+    r = np.arange(L, dtype=np.int64)[:, None]
+    t = np.arange(2 * Q + 1, dtype=np.int64)[None, :]
+    idx = H + r + (Q - t) * L  # pre-flipped: column t pairs with x[base-Q+t]
+    valid = (idx >= 0) & (idx <= 2 * H)
+    bank = np.where(valid, h[np.clip(idx, 0, 2 * H)], 0.0)
+    bank /= bank.sum(axis=1, keepdims=True)
+    return bank, Q
+
+
+def resample_audio(s: np.ndarray, src_rate: int, dst_rate: int,
+                   half_taps: int = 16) -> np.ndarray:
+    """[n] or [n, ch] int16 -> [m, ch] int16 at dst_rate.
+
+    Rational-ratio zero-phase polyphase windowed-sinc (the standard
+    speech-pipeline resampler shape), fully vectorized: one [m, 2Q+1]
+    gather of the edge-padded signal times the per-output phase rows
+    of the filter bank.  m = ceil(n * L / M).
+    """
+    import math
+
+    x = np.asarray(s)
+    if x.ndim == 1:
+        x = x[:, None]
+    if src_rate == dst_rate:
+        return x.astype(np.int16)
+    g = math.gcd(int(src_rate), int(dst_rate))
+    L, M = dst_rate // g, src_rate // g
+    n, ch = x.shape
+    m = -(-n * L // M)  # ceil
+    bank, Q = _resample_filter_bank(L, M, half_taps)
+    jM = np.arange(m, dtype=np.int64) * M
+    phase = (jM % L).astype(np.int64)
+    base = jM // L
+    idx = base[:, None] + np.arange(2 * Q + 1, dtype=np.int64)[None, :] - Q
+    np.clip(idx, 0, n - 1, out=idx)  # edge-pad
+    w = bank[phase]  # [m, 2Q+1]
+    out = np.empty((m, ch), np.int16)
+    for c in range(ch):
+        y = (x[idx, c].astype(np.float64) * w).sum(axis=1)
+        out[:, c] = np.clip(np.round(y), -32768, 32767).astype(np.int16)
+    return out
+
+
+class AudioResample:
+    """Actor-pool stage: re-encode every row's audio at ``dst_rate``.
+
+    Output: media_id, src_rate, n_in, n_out, rms_ratio6 (decoded-RMS
+    preservation check — ~1.0 for band-limited content), bytes (WAV
+    PCM16 at dst_rate).
+    """
+
+    def __init__(self, dst_rate: int = 16000):
+        self.dst_rate = dst_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "src_rate": [], "n_in": [], "n_out": [],
+               "rms_ratio6": [], "bytes": []}
+        for i in range(batch.num_rows):
+            s, rate = audio_decode(batch["bytes"][i].as_py())
+            y = resample_audio(s, rate, self.dst_rate)
+            r_in = float(np.sqrt(np.mean(s.astype(np.float64) ** 2))) or 1.0
+            r_out = float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
+            out["media_id"].append(batch["media_id"][i].as_py())
+            out["src_rate"].append(rate)
+            out["n_in"].append(s.shape[0])
+            out["n_out"].append(y.shape[0])
+            out["rms_ratio6"].append(round(r_out / r_in, 6))
+            out["bytes"].append(wav_encode(y, self.dst_rate))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "src_rate": pa.array(out["src_rate"], pa.int64()),
+                "n_in": pa.array(out["n_in"], pa.int64()),
+                "n_out": pa.array(out["n_out"], pa.int64()),
+                "rms_ratio6": pa.array(out["rms_ratio6"], pa.float64()),
+                "bytes": pa.array(out["bytes"], pa.binary()),
+            }
+        )
+
+
+# --- spectrogram features ---------------------------------------------------
+
+
+class AudioSpectrogram:
+    """Actor-pool stage: framed FFT features, one output row per frame.
+
+    Rectangular window (win, hop), np.fft.rfft over the whole [frames,
+    win] matrix at once.  Output per frame: time_energy (EXACT integer
+    sum of squares — SQL-replicable), parseval_ok (1 iff the spectral
+    energy sum_k w_k |X_k|^2 / win matches time_energy to 1e-9 rel —
+    true only if the FFT is actually correct), dominant_bin, and
+    dominant_mag6.  Mono mixdown (integer channel mean) first.
+    """
+
+    def __init__(self, win: int = 256, hop: int = 128):
+        self.win = win
+        self.hop = hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        win, hop = self.win, self.hop
+        out = {"media_id": [], "frame_idx": [], "time_energy": [],
+               "parseval_ok": [], "dominant_bin": [], "dominant_mag6": []}
+        for i in range(batch.num_rows):
+            s, _rate = audio_decode(batch["bytes"][i].as_py())
+            mono = s.astype(np.int64).sum(axis=1) // s.shape[1]
+            nf = (len(mono) - win) // hop + 1 if len(mono) >= win else 0
+            if nf <= 0:
+                continue
+            starts = np.arange(nf) * hop
+            frames = mono[starts[:, None] + np.arange(win)[None, :]]
+            te = (frames.astype(np.int64) ** 2).sum(axis=1)
+            X = np.fft.rfft(frames.astype(np.float64), axis=1)
+            mag2 = np.abs(X) ** 2
+            # Parseval weights for rfft of real input, even win:
+            # bins 1..win/2-1 appear twice in the full spectrum
+            w = np.full(mag2.shape[1], 2.0)
+            w[0] = 1.0
+            if win % 2 == 0:
+                w[-1] = 1.0
+            se = (mag2 * w).sum(axis=1) / win
+            ok = (np.abs(se - te) <= 1e-9 * np.maximum(te, 1)).astype(np.int64)
+            dom = mag2[:, 1:].argmax(axis=1) + 1  # skip DC
+            mid = batch["media_id"][i].as_py()
+            out["media_id"].extend([mid] * nf)
+            out["frame_idx"].extend(range(nf))
+            out["time_energy"].extend(te.tolist())
+            out["parseval_ok"].extend(ok.tolist())
+            out["dominant_bin"].extend(dom.tolist())
+            out["dominant_mag6"].extend(
+                np.round(np.sqrt(mag2[np.arange(nf), dom]), 6).tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+                "time_energy": pa.array(out["time_energy"], pa.int64()),
+                "parseval_ok": pa.array(out["parseval_ok"], pa.int64()),
+                "dominant_bin": pa.array(out["dominant_bin"], pa.int64()),
+                "dominant_mag6": pa.array(out["dominant_mag6"], pa.float64()),
+            }
+        )

@@ -180,3 +180,65 @@ def test_audio_stats_over_g711_and_adpcm():
         assert out.loc[mid, "n_samples"] == 800
         assert out.loc[mid, "rate"] == 8000
         assert abs(out.loc[mid, "rms6"] - ref_rms) / ref_rms < 0.05
+
+
+# --- resample + spectrogram (round 4b) --------------------------------------
+
+
+def test_resample_length_math_and_flat_exact():
+    import math
+
+    rng = np.random.default_rng(21)
+    for n, src, dst in ((8000, 8000, 16000), (8000, 44100, 16000),
+                        (999, 16000, 8000), (100, 22050, 16000)):
+        x = rng.integers(-1000, 1000, n).astype(np.int16)
+        y = audio.resample_audio(x, src, dst)
+        g = math.gcd(src, dst)
+        assert y.shape == (-(-n * (dst // g) // (src // g)), 1)
+    flat = np.full(5000, 1234, np.int16)
+    y = audio.resample_audio(flat, 8000, 16000)[:, 0]
+    # unity-DC-gain phases: flat passes exactly away from the edges
+    assert np.array_equal(y[24:-24], np.full(len(y) - 48, 1234))
+
+
+def test_resample_preserves_bandlimited_tone():
+    i = np.arange(8000, dtype=np.float64)
+    s = (10000 * np.sin(2 * np.pi * 440 * i / 8000)).astype(np.int16)
+    y = audio.resample_audio(s, 8000, 16000)[:, 0]
+    rms_in = np.sqrt((s.astype(np.float64) ** 2).mean())
+    rms_out = np.sqrt((y.astype(np.float64) ** 2).mean())
+    assert abs(rms_out / rms_in - 1.0) < 0.01
+    # downsample back and compare against the original (interior)
+    z = audio.resample_audio(y, 16000, 8000)[:, 0]
+    err = np.abs(z[100:-100].astype(np.float64) - s[100:len(z)-100])
+    assert err.max() < 200  # < 2% of amplitude
+
+
+def test_spectrogram_parseval_and_dominant_bin():
+    i = np.arange(4096, dtype=np.float64)
+    s = (12000 * np.sin(2 * np.pi * 1000 * i / 8000)).astype(np.int16)
+    tbl = pa.table({"media_id": pa.array(["x"]),
+                    "bytes": pa.array([audio.wav_encode(s, 8000)])})
+    out = audio.AudioSpectrogram(win=256, hop=128)(tbl).to_pandas()
+    assert len(out) == (4096 - 256) // 128 + 1
+    assert out["parseval_ok"].min() == 1
+    # 1000 Hz at 8 kHz, win 256 -> bin 32
+    assert (out["dominant_bin"] == 32).all()
+    # exact time energy for frame 0
+    te0 = int((s[:256].astype(np.int64) ** 2).sum())
+    assert out.iloc[0]["time_energy"] == te0
+
+
+def test_resample_stage_over_compressed_input():
+    """AudioResample decodes through the sniffer, so FLAC input works."""
+    from solaris_ray.stages.flac import flac_encode
+
+    i = np.arange(4000, dtype=np.float64)
+    s = (8000 * np.sin(2 * np.pi * 300 * i / 8000)).astype(np.int16)
+    tbl = pa.table({"media_id": pa.array(["f"]),
+                    "bytes": pa.array([flac_encode(s, 8000)])})
+    out = audio.AudioResample(16000)(tbl).to_pandas()
+    assert out.iloc[0]["n_out"] == 8000
+    assert abs(out.iloc[0]["rms_ratio6"] - 1.0) < 0.02
+    back, rate = audio.wav_decode(out.iloc[0]["bytes"])
+    assert rate == 16000 and back.shape[0] == 8000
