@@ -3096,6 +3096,84 @@ def q_audio_resample(sf_dir: str):
     return rs.map_batches(_fin, batch_format="pyarrow")
 
 
+def q_audio_dedup(sf_dir: str):
+    """Acoustic-fingerprint near-dup resolve (AudioFingerprint ->
+    image_dedup machinery over the 64-bit Haitsma-Kalker hash): 20
+    base signals x 3 re-encodes each (original, amplitude-doubled,
+    inverted — all fingerprint-identical by construction, since band
+    energies scale uniformly and the fingerprint is sign-of-
+    difference).  The resolver must recover exactly the 20 groups."""
+    from ..stages import audio
+    from ..stages.components import image_dedup
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"],
+                 filter=pc.field("p_partkey") < 60)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 60]
+        ids, bufs = [], []
+        for mid in p.tolist():
+            base, v = mid // 3, mid % 3
+            i = np.arange(6000, dtype=np.float64)
+            hz1, hz2 = 200 + 90 * base, 700 + 55 * base
+            s = (5000 * np.sin(2 * np.pi * hz1 * i / 8000)
+                 + 2500 * np.sin(2 * np.pi * hz2 * i / 8000)).astype(np.int16)
+            if v == 1:
+                s = (s.astype(np.int32) * 2).astype(np.int16)
+            elif v == 2:
+                s = (-s.astype(np.int32)).astype(np.int16)
+            ids.append(mid)
+            bufs.append(audio.wav_encode(s, 8000))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "bytes": pa.array(bufs, pa.binary()),
+            }
+        )
+
+    rows = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=64)
+    fp = rows.map_batches(audio.AudioFingerprint(),
+                          batch_format="pyarrow", batch_size=16)
+    return image_dedup(fp, hash_col="afp", id_col="media_id",
+                       max_dist=2, n_bands=4).sort("media_id")
+
+
+def q_vad_segments(sf_dir: str):
+    """Energy-threshold VAD segmentation (SilenceSegments): planted
+    active-frame patterns (frame f active iff (3f + k) % 7 < 3,
+    constant amplitude), max_gap=1 merging.  The oracle replays the
+    gaps-and-islands logic with LAG/SUM window functions and exact
+    integer energies."""
+    from ..stages import audio
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"],
+                 filter=pc.field("p_partkey") < 40)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 40]
+        ids, bufs = [], []
+        for k in p.tolist():
+            amp = 1000 + (k % 3) * 500
+            frames = np.arange(30)
+            active = ((3 * frames + k) % 7) < 3
+            sig = np.repeat(np.where(active, amp, 0), 256).astype(np.int16)
+            ids.append(f"vad_{k}")
+            bufs.append(audio.wav_encode(sig, 8000))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+            }
+        )
+
+    rows = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=64)
+    return rows.map_batches(
+        audio.SilenceSegments(win=256, threshold=1_000_000, max_gap=1),
+        batch_format="pyarrow", batch_size=16)
+
+
 def q_adpcm_roundtrip(sf_dir: str):
     """IMA ADPCM WAV roundtrip (fmt 17, 4-bit): encode a sine-ish
     integer signal per part row, decode through the block-vectorized
@@ -3685,6 +3763,8 @@ QUERIES = {
     "flac_stats": q_flac_stats,
     "spectrogram": q_spectrogram,
     "audio_resample": q_audio_resample,
+    "audio_dedup": q_audio_dedup,
+    "vad_segments": q_vad_segments,
     "video_stats": q_video_stats,
     "video_frames": q_video_frames,
     "tile_feature_join": q_tile_feature_join,
@@ -4077,6 +4157,33 @@ SELECT 'adpcm_' || CAST(p_partkey AS VARCHAR) AS media_id,
        CAST(3000 + 500 * (p_partkey % 3) AS BIGINT) AS n_samples,
        CAST(1 AS BIGINT) AS ok
 FROM part WHERE p_partkey < 40
+""",
+    "audio_dedup": """
+SELECT CAST(p_partkey AS BIGINT) AS media_id,
+       CAST(3 * (p_partkey // 3) AS BIGINT) AS component,
+       CAST(CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM part WHERE p_partkey < 60
+ORDER BY media_id
+""",
+    "vad_segments": """
+WITH a AS (SELECT p_partkey AS k, 1000 + (p_partkey % 3) * 500 AS amp
+           FROM part WHERE p_partkey < 40),
+f AS (SELECT k, amp, r.i AS frame
+      FROM a, range(0, 30) r(i) WHERE (3 * r.i + k) % 7 < 3),
+g AS (SELECT k, amp, frame,
+             CASE WHEN frame - LAG(frame) OVER w > 2 OR
+                       LAG(frame) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM f WINDOW w AS (PARTITION BY k ORDER BY frame)),
+s AS (SELECT k, amp, frame,
+             SUM(brk) OVER (PARTITION BY k ORDER BY frame) - 1 AS seg
+      FROM g)
+SELECT 'vad_' || CAST(k AS VARCHAR) AS media_id,
+       CAST(seg AS BIGINT) AS seg_idx,
+       CAST(MIN(frame) AS BIGINT) AS start_frame,
+       CAST(MAX(frame) + 1 AS BIGINT) AS end_frame,
+       CAST(MAX(frame) + 1 - MIN(frame) AS BIGINT) AS n_frames,
+       CAST(COUNT(*) * 256 * amp * amp AS BIGINT) AS energy
+FROM s GROUP BY k, amp, seg
 """,
     "spectrogram": """
 WITH a AS (SELECT p_partkey AS k, 4000*(1 + p_partkey % 2) AS n,

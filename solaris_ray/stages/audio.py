@@ -567,3 +567,121 @@ class AudioSpectrogram:
                 "dominant_mag6": pa.array(out["dominant_mag6"], pa.float64()),
             }
         )
+
+
+class AudioFingerprint:
+    """Actor-pool stage: (media_id, bytes) -> 64-bit acoustic fingerprint.
+
+    Haitsma-Kalker-style: framed rfft -> 17 log-spaced band energies ->
+    sign of the time-frequency double difference
+    (E[f,b]-E[f,b+1]) - (E[f-1,b]-E[f-1,b+1]) gives 16 bits per frame;
+    4 frames sampled evenly across the clip concatenate to an int64.
+    Scale-invariant by construction (energies scale uniformly, signs
+    survive), so amplitude-scaled / inverted / DC-shifted re-encodes of
+    the same audio collide — feed the result straight into the
+    ``components.image_dedup`` machinery (banded Hamming -> CC -> rep)
+    with ``hash_col="afp"``.
+    """
+
+    def __init__(self, win: int = 256, hop: int = 128):
+        self.win = win
+        self.hop = hop
+        # 18 log-spaced band edges over bins [1, win//2 + 1) -> 17 bands
+        nb = win // 2 + 1  # rfft bin count
+        edges = np.unique(np.round(np.geomspace(1, nb, 18)).astype(np.int64))
+        if len(edges) < 18:  # rounding collisions: fill from a linear grid
+            fill = np.setdiff1d(
+                np.linspace(1, nb, 18).astype(np.int64), edges)
+            edges = np.unique(np.concatenate([edges, fill]))[:18]
+        self.edges = edges
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        win, hop = self.win, self.hop
+        ids, fps = [], []
+        for i in range(batch.num_rows):
+            s, _rate = audio_decode(batch["bytes"][i].as_py())
+            mono = s.astype(np.int64).sum(axis=1) // s.shape[1]
+            nf = (len(mono) - win) // hop + 1 if len(mono) >= win else 0
+            if nf < 6:
+                continue  # too short to fingerprint
+            starts = np.arange(nf) * hop
+            frames = mono[starts[:, None] + np.arange(win)[None, :]]
+            mag2 = np.abs(np.fft.rfft(frames.astype(np.float64), axis=1)) ** 2
+            bands = np.add.reduceat(mag2[:, :self.edges[-1]],
+                                    self.edges[:-1], axis=1)
+            d = np.diff(bands, axis=1)          # [nf, 16] spectral slope
+            dd = d[1:] - d[:-1]                 # [nf-1, 16] time diff
+            bits = (dd > 0).astype(np.uint64)   # 16 bits per frame
+            words = (bits << np.arange(16, dtype=np.uint64)[None, :]).sum(axis=1)
+            pick = (np.arange(1, 5) * (len(words) // 5)).clip(0, len(words) - 1)
+            fp = np.uint64(0)
+            for j, p in enumerate(pick):
+                fp |= words[p] << np.uint64(16 * j)
+            ids.append(batch["media_id"][i].as_py())
+            fps.append(int(fp.astype(np.int64)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "afp": pa.array(fps, pa.int64()),
+            }
+        )
+
+
+class SilenceSegments:
+    """Actor-pool stage: energy-threshold voice-activity segmentation.
+
+    Frames of ``win`` samples (non-overlapping), EXACT integer frame
+    energy; frames with energy >= ``threshold`` are active.  Runs of
+    active frames closer than ``max_gap`` frames merge into one
+    segment (the standard VAD smoothing).  Output one row per kept
+    segment: media_id, seg_idx, start_frame, end_frame (exclusive),
+    n_frames, energy (exact integer sum) — every column SQL-replicable
+    gaps-and-islands style.
+    """
+
+    def __init__(self, win: int = 256, threshold: int = 1_000_000,
+                 max_gap: int = 1):
+        self.win = win
+        self.threshold = threshold
+        self.max_gap = max_gap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        win = self.win
+        out = {"media_id": [], "seg_idx": [], "start_frame": [],
+               "end_frame": [], "n_frames": [], "energy": []}
+        for i in range(batch.num_rows):
+            s, _rate = audio_decode(batch["bytes"][i].as_py())
+            mono = s.astype(np.int64).sum(axis=1) // s.shape[1]
+            nf = len(mono) // win
+            if nf == 0:
+                continue
+            fr = mono[: nf * win].reshape(nf, win)
+            en = (fr ** 2).sum(axis=1)
+            act = np.flatnonzero(en >= self.threshold)
+            if len(act) == 0:
+                continue
+            # merge runs separated by <= max_gap inactive frames
+            # (consecutive active frames have diff 1, so a gap of g
+            # inactive frames shows as diff g+1)
+            brk = np.flatnonzero(np.diff(act) > self.max_gap + 1)
+            seg_start = act[np.concatenate([[0], brk + 1])]
+            seg_end = act[np.concatenate([brk, [len(act) - 1]])] + 1
+            mid = batch["media_id"][i].as_py()
+            for j, (a, b) in enumerate(zip(seg_start.tolist(),
+                                           seg_end.tolist())):
+                out["media_id"].append(mid)
+                out["seg_idx"].append(j)
+                out["start_frame"].append(a)
+                out["end_frame"].append(b)
+                out["n_frames"].append(b - a)
+                out["energy"].append(int(en[a:b].sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "seg_idx": pa.array(out["seg_idx"], pa.int64()),
+                "start_frame": pa.array(out["start_frame"], pa.int64()),
+                "end_frame": pa.array(out["end_frame"], pa.int64()),
+                "n_frames": pa.array(out["n_frames"], pa.int64()),
+                "energy": pa.array(out["energy"], pa.int64()),
+            }
+        )

@@ -242,3 +242,43 @@ def test_resample_stage_over_compressed_input():
     assert abs(out.iloc[0]["rms_ratio6"] - 1.0) < 0.02
     back, rate = audio.wav_decode(out.iloc[0]["bytes"])
     assert rate == 16000 and back.shape[0] == 8000
+
+
+def test_fingerprint_invariances_and_separation():
+    fps = {}
+    for base in range(6):
+        i = np.arange(6000, dtype=np.float64)
+        s = (5000 * np.sin(2 * np.pi * (200 + 90 * base) * i / 8000)
+             + 2500 * np.sin(2 * np.pi * (700 + 55 * base) * i / 8000)
+             ).astype(np.int16)
+        variants = [s, (s.astype(np.int32) * 2).astype(np.int16),
+                    (-s.astype(np.int32)).astype(np.int16)]
+        tbl = pa.table({
+            "media_id": pa.array(list(range(3)), pa.int64()),
+            "bytes": pa.array([audio.wav_encode(v, 8000) for v in variants]),
+        })
+        out = audio.AudioFingerprint()(tbl).to_pandas()
+        assert out["afp"].nunique() == 1  # scale/sign invariant
+        fps[base] = out["afp"].iloc[0]
+    assert len(set(fps.values())) == 6  # distinct content separates
+
+
+def test_silence_segments_merging_and_energy():
+    sig = np.zeros(256 * 20, np.int16)
+    sig[256 * 3:256 * 6] = 3000   # frames 3..5
+    sig[256 * 8:256 * 9] = 3000   # frame 8 (isolated)
+    sig[256 * 14:256 * 15] = 3000  # frames 14 and 16 with a 1-frame gap
+    sig[256 * 16:256 * 17] = 3000
+    tbl = pa.table({"media_id": pa.array(["v"]),
+                    "bytes": pa.array([audio.wav_encode(sig, 8000)])})
+    out = audio.SilenceSegments(win=256, threshold=1_000_000,
+                                max_gap=1)(tbl).to_pandas()
+    # gap of exactly 1 frame (15) merges 14 and 16 into one segment
+    assert out[["start_frame", "end_frame"]].values.tolist() == [
+        [3, 6], [8, 9], [14, 17]]
+    # energy counts only the active frames' samples (gap frame is 0)
+    assert out.iloc[2]["energy"] == 2 * 256 * 3000 * 3000
+    # max_gap=0: no merging
+    out0 = audio.SilenceSegments(win=256, threshold=1_000_000,
+                                 max_gap=0)(tbl).to_pandas()
+    assert len(out0) == 4
