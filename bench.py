@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "group_quantiles",
     # round-4: real MJPEG-AVI video (index-seek frame sampling)
     "video_frames",
+    # round-4b: real audio codecs + audio ML ops
+    "flac_stats",
+    "audio_dedup",
 ]
 
 
