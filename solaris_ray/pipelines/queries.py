@@ -3174,6 +3174,46 @@ def q_vad_segments(sf_dir: str):
         batch_format="pyarrow", batch_size=16)
 
 
+def q_scene_changes(sf_dir: str):
+    """Shot-boundary detection over MJPEG-AVI (SceneChanges): planted
+    scene structure — clip k cuts at frame 0 and every f >= 1 with
+    (f + k) % 3 == 0; frames within a shot are byte-identical, so MAD
+    is exactly 0 inside shots and large at cuts.  The oracle replays
+    the cut formula and cumulative scene index in SQL."""
+    from ..stages import video
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"],
+                 filter=pc.field("p_partkey") < 25)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 25]
+        ids, bufs = [], []
+        for k in p.tolist():
+            nf = 6 + k % 3
+            cuts = np.array([1] + [int((f + k) % 3 == 0)
+                                   for f in range(1, nf)])
+            scene = np.cumsum(cuts) - 1
+            frames = np.stack([_smooth_frame(k + 31 * int(s), 48, 32, 0)
+                               for s in scene])
+            ids.append(f"sc_{k}")
+            bufs.append(video.avi_encode(frames, fps=5))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+            }
+        )
+
+    rows = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=64)
+    sc = rows.map_batches(video.SceneChanges(threshold=8.0),
+                          batch_format="pyarrow", batch_size=8)
+    return sc.map_batches(
+        lambda b: b.select(["media_id", "frame_idx", "is_cut", "scene_idx"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_adpcm_roundtrip(sf_dir: str):
     """IMA ADPCM WAV roundtrip (fmt 17, 4-bit): encode a sine-ish
     integer signal per part row, decode through the block-vectorized
@@ -3765,6 +3805,7 @@ QUERIES = {
     "audio_resample": q_audio_resample,
     "audio_dedup": q_audio_dedup,
     "vad_segments": q_vad_segments,
+    "scene_changes": q_scene_changes,
     "video_stats": q_video_stats,
     "video_frames": q_video_frames,
     "tile_feature_join": q_tile_feature_join,
@@ -4157,6 +4198,19 @@ SELECT 'adpcm_' || CAST(p_partkey AS VARCHAR) AS media_id,
        CAST(3000 + 500 * (p_partkey % 3) AS BIGINT) AS n_samples,
        CAST(1 AS BIGINT) AS ok
 FROM part WHERE p_partkey < 40
+""",
+    "scene_changes": """
+WITH a AS (SELECT p_partkey AS k, 6 + p_partkey % 3 AS nf
+           FROM part WHERE p_partkey < 25),
+f AS (SELECT k, r.i AS frame_idx,
+             CASE WHEN r.i = 0 OR (r.i + k) % 3 = 0 THEN 1 ELSE 0 END AS is_cut
+      FROM a, range(0, 8) r(i) WHERE r.i < nf)
+SELECT 'sc_' || CAST(k AS VARCHAR) AS media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(is_cut AS BIGINT) AS is_cut,
+       CAST(SUM(is_cut) OVER (PARTITION BY k ORDER BY frame_idx) - 1
+            AS BIGINT) AS scene_idx
+FROM f
 """,
     "audio_dedup": """
 SELECT CAST(p_partkey AS BIGINT) AS media_id,

@@ -192,3 +192,53 @@ class VideoStats:
                 "frame_bytes": pa.array(total_bytes, pa.int64()),
             }
         )
+
+
+class SceneChanges:
+    """Actor-pool stage: shot-boundary detection over MJPEG-AVI rows.
+
+    Decodes consecutive frames through the seek index and computes the
+    mean absolute pixel difference (MAD) to the previous frame; a
+    frame with MAD >= ``threshold`` starts a new scene.  Output one
+    row per frame: media_id, frame_idx, mad6 (0.0 for frame 0),
+    is_cut (frame 0 is cut 1 by convention), scene_idx (cumulative
+    cut count - 1).  Identical consecutive frames give MAD exactly 0
+    (JPEG decode is deterministic), so static shots are exact.
+    """
+
+    def __init__(self, threshold: float = 8.0):
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_idx": [], "mad6": [],
+               "is_cut": [], "scene_idx": []}
+        for i in range(batch.num_rows):
+            buf = batch["bytes"][i].as_py()
+            mid = batch["media_id"][i].as_py()
+            ranges = avi_frame_ranges(buf)
+            prev = None
+            scene = -1
+            for f in range(len(ranges)):
+                px = avi_decode_frame(buf, f, ranges).astype(np.int64)
+                if prev is None:
+                    mad = 0.0
+                    cut = 1
+                else:
+                    mad = float(np.abs(px - prev).mean())
+                    cut = int(mad >= self.threshold)
+                prev = px
+                scene += cut
+                out["media_id"].append(mid)
+                out["frame_idx"].append(f)
+                out["mad6"].append(round(mad, 6))
+                out["is_cut"].append(cut)
+                out["scene_idx"].append(scene)
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+                "mad6": pa.array(out["mad6"], pa.float64()),
+                "is_cut": pa.array(out["is_cut"], pa.int64()),
+                "scene_idx": pa.array(out["scene_idx"], pa.int64()),
+            }
+        )

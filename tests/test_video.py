@@ -119,3 +119,24 @@ def test_frame_sampler_strict_still_raises_on_foreign_codec():
     # non-strict keeps the documented fake fan-out plumbing
     out = multimodal.FrameSampler(every_k=2, strict=False)(tbl)
     assert out.num_rows == 2
+
+
+def test_scene_changes_static_shots_and_cuts():
+    from solaris_ray.stages.video import SceneChanges, avi_encode
+
+    def scene_frame(s, w=48, h=32):
+        yy, xx = np.indices((h, w), dtype=np.float64)
+        a = 128 + 90 * np.sin(xx / 7 + 3 * s) * np.cos(yy / 5 + s)
+        b = 128 + 80 * np.cos(xx / 9 + 2 * s)
+        c = 128 + 70 * np.sin((xx + yy) / 6 + s)
+        return np.stack([a, b, c], -1).clip(0, 255).astype(np.uint8)
+
+    frames = [scene_frame(0)] * 3 + [scene_frame(1)] * 2 + [scene_frame(2)] * 3
+    buf = avi_encode(np.stack(frames), fps=5)
+    tbl = pa.table({"media_id": pa.array(["v"]), "bytes": pa.array([buf])})
+    out = SceneChanges(threshold=8.0)(tbl).to_pandas()
+    assert list(out["is_cut"]) == [1, 0, 0, 1, 0, 1, 0, 0]
+    assert list(out["scene_idx"]) == [0, 0, 0, 1, 1, 2, 2, 2]
+    # identical frames decode identically -> MAD exactly 0 inside shots
+    assert (out.loc[out["is_cut"] == 0, "mad6"] == 0.0).all()
+    assert (out.loc[out["frame_idx"].isin([3, 5]), "mad6"] > 30).all()
