@@ -3214,6 +3214,56 @@ def q_scene_changes(sf_dir: str):
     )
 
 
+def q_media_probe(sf_dir: str):
+    """Container probing (MediaProbe, stages/probe.py): one metadata
+    row per media item across five container types — wav/flac decode
+    headers, mp3 frame-header walk, ogg page granules, avi container
+    parse — every field closed-form for the SQL oracle.  mp3/ogg
+    payloads stay undecodable (honest stub); their METADATA is pure
+    struct and real."""
+    from ..stages.probe import MediaProbe
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"],
+                 filter=pc.field("p_partkey") < 50)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        from ..stages.audio import wav_encode
+        from ..stages.flac import flac_encode
+        from ..stages.probe import make_mp3, make_ogg_vorbis
+        from ..stages.video import avi_encode
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 50]
+        ids, bufs = [], []
+        for k in p.tolist():
+            t = k % 5
+            if t in (0, 1):
+                n = 2000 + 100 * (k % 7)
+                s = ((np.arange(n, dtype=np.int64) * 3) % 2001
+                     - 1000).astype(np.int16)
+                bufs.append(wav_encode(s, 8000) if t == 0
+                            else flac_encode(s, 16000))
+            elif t == 2:
+                bufs.append(make_mp3(10 + k % 9, 44100))
+            elif t == 3:
+                bufs.append(make_ogg_vorbis(8000 * (1 + k % 3), 16000))
+            else:
+                nf = 4 + k % 4
+                bufs.append(avi_encode(
+                    np.full((nf, 32, 48, 3), 128, np.uint8), fps=5))
+            ids.append(f"mp_{k}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+            }
+        )
+
+    rows = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=64)
+    return rows.map_batches(MediaProbe(), batch_format="pyarrow",
+                            batch_size=16)
+
+
 def q_adpcm_roundtrip(sf_dir: str):
     """IMA ADPCM WAV roundtrip (fmt 17, 4-bit): encode a sine-ish
     integer signal per part row, decode through the block-vectorized
@@ -3806,6 +3856,7 @@ QUERIES = {
     "audio_dedup": q_audio_dedup,
     "vad_segments": q_vad_segments,
     "scene_changes": q_scene_changes,
+    "media_probe": q_media_probe,
     "video_stats": q_video_stats,
     "video_frames": q_video_frames,
     "tile_feature_join": q_tile_feature_join,
@@ -4198,6 +4249,29 @@ SELECT 'adpcm_' || CAST(p_partkey AS VARCHAR) AS media_id,
        CAST(3000 + 500 * (p_partkey % 3) AS BIGINT) AS n_samples,
        CAST(1 AS BIGINT) AS ok
 FROM part WHERE p_partkey < 40
+""",
+    "media_probe": """
+WITH a AS (SELECT p_partkey AS k, p_partkey % 5 AS t
+           FROM part WHERE p_partkey < 50)
+SELECT 'mp_' || CAST(k AS VARCHAR) AS media_id,
+  CASE t WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
+         WHEN 3 THEN 'ogg' ELSE 'avi' END AS container,
+  CASE t WHEN 0 THEN 'pcm' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
+         WHEN 3 THEN 'vorbis' ELSE 'mjpeg' END AS codec,
+  CAST(CASE t WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 44100
+              WHEN 3 THEN 16000 ELSE 5 END AS BIGINT) AS sample_rate,
+  CAST(CASE t WHEN 2 THEN 2 WHEN 4 THEN 3 ELSE 1 END AS BIGINT) AS channels,
+  CAST(CASE t WHEN 0 THEN 2000 + 100 * (k % 7)
+              WHEN 1 THEN 2000 + 100 * (k % 7)
+              WHEN 2 THEN 10 + k % 9
+              WHEN 3 THEN 4
+              ELSE 4 + k % 4 END AS BIGINT) AS n_units,
+  ROUND(CASE t WHEN 0 THEN (2000 + 100 * (k % 7)) / 8000.0
+               WHEN 1 THEN (2000 + 100 * (k % 7)) / 16000.0
+               WHEN 2 THEN (10 + k % 9) * 1152 / 44100.0
+               WHEN 3 THEN (8000 * (1 + k % 3)) / 16000.0
+               ELSE (4 + k % 4) / 5.0 END, 6) AS duration6
+FROM a
 """,
     "scene_changes": """
 WITH a AS (SELECT p_partkey AS k, 6 + p_partkey % 3 AS nf

@@ -1,0 +1,74 @@
+"""Container probing (solaris_ray/stages/probe.py)."""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from solaris_ray.stages.probe import (
+    MediaProbe, make_mp3, make_ogg_vorbis, media_probe, mp3_probe, ogg_probe)
+
+
+def test_mp3_frame_walk_and_id3_skip():
+    m = mp3_probe(make_mp3(50, 44100, 128, stereo=True))
+    assert (m["n_frames"], m["sample_rate"], m["channels"]) == (50, 44100, 2)
+    assert m["duration6"] == round(50 * 1152 / 44100, 6)
+    assert m["vbr"] == 0 and m["bitrate_kbps"] == 128
+    m2 = mp3_probe(make_mp3(30, 32000, 64, stereo=False, id3=True))
+    assert (m2["n_frames"], m2["channels"], m2["bitrate_kbps"]) == (30, 1, 64)
+
+
+def test_mp3_xing_vbr_shortcut():
+    """A Xing header in the first frame reports the frame count
+    without walking the stream."""
+    base = make_mp3(5, 44100, 128, stereo=True)
+    flen = 144 * 128 * 1000 // 44100
+    first = bytearray(base[:flen])
+    xing = b"Xing" + struct.pack(">I", 1) + struct.pack(">I", 9999)
+    first[36:36 + len(xing)] = xing  # MPEG1 stereo side info = 32 bytes
+    m = mp3_probe(bytes(first) + base[flen:])
+    assert m["n_frames"] == 9999 and m["vbr"] == 1
+    assert m["duration6"] == round(9999 * 1152 / 44100, 6)
+
+
+def test_ogg_vorbis_probe():
+    o = ogg_probe(make_ogg_vorbis(48000, 16000, 1, 3))
+    assert o["codec"] == "vorbis" and o["sample_rate"] == 16000
+    assert o["duration6"] == 3.0 and o["n_pages"] == 4
+    st = ogg_probe(make_ogg_vorbis(44100, 44100, 2, 5))
+    assert st["channels"] == 2 and st["duration6"] == 1.0
+
+
+def test_media_probe_sniffs_all_containers():
+    from solaris_ray.stages.audio import wav_encode
+    from solaris_ray.stages.flac import flac_encode
+    from solaris_ray.stages.video import avi_encode
+
+    s = (np.arange(4000) % 997 - 498).astype(np.int16)
+    cases = {
+        "wav": (wav_encode(s, 8000), ("wav", "pcm", 8000, 4000)),
+        "flac": (flac_encode(s, 16000), ("flac", "flac", 16000, 4000)),
+        "mp3": (make_mp3(20, 44100), ("mp3", "mp3", 44100, 20)),
+        "ogg": (make_ogg_vorbis(32000, 16000), ("ogg", "vorbis", 16000, 4)),
+        "avi": (avi_encode(np.full((4, 32, 48, 3), 128, np.uint8), fps=5),
+                ("avi", "mjpeg", 5, 4)),
+    }
+    tbl = pa.table({
+        "media_id": pa.array(list(cases)),
+        "bytes": pa.array([v[0] for v in cases.values()]),
+    })
+    out = MediaProbe()(tbl).to_pandas().set_index("media_id")
+    for mid, (_, (cont, codec, rate, units)) in cases.items():
+        row = out.loc[mid]
+        assert (row["container"], row["codec"]) == (cont, codec)
+        assert (row["sample_rate"], row["n_units"]) == (rate, units)
+
+
+def test_probe_garbage_raises():
+    with pytest.raises(ValueError):
+        media_probe(b"\x00" * 100)
+    with pytest.raises(ValueError):
+        mp3_probe(b"ID3\x03\x00\x00\x00\x00\x00\x10" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        ogg_probe(b"OggX" + b"\x00" * 60)
