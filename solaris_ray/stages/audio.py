@@ -81,6 +81,8 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack_from("<I", buf, pos + 4)
         body = buf[pos + 8:pos + 8 + size]
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
             (block_align, bits) = struct.unpack_from("<HH", body, 12)
         elif tag == b"fact" and size >= 4:

@@ -142,10 +142,14 @@ def ogg_probe(buf: bytes) -> dict:
         body = buf[pos + 27 + nsegs:pos + 27 + nsegs + body_len]
         if codec is None:
             if body[:7] == b"\x01vorbis":
+                if len(body) < 16:
+                    raise ValueError("truncated Vorbis id header")
                 codec = "vorbis"
                 channels = body[11]
                 rate = struct.unpack_from("<I", body, 12)[0]
             elif body[:8] == b"OpusHead":
+                if len(body) < 12:
+                    raise ValueError("truncated Opus id header")
                 codec = "opus"
                 channels = body[9]
                 pre_skip = struct.unpack_from("<H", body, 10)[0]

@@ -123,6 +123,8 @@ def avi_info(buf: bytes) -> dict:
         if tag == b"LIST" and buf[start:start + 4] == b"hdrl":
             for t2, s2, z2 in _walk_chunks(buf, start + 4, start + size):
                 if t2 == b"avih":
+                    if s2 + 40 > len(buf):
+                        raise ValueError("truncated AVI avih header")
                     us, _, _, _, n, _, _, _, w, h = struct.unpack_from(
                         "<IIIIIIIIII", buf, s2)
                     return {

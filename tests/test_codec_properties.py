@@ -71,3 +71,42 @@ def test_resample_output_length(s, rates):
     g = math.gcd(src, dst)
     assert y.shape == (-(-len(s) * (dst // g) // (src // g)), 1)
     assert y.dtype == np.int16
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 199), st.data())
+def test_truncated_containers_raise_cleanly(cut_pct, data):
+    """Any prefix/corruption of a valid container either raises
+    ValueError or returns a well-formed result — never an IndexError,
+    infinite loop, or crash."""
+    s = (np.arange(1500) % 601 - 300).astype(np.int16)
+    which = data.draw(st.sampled_from(["wav", "flac", "g711", "adpcm"]))
+    if which == "wav":
+        buf = audio.wav_encode(s, 8000)
+    elif which == "flac":
+        buf = flac_encode(s, 8000)
+    elif which == "g711":
+        buf = audio.wav_encode_g711(s, 8000, "ulaw")
+    else:
+        buf = audio.wav_encode_adpcm(s, 8000)
+    cut = max(1, len(buf) * cut_pct // 200)  # prefixes up to ~full
+    trunc = buf[:cut]
+    try:
+        out, rate = (flac_decode(trunc) if which == "flac"
+                     else audio.wav_decode(trunc))
+        assert out.ndim == 2 and rate > 0  # short-but-valid prefix is ok
+    except ValueError:
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10**6), st.integers(0, 255))
+def test_byte_flip_never_crashes(pos_seed, newbyte):
+    s = (np.arange(2000) % 997 - 498).astype(np.int16)
+    buf = bytearray(flac_encode(s, 16000))
+    buf[pos_seed % len(buf)] = newbyte
+    try:
+        out, _ = flac_decode(bytes(buf))
+        assert out.ndim == 2
+    except ValueError:
+        pass

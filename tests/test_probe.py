@@ -72,3 +72,27 @@ def test_probe_garbage_raises():
         mp3_probe(b"ID3\x03\x00\x00\x00\x00\x00\x10" + b"\x00" * 16)
     with pytest.raises(ValueError):
         ogg_probe(b"OggX" + b"\x00" * 60)
+
+
+def test_probe_truncation_fuzz():
+    """Truncated prefixes of every container either raise ValueError
+    or return consistent metadata — no struct errors or hangs."""
+    from solaris_ray.stages.audio import wav_encode
+    from solaris_ray.stages.flac import flac_encode
+    from solaris_ray.stages.video import avi_encode
+
+    s = (np.arange(1200) % 601 - 300).astype(np.int16)
+    bufs = [
+        wav_encode(s, 8000),
+        flac_encode(s, 8000),
+        make_mp3(12, 44100),
+        make_ogg_vorbis(8000, 16000),
+        avi_encode(np.full((3, 32, 48, 3), 128, np.uint8), fps=5),
+    ]
+    for buf in bufs:
+        for cut in range(1, len(buf), max(1, len(buf) // 37)):
+            try:
+                m = media_probe(buf[:cut])
+                assert m["sample_rate"] > 0
+            except ValueError:
+                pass
