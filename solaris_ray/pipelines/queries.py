@@ -3264,6 +3264,60 @@ def q_media_probe(sf_dir: str):
                             batch_size=16)
 
 
+def q_image_phash(sf_dir: str):
+    """pHash computed FROM PIXELS (stages/phash.py — the input-hint
+    phash column derived when a corpus lacks it): 20 base images x 3
+    re-encodes (png original, brightness+10 png — hash-identical
+    since only DC moves — and jpeg q85 recompress, Hamming <= 2),
+    PhashImages decode+hash -> image_dedup banded resolve.  The
+    resolver must recover exactly the 20 groups."""
+    from ..stages.components import image_dedup
+    from ..stages.phash import PhashImages
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"],
+                 filter=pc.field("p_partkey") < 60)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        from ..raster.codec import encode
+        from ..raster.jpeg import jpeg_encode
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 60]
+        ids, bufs, fmts = [], [], []
+        for mid in p.tolist():
+            base, v = mid // 3, mid % 3
+            yy, xx = np.indices((64, 96), dtype=np.float64)
+            a = (128 + 70 * np.sin(xx / 11 + 2 * base) * np.cos(yy / 7 + base)
+                 + 25 * np.sin((xx + 2 * yy) / 17 + 3 * base))
+            img = np.stack([a, a * 0.9 + 10, a * 1.05 - 5],
+                           -1).clip(30, 225).astype(np.uint8)
+            if v == 0:
+                bufs.append(encode(img, "png"))
+                fmts.append("png")
+            elif v == 1:
+                shifted = np.clip(img.astype(np.int16) + 10, 0,
+                                  255).astype(np.uint8)
+                bufs.append(encode(shifted, "png"))
+                fmts.append("png")
+            else:
+                bufs.append(jpeg_encode(img, quality=85))
+                fmts.append("jpeg")
+            ids.append(mid)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.int64()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "fmt": pa.array(fmts, pa.string()),
+            }
+        )
+
+    rows = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=64)
+    hashed = rows.map_batches(PhashImages(), batch_format="pyarrow",
+                              batch_size=16)
+    return image_dedup(hashed, hash_col="phash", id_col="image_id",
+                       max_dist=3, n_bands=4).sort("image_id")
+
+
 def q_adpcm_roundtrip(sf_dir: str):
     """IMA ADPCM WAV roundtrip (fmt 17, 4-bit): encode a sine-ish
     integer signal per part row, decode through the block-vectorized
@@ -3857,6 +3911,7 @@ QUERIES = {
     "vad_segments": q_vad_segments,
     "scene_changes": q_scene_changes,
     "media_probe": q_media_probe,
+    "image_phash": q_image_phash,
     "video_stats": q_video_stats,
     "video_frames": q_video_frames,
     "tile_feature_join": q_tile_feature_join,
@@ -4249,6 +4304,13 @@ SELECT 'adpcm_' || CAST(p_partkey AS VARCHAR) AS media_id,
        CAST(3000 + 500 * (p_partkey % 3) AS BIGINT) AS n_samples,
        CAST(1 AS BIGINT) AS ok
 FROM part WHERE p_partkey < 40
+""",
+    "image_phash": """
+SELECT CAST(p_partkey AS BIGINT) AS image_id,
+       CAST(3 * (p_partkey // 3) AS BIGINT) AS component,
+       CAST(CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM part WHERE p_partkey < 60
+ORDER BY image_id
 """,
     "media_probe": """
 WITH a AS (SELECT p_partkey AS k, p_partkey % 5 AS t

@@ -1,0 +1,102 @@
+"""Perceptual image hashing — compute the input-hint ``phash`` column.
+
+The corpus schema (BASELINE.json input_hint) carries ``phash:int64``;
+when a corpus arrives WITHOUT it, the engine must derive it from
+pixels.  This is the standard DCT pHash (the algorithm behind
+pHash.org / imagehash.phash):
+
+  grayscale -> 32x32 area-mean resize -> 2D DCT-II -> top-left 8x8
+  block -> bit b = coeff > median(AC coeffs) -> 64-bit integer.
+
+Invariances that make it a *perceptual* hash (and that the gate
+plants): constant brightness shifts change only the DC coefficient
+(hash exactly unchanged); uniform contrast scaling multiplies every
+coefficient (sign pattern vs the median unchanged); JPEG recompression
+perturbs high frequencies the 8x8 low-band never sees much of.
+
+``PhashImages`` composes with ``components.image_dedup`` — decode
+bytes, hash, then the same banded-Hamming -> CC -> representative
+resolve as a precomputed-phash corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n, dtype=np.float64)
+    mat = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    mat[0] *= np.sqrt(1.0 / n)
+    mat[1:] *= np.sqrt(2.0 / n)
+    return mat
+
+
+_D32 = _dct_matrix(32)
+
+
+def _area_resize_32(gray: np.ndarray) -> np.ndarray:
+    """[h, w] -> [32, 32] by area mean (integral-image box sums)."""
+    h, w = gray.shape
+    # integral image with a zero row/col prefix
+    ii = np.zeros((h + 1, w + 1), np.float64)
+    np.cumsum(np.cumsum(gray, axis=0), axis=1, out=ii[1:, 1:])
+    ys = np.linspace(0, h, 33).round().astype(np.int64)
+    xs = np.linspace(0, w, 33).round().astype(np.int64)
+    # guard degenerate (tiny) inputs: ensure strictly increasing edges
+    ys = np.maximum.accumulate(np.maximum(ys, np.arange(33) * 0))
+    A = ii[np.ix_(ys[1:], xs[1:])]
+    B = ii[np.ix_(ys[:-1], xs[1:])]
+    C = ii[np.ix_(ys[1:], xs[:-1])]
+    E = ii[np.ix_(ys[:-1], xs[:-1])]
+    area = ((ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :])
+    area = np.maximum(area, 1)
+    return (A - B - C + E) / area
+
+
+def compute_phash(px: np.ndarray) -> int:
+    """[h, w] or [h, w, ch] uint8 pixels -> 64-bit perceptual hash."""
+    p = np.asarray(px, np.float64)
+    if p.ndim == 3:
+        if p.shape[2] >= 3:  # ITU-R 601 luma
+            p = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+        else:
+            p = p[:, :, 0]
+    small = _area_resize_32(p)
+    coeffs = _D32 @ small @ _D32.T
+    block = coeffs[:8, :8].ravel()
+    med = np.median(block[1:])  # AC median (DC excluded)
+    bits = (block > med).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+
+
+class PhashImages:
+    """Actor-pool stage: (image_id, bytes, fmt) -> (image_id, phash).
+
+    Decodes through the raster codec registry (png/jpeg/webp/tiff/qnt
+    are real), then DCT pHash.  Rows whose format can't decode here
+    are dropped with the standard strict/fake seam left to
+    ``stages/multimodal.py`` consumers.
+    """
+
+    def __init__(self, fmt_col: str = "fmt"):
+        self.fmt_col = fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..raster.codec import decode
+
+        ids, hashes = [], []
+        fmts = (batch[self.fmt_col].to_pylist()
+                if self.fmt_col in batch.schema.names
+                else ["png"] * batch.num_rows)
+        for i in range(batch.num_rows):
+            px = decode(batch["bytes"][i].as_py(), fmts[i])
+            ids.append(batch["image_id"][i].as_py())
+            hashes.append(compute_phash(px))
+        return pa.table(
+            {
+                "image_id": pa.array(ids),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )

@@ -1,0 +1,75 @@
+"""DCT perceptual hash (solaris_ray/stages/phash.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+from solaris_ray.raster.codec import encode
+from solaris_ray.stages.phash import PhashImages, _area_resize_32, compute_phash
+
+
+def _ham(a, b):
+    return bin((a ^ b) & (2 ** 64 - 1)).count("1")
+
+
+def _base_img(k, w=96, h=64):
+    yy, xx = np.indices((h, w), dtype=np.float64)
+    a = (128 + 70 * np.sin(xx / 11 + 2 * k) * np.cos(yy / 7 + k)
+         + 25 * np.sin((xx + 2 * yy) / 17 + 3 * k))
+    return np.stack([a, a * 0.9 + 10, a * 1.05 - 5],
+                    -1).clip(30, 225).astype(np.uint8)
+
+
+def test_brightness_shift_is_hash_exact():
+    """A constant shift moves only the DC coefficient; every AC bit
+    and the AC median are untouched."""
+    for k in range(5):
+        img = _base_img(k)
+        h0 = compute_phash(img)
+        for d in (-30, -10, 10, 30):
+            shifted = np.clip(img.astype(np.int16) + d, 0, 255).astype(np.uint8)
+            assert compute_phash(shifted) == h0
+
+
+def test_jpeg_recompression_small_distance_and_separation():
+    from solaris_ray.raster.jpeg import jpeg_decode, jpeg_encode
+
+    hashes = []
+    for k in range(8):
+        img = _base_img(k)
+        h0 = compute_phash(img)
+        hj = compute_phash(jpeg_decode(jpeg_encode(img, quality=85)))
+        assert _ham(h0, hj) <= 3
+        hashes.append(h0)
+    dists = [_ham(hashes[i], hashes[j])
+             for i in range(8) for j in range(i + 1, 8)]
+    assert min(dists) >= 8  # distinct content stays far
+
+
+def test_area_resize_exact_on_blocks():
+    """Block-constant images resize to exactly their block values."""
+    img = np.kron(np.arange(32 * 32, dtype=np.float64).reshape(32, 32),
+                  np.ones((3, 3)))
+    out = _area_resize_32(img)
+    assert np.allclose(out, np.arange(32 * 32).reshape(32, 32))
+
+
+def test_phash_stage_over_bytes():
+    imgs = [_base_img(k) for k in range(3)]
+    tbl = pa.table({
+        "image_id": pa.array([10, 11, 12], pa.int64()),
+        "bytes": pa.array([encode(im, "png") for im in imgs]),
+        "fmt": pa.array(["png"] * 3),
+    })
+    out = PhashImages()(tbl).to_pandas()
+    assert list(out["image_id"]) == [10, 11, 12]
+    for i, im in enumerate(imgs):
+        assert out["phash"].iloc[i] == compute_phash(im)
+
+
+def test_grayscale_and_odd_sizes():
+    rng = np.random.default_rng(4)
+    for shape in ((37, 53), (64, 64, 1), (200, 31, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        h = compute_phash(img)
+        assert isinstance(h, int)
+        assert compute_phash(img) == h  # deterministic
