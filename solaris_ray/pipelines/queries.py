@@ -3318,6 +3318,58 @@ def q_image_phash(sf_dir: str):
                        max_dist=3, n_bands=4).sort("image_id")
 
 
+def q_media_shards(sf_dir: str):
+    """Duration-budget shard packing for a media corpus: MediaProbe
+    metadata -> integer duration_ms = n_units*1000 // rate ->
+    shard_layout with a 2-second budget (the audio twin of the
+    byte-budget layout — batch ASR jobs pack shards by seconds, not
+    bytes).  Every column integer-exact for the SQL oracle."""
+    from ..stages.layout import shard_layout
+    from ..stages.probe import MediaProbe
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"],
+                 filter=pc.field("p_partkey") < 50)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        from ..stages.audio import wav_encode
+        from ..stages.flac import flac_encode
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[(p < 50) & (p % 5 < 2)]  # the wav + flac rows
+        ids, bufs = [], []
+        for k in p.tolist():
+            n = 2000 + 100 * (k % 7)
+            s = ((np.arange(n, dtype=np.int64) * 3) % 2001
+                 - 1000).astype(np.int16)
+            bufs.append(wav_encode(s, 8000) if k % 5 == 0
+                        else flac_encode(s, 16000))
+            ids.append(f"mp_{k:02d}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+            }
+        )
+
+    rows = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=64)
+    meta = rows.map_batches(MediaProbe(), batch_format="pyarrow",
+                            batch_size=16)
+
+    def _ms(b: pa.Table) -> pa.Table:
+        ms = (b["n_units"].to_numpy() * 1000
+              // b["sample_rate"].to_numpy()).astype(np.int64)
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "duration_ms": pa.array(ms, pa.int64()),
+            }
+        )
+
+    return shard_layout(meta.map_batches(_ms, batch_format="pyarrow"),
+                        size_col="duration_ms", budget=2000,
+                        order_cols=["media_id"])
+
+
 def q_adpcm_roundtrip(sf_dir: str):
     """IMA ADPCM WAV roundtrip (fmt 17, 4-bit): encode a sine-ish
     integer signal per part row, decode through the block-vectorized
@@ -3912,6 +3964,7 @@ QUERIES = {
     "scene_changes": q_scene_changes,
     "media_probe": q_media_probe,
     "image_phash": q_image_phash,
+    "media_shards": q_media_shards,
     "video_stats": q_video_stats,
     "video_frames": q_video_frames,
     "tile_feature_join": q_tile_feature_join,
@@ -4304,6 +4357,24 @@ SELECT 'adpcm_' || CAST(p_partkey AS VARCHAR) AS media_id,
        CAST(3000 + 500 * (p_partkey % 3) AS BIGINT) AS n_samples,
        CAST(1 AS BIGINT) AS ok
 FROM part WHERE p_partkey < 40
+""",
+    "media_shards": """
+WITH a AS (SELECT p_partkey AS k,
+                  2000 + 100 * (p_partkey % 7) AS n,
+                  CASE WHEN p_partkey % 5 = 0 THEN 8000 ELSE 16000 END AS rate
+           FROM part WHERE p_partkey < 50 AND p_partkey % 5 < 2),
+d AS (SELECT 'mp_' || CASE WHEN k < 10 THEN '0' ELSE '' END
+             || CAST(k AS VARCHAR) AS media_id,
+             (n * 1000) // rate AS ms
+      FROM a),
+s AS (SELECT media_id, ms,
+             COALESCE(SUM(ms) OVER (ORDER BY media_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d)
+SELECT media_id, CAST(ms AS BIGINT) AS duration_ms,
+       CAST(off // 2000 AS BIGINT) AS shard_id,
+       CAST(off % 2000 AS BIGINT) AS shard_off
+FROM s
 """,
     "image_phash": """
 SELECT CAST(p_partkey AS BIGINT) AS image_id,
