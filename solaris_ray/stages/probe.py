@@ -16,8 +16,10 @@ pure struct:
 - ``MediaProbe``: actor-pool stage sniffing RIFF/FLAC/MP3/OGG/AVI and
   emitting one uniform metadata row per input.
 
-The WAV/FLAC/AVI branches reuse the real decoders' header paths, so
-probe numbers always agree with decode numbers.
+Every branch is HEADER-ONLY — a probe over a 100-TB corpus must not
+pay the codec (FLAC's STREAMINFO carries everything in 38 bytes; WAV
+sample counts come from chunk sizes / the fact chunk).  Tests assert
+probe numbers agree with the real decoders' numbers on every format.
 """
 
 from __future__ import annotations
@@ -167,16 +169,88 @@ def ogg_probe(buf: bytes) -> dict:
     }
 
 
+def _wav_header_probe(buf: bytes) -> dict:
+    """WAV metadata from the fmt/fact/data chunk HEADERS only — no
+    sample decode (a probe over a 100-TB corpus must not pay the
+    codec).  n_units derivation per format family: PCM/G.711 from
+    data size / block alignment, IMA ADPCM from the fact chunk (or
+    block arithmetic when absent)."""
+    pos = 12
+    n = len(buf)
+    fmt_code = channels = rate = bits = None
+    block_align = 0
+    n_fact = None
+    data_len = None
+    while pos + 8 <= n:
+        tag = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (block_align, bits) = struct.unpack_from("<HH", body, 12)
+        elif tag == b"fact" and size >= 4:
+            (n_fact,) = struct.unpack_from("<I", body, 0)
+        elif tag == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)
+    if fmt_code is None or data_len is None:
+        raise ValueError("truncated WAV (no fmt/data chunk)")
+    ch = max(1, int(channels))
+    if fmt_code in (1, 3):  # PCM / float
+        samples = data_len // max(1, (bits // 8) * ch)
+        codec = "pcm"
+    elif fmt_code in (6, 7):  # G.711
+        samples = n_fact if n_fact is not None else data_len // ch
+        codec = "g711a" if fmt_code == 6 else "g711u"
+    elif fmt_code == 17:  # IMA ADPCM
+        spb = (block_align - 4) * 2 + 1
+        samples = (n_fact if n_fact is not None
+                   else (data_len // max(block_align, 1)) * spb)
+        codec = "adpcm"
+    else:
+        raise ValueError(f"unsupported WAV format code={fmt_code}")
+    return {"container": "wav", "codec": codec, "sample_rate": int(rate),
+            "channels": ch, "n_units": int(samples),
+            "duration6": round(samples / rate, 6)}
+
+
+def _flac_header_probe(buf: bytes) -> dict:
+    """FLAC metadata from STREAMINFO only (the first 38 bytes after
+    the magic carry rate/channels/bps/total) — no frame decode."""
+    pos = 4
+    while True:
+        hdr = buf[pos:pos + 4]
+        if len(hdr) < 4:
+            raise ValueError("flac: truncated metadata")
+        last, btype = hdr[0] >> 7, hdr[0] & 0x7F
+        ln = int.from_bytes(hdr[1:4], "big")
+        body = buf[pos + 4:pos + 4 + ln]
+        if btype == 0:
+            if len(body) < 18:
+                raise ValueError("flac: truncated STREAMINFO")
+            raw = int.from_bytes(body[10:18], "big")
+            rate = raw >> 44
+            channels = ((raw >> 41) & 0x7) + 1
+            total = raw & ((1 << 36) - 1)
+            if not rate:
+                raise ValueError("flac: zero sample rate")
+            return {"container": "flac", "codec": "flac",
+                    "sample_rate": int(rate), "channels": int(channels),
+                    "n_units": int(total),
+                    "duration6": round(total / rate, 6)}
+        pos += 4 + ln
+        if last:
+            break
+    raise ValueError("flac: no STREAMINFO")
+
+
 def media_probe(buf: bytes) -> dict:
     """Sniff + probe any supported container.  Uniform keys:
     container, codec, sample_rate, channels, n_units, duration6."""
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
-        from .audio import wav_decode
-
-        s, rate = wav_decode(buf)  # header-dominated formats decode fast
-        return {"container": "wav", "codec": "pcm", "sample_rate": rate,
-                "channels": s.shape[1], "n_units": s.shape[0],
-                "duration6": round(s.shape[0] / rate, 6)}
+        return _wav_header_probe(buf)
     if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
         from .video import avi_info
 
@@ -186,12 +260,7 @@ def media_probe(buf: bytes) -> dict:
                 "n_units": info["n_frames"],
                 "duration6": round(info["n_frames"] / info["fps"], 6)}
     if buf[:4] == b"fLaC":
-        from .flac import flac_decode
-
-        s, rate = flac_decode(buf, check=False)
-        return {"container": "flac", "codec": "flac", "sample_rate": rate,
-                "channels": s.shape[1], "n_units": s.shape[0],
-                "duration6": round(s.shape[0] / rate, 6)}
+        return _flac_header_probe(buf)
     if buf[:4] == b"OggS":
         o = ogg_probe(buf)
         return {"container": "ogg", "codec": o["codec"],

@@ -96,3 +96,31 @@ def test_probe_truncation_fuzz():
                 assert m["sample_rate"] > 0
             except ValueError:
                 pass
+
+
+def test_header_probe_agrees_with_decoders():
+    """Header-only probe numbers must equal full-decode numbers for
+    every wav format family and flac."""
+    from solaris_ray.stages.audio import (
+        wav_decode, wav_encode, wav_encode_adpcm, wav_encode_g711)
+    from solaris_ray.stages.flac import flac_encode
+
+    s = (np.arange(3700) % 601 - 300).astype(np.int16)
+    cases = {
+        "pcm": wav_encode(s, 8000),
+        "g711u": wav_encode_g711(s, 8000, "ulaw"),
+        "g711a": wav_encode_g711(s, 8000, "alaw"),
+        "adpcm": wav_encode_adpcm(s, 8000),
+        "flac": flac_encode(s, 16000),
+    }
+    for codec, buf in cases.items():
+        m = media_probe(buf)
+        assert m["codec"] == codec
+        if codec == "flac":
+            from solaris_ray.stages.flac import flac_decode
+            dec, rate = flac_decode(buf)
+        else:
+            dec, rate = wav_decode(buf)
+        assert m["n_units"] == dec.shape[0], codec
+        assert m["sample_rate"] == rate
+        assert m["channels"] == dec.shape[1]
