@@ -62,36 +62,55 @@ def wav_encode(samples: np.ndarray, rate: int = 16000) -> bytes:
     return hdr + data
 
 
+def parse_wav_chunks(buf: bytes) -> tuple[dict, int | None, int, int]:
+    """Shared RIFF/WAVE chunk walk -> (fmt fields, fact sample count,
+    data offset, data length).
+
+    The one chunk parser both the full decoder and the header-only
+    probe (``stages/probe.py``) use, so their numbers cannot drift.
+    Raises ValueError on missing/truncated fmt or data chunks and on
+    a zero sample rate.
+    """
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV (missing RIFF/WAVE header)")
+    pos = 12
+    n = len(buf)
+    fmt = None
+    n_fact = None
+    data_off = data_len = None
+    while pos + 8 <= n:
+        tag = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        off = pos + 8
+        if tag == b"fmt ":
+            if size < 16 or off + 16 > n:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt_code, channels, rate = struct.unpack_from("<HHI", buf, off)
+            block_align, bits = struct.unpack_from("<HH", buf, off + 12)
+            fmt = {"code": fmt_code, "channels": channels, "rate": rate,
+                   "block_align": block_align, "bits": bits}
+        elif tag == b"fact" and size >= 4 and off + 4 <= n:
+            (n_fact,) = struct.unpack_from("<I", buf, off)
+        elif tag == b"data":
+            data_off, data_len = off, min(size, n - off)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_off is None:
+        raise ValueError("truncated WAV (no fmt/data chunk)")
+    if not fmt["rate"]:
+        raise ValueError("WAV with zero sample rate")
+    return fmt, n_fact, data_off, data_len
+
+
 def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> ([n, ch] int16 samples, rate).
 
     PCM16 native; PCM8 (unsigned) and IEEE float32 are converted to
     int16.  Unknown chunks are skipped per the RIFF spec.
     """
-    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-        raise ValueError("not a WAV (missing RIFF/WAVE header)")
-    pos = 12
-    fmt_code = channels = rate = bits = None
-    block_align = 0
-    n_fact = None
-    data = None
-    n = len(buf)
-    while pos + 8 <= n:
-        tag = buf[pos:pos + 4]
-        (size,) = struct.unpack_from("<I", buf, pos + 4)
-        body = buf[pos + 8:pos + 8 + size]
-        if tag == b"fmt ":
-            if len(body) < 16:
-                raise ValueError("truncated WAV fmt chunk")
-            fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
-            (block_align, bits) = struct.unpack_from("<HH", body, 12)
-        elif tag == b"fact" and size >= 4:
-            (n_fact,) = struct.unpack_from("<I", body, 0)
-        elif tag == b"data":
-            data = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt_code is None or data is None:
-        raise ValueError("truncated WAV (no fmt/data chunk)")
+    fmt, n_fact, data_off, data_len = parse_wav_chunks(buf)
+    fmt_code, channels, rate = fmt["code"], fmt["channels"], fmt["rate"]
+    block_align, bits = fmt["block_align"], fmt["bits"]
+    data = buf[data_off:data_off + data_len]
     if fmt_code == 1 and bits == 16:
         s = np.frombuffer(data, "<i2")
     elif fmt_code == 1 and bits == 8:
@@ -599,7 +618,7 @@ class AudioFingerprint:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         win, hop = self.win, self.hop
-        ids, fps = [], []
+        keep_idx, fps = [], []
         for i in range(batch.num_rows):
             s, _rate = audio_decode(batch["bytes"][i].as_py())
             mono = s.astype(np.int64).sum(axis=1) // s.shape[1]
@@ -619,11 +638,14 @@ class AudioFingerprint:
             fp = np.uint64(0)
             for j, p in enumerate(pick):
                 fp |= words[p] << np.uint64(16 * j)
-            ids.append(batch["media_id"][i].as_py())
+            keep_idx.append(i)
             fps.append(int(fp.astype(np.int64)))
+        # media_id keeps the INPUT column's type (string or int ids both
+        # flow through the dedup machinery)
         return pa.table(
             {
-                "media_id": pa.array(ids, pa.int64()),
+                "media_id": batch["media_id"].take(
+                    pa.array(keep_idx, pa.int64())),
                 "afp": pa.array(fps, pa.int64()),
             }
         )

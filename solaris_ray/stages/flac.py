@@ -102,24 +102,29 @@ def _pack_bits(vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 
 class _BitSink:
-    """Accumulates (value, nbits) fields; byte-aligns per flush."""
+    """Accumulates (value, nbits) fields; byte-aligns per flush.
+
+    Bulk fields stay as numpy array pairs until one concatenate in
+    ``to_bytes`` — no per-element Python round-trip on the rice hot
+    path."""
 
     def __init__(self):
-        self.vals: list[int] = []
-        self.lens: list[int] = []
+        self._chunks: list[tuple[np.ndarray, np.ndarray]] = []
 
     def put(self, val: int, nbits: int) -> None:
-        self.vals.append(int(val) & ((1 << nbits) - 1) if nbits < 63
-                         else int(val))
-        self.lens.append(int(nbits))
+        v = int(val) & ((1 << nbits) - 1) if nbits < 63 else int(val)
+        self._chunks.append((np.array([v], np.int64),
+                             np.array([nbits], np.int64)))
 
     def put_arrays(self, vals: np.ndarray, lens: np.ndarray) -> None:
-        self.vals.extend(int(v) for v in vals)
-        self.lens.extend(int(x) for x in lens)
+        self._chunks.append((np.asarray(vals, np.int64).ravel(),
+                             np.asarray(lens, np.int64).ravel()))
 
     def to_bytes(self) -> bytes:
-        bits = _pack_bits(np.array(self.vals, np.int64),
-                          np.array(self.lens, np.int64))
+        if not self._chunks:
+            return b""
+        bits = _pack_bits(np.concatenate([c[0] for c in self._chunks]),
+                          np.concatenate([c[1] for c in self._chunks]))
         pad = (-len(bits)) % 8
         if pad:
             bits = np.concatenate([bits, np.zeros(pad, np.uint8)])

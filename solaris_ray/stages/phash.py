@@ -37,15 +37,24 @@ _D32 = _dct_matrix(32)
 
 
 def _area_resize_32(gray: np.ndarray) -> np.ndarray:
-    """[h, w] -> [32, 32] by area mean (integral-image box sums)."""
+    """[h, w] -> [32, 32] by area mean (integral-image box sums).
+
+    Images narrower than 32 px on either axis are first upscaled by
+    integer pixel repetition — rounded linspace edges would otherwise
+    collide into zero-area cells and silently break the hash's
+    brightness-shift invariance on small images.
+    """
     h, w = gray.shape
+    if h < 32 or w < 32:
+        fy = -(-32 // h) if h < 32 else 1
+        fx = -(-32 // w) if w < 32 else 1
+        gray = np.repeat(np.repeat(gray, fy, axis=0), fx, axis=1)
+        h, w = gray.shape
     # integral image with a zero row/col prefix
     ii = np.zeros((h + 1, w + 1), np.float64)
     np.cumsum(np.cumsum(gray, axis=0), axis=1, out=ii[1:, 1:])
     ys = np.linspace(0, h, 33).round().astype(np.int64)
     xs = np.linspace(0, w, 33).round().astype(np.int64)
-    # guard degenerate (tiny) inputs: ensure strictly increasing edges
-    ys = np.maximum.accumulate(np.maximum(ys, np.arange(33) * 0))
     A = ii[np.ix_(ys[1:], xs[1:])]
     B = ii[np.ix_(ys[:-1], xs[1:])]
     C = ii[np.ix_(ys[1:], xs[:-1])]
@@ -86,17 +95,21 @@ class PhashImages:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..raster.codec import decode
 
-        ids, hashes = [], []
+        keep_idx, hashes = [], []
         fmts = (batch[self.fmt_col].to_pylist()
                 if self.fmt_col in batch.schema.names
                 else ["png"] * batch.num_rows)
         for i in range(batch.num_rows):
-            px = decode(batch["bytes"][i].as_py(), fmts[i])
-            ids.append(batch["image_id"][i].as_py())
+            try:
+                px = decode(batch["bytes"][i].as_py(), fmts[i])
+            except ValueError:
+                continue  # undecodable format: drop the row, keep the batch
+            keep_idx.append(i)
             hashes.append(compute_phash(px))
         return pa.table(
             {
-                "image_id": pa.array(ids),
+                "image_id": batch["image_id"].take(
+                    pa.array(keep_idx, pa.int64())),
                 "phash": pa.array(hashes, pa.int64()),
             }
         )

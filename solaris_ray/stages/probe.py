@@ -94,10 +94,13 @@ def mp3_probe(buf: bytes) -> dict:
         bitrates[kbps] = bitrates.get(kbps, 0) + 1
         if first:
             first = False
-            # Xing/Info VBR header: frame count without the walk
-            side = 36 if (ver == 3 and mode != 3) else (
-                21 if ver == 3 else (25 if mode != 3 else 13))
-            tag = buf[pos + side - 15:pos + flen]  # generous window
+            # Xing/Info VBR header: frame count without the walk.
+            # Side-info size: MPEG1 32/17 bytes (stereo/mono), MPEG2
+            # 17/9; offset = 4-byte header + side info.
+            side = (36 if mode != 3 else 21) if ver == 3 else (
+                21 if mode != 3 else 13)
+            lo = max(pos + side - 15, pos + 4)  # clamped search window
+            tag = buf[lo:pos + flen]
             for magic in (b"Xing", b"Info"):
                 j = tag.find(magic)
                 if 0 <= j and j + 12 <= len(tag):
@@ -172,32 +175,16 @@ def ogg_probe(buf: bytes) -> dict:
 def _wav_header_probe(buf: bytes) -> dict:
     """WAV metadata from the fmt/fact/data chunk HEADERS only — no
     sample decode (a probe over a 100-TB corpus must not pay the
-    codec).  n_units derivation per format family: PCM/G.711 from
-    data size / block alignment, IMA ADPCM from the fact chunk (or
-    block arithmetic when absent)."""
-    pos = 12
-    n = len(buf)
-    fmt_code = channels = rate = bits = None
-    block_align = 0
-    n_fact = None
-    data_len = None
-    while pos + 8 <= n:
-        tag = buf[pos:pos + 4]
-        (size,) = struct.unpack_from("<I", buf, pos + 4)
-        body = buf[pos + 8:pos + 8 + size]
-        if tag == b"fmt ":
-            if len(body) < 16:
-                raise ValueError("truncated WAV fmt chunk")
-            fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
-            (block_align, bits) = struct.unpack_from("<HH", body, 12)
-        elif tag == b"fact" and size >= 4:
-            (n_fact,) = struct.unpack_from("<I", body, 0)
-        elif tag == b"data":
-            data_len = size
-        pos += 8 + size + (size & 1)
-    if fmt_code is None or data_len is None:
-        raise ValueError("truncated WAV (no fmt/data chunk)")
-    ch = max(1, int(channels))
+    codec).  Shares ``audio.parse_wav_chunks`` with the full decoder
+    so probe and decode numbers cannot drift.  n_units derivation per
+    format family: PCM/G.711 from data size / block alignment, IMA
+    ADPCM from the fact chunk (or block arithmetic when absent)."""
+    from .audio import parse_wav_chunks
+
+    fmt, n_fact, _off, data_len = parse_wav_chunks(buf)
+    fmt_code, rate = fmt["code"], fmt["rate"]
+    block_align, bits = fmt["block_align"], fmt["bits"]
+    ch = max(1, int(fmt["channels"]))
     if fmt_code in (1, 3):  # PCM / float
         samples = data_len // max(1, (bits // 8) * ch)
         codec = "pcm"
@@ -255,6 +242,8 @@ def media_probe(buf: bytes) -> dict:
         from .video import avi_info
 
         info = avi_info(buf)
+        if not info["fps"]:
+            raise ValueError("AVI with zero frame rate")
         return {"container": "avi", "codec": "mjpeg",
                 "sample_rate": info["fps"], "channels": 3,
                 "n_units": info["n_frames"],

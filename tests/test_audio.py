@@ -282,3 +282,17 @@ def test_silence_segments_merging_and_energy():
     out0 = audio.SilenceSegments(win=256, threshold=1_000_000,
                                  max_gap=0)(tbl).to_pandas()
     assert len(out0) == 4
+
+
+def test_fingerprint_preserves_string_media_ids():
+    """Review finding: AudioFingerprint hardcoded int64 ids; it must
+    pass through the input id column type like every sibling stage."""
+    i = np.arange(6000, dtype=np.float64)
+    s = (5000 * np.sin(2 * np.pi * 300 * i / 8000)).astype(np.int16)
+    tbl = pa.table({
+        "media_id": pa.array(["aud_1", "aud_2"]),
+        "bytes": pa.array([audio.wav_encode(s, 8000)] * 2),
+    })
+    out = audio.AudioFingerprint()(tbl).to_pandas()
+    assert list(out["media_id"]) == ["aud_1", "aud_2"]
+    assert out["afp"].iloc[0] == out["afp"].iloc[1]

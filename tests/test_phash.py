@@ -73,3 +73,27 @@ def test_grayscale_and_odd_sizes():
         h = compute_phash(img)
         assert isinstance(h, int)
         assert compute_phash(img) == h  # deterministic
+
+
+def test_small_image_brightness_invariance():
+    """Sub-32px images must keep the brightness-shift invariance
+    (review finding: rounded edges collided into zero-area cells)."""
+    rng = np.random.default_rng(9)
+    for shape in ((16, 16), (8, 24), (31, 31), (20, 40)):
+        img = rng.integers(40, 200, shape).astype(np.uint8)
+        h0 = compute_phash(img)
+        for d in (-20, 10, 30):
+            shifted = np.clip(img.astype(np.int16) + d, 0, 255).astype(np.uint8)
+            assert compute_phash(shifted) == h0, (shape, d)
+
+
+def test_undecodable_rows_dropped_not_fatal():
+    imgs = [_base_img(k) for k in range(2)]
+    tbl = pa.table({
+        "image_id": pa.array([1, 2, 3], pa.int64()),
+        "bytes": pa.array([encode(imgs[0], "png"), b"not an image",
+                           encode(imgs[1], "png")]),
+        "fmt": pa.array(["png", "bmp", "png"]),
+    })
+    out = PhashImages()(tbl).to_pandas()
+    assert list(out["image_id"]) == [1, 3]

@@ -124,3 +124,34 @@ def test_header_probe_agrees_with_decoders():
         assert m["n_units"] == dec.shape[0], codec
         assert m["sample_rate"] == rate
         assert m["channels"] == dec.shape[1]
+
+
+def test_mpeg2_mono_xing_and_zero_rate_guards():
+    """Review findings: Xing window must not wrap negative for MPEG2
+    mono (side info 9 bytes), and corrupt zero-rate/zero-fps headers
+    raise ValueError, not ZeroDivisionError."""
+    # MPEG2 mono frame: version bits 10, layer III, 16 kHz, 64 kbps
+    from solaris_ray.stages.probe import _MP3_BITRATE_V2_L3
+
+    bi = _MP3_BITRATE_V2_L3.index(64)
+    hdr = bytes([0xFF, 0xF3, (bi << 4) | (2 << 2), 3 << 6])
+    flen = 72 * 64 * 1000 // 16000
+    frame = bytearray(hdr + b"\x00" * (flen - 4))
+    xing = b"Xing" + struct.pack(">I", 1) + struct.pack(">I", 777)
+    frame[13:13 + len(xing)] = xing  # 4-byte header + 9-byte side info
+    m = mp3_probe(bytes(frame) * 3)
+    assert m["n_frames"] == 777 and m["vbr"] == 1
+
+    from solaris_ray.stages.audio import wav_encode
+    from solaris_ray.stages.video import avi_encode
+
+    wav = bytearray(wav_encode(np.zeros(100, np.int16), 8000))
+    wav[24:28] = b"\x00\x00\x00\x00"  # rate = 0
+    with pytest.raises(ValueError):
+        media_probe(bytes(wav))
+
+    avi = bytearray(avi_encode(np.full((2, 16, 16, 3), 99, np.uint8), fps=5))
+    i = avi.find(b"avih") + 8
+    avi[i:i + 4] = b"\x00\x00\x00\x00"  # us_per_frame = 0 -> fps 0
+    with pytest.raises(ValueError):
+        media_probe(bytes(avi))
