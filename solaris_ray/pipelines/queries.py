@@ -3318,6 +3318,23 @@ def q_image_phash(sf_dir: str):
                        max_dist=3, n_bands=4).sort("image_id")
 
 
+def q_image_quality(sf_dir: str):
+    """Corpus blur filtering (ImageQuality): Laplacian variance +
+    gradient energy over interior pixels, exact integer sums with one
+    final float division — the SQL oracle re-evaluates the pixel
+    formula at the 5 stencil positions and reproduces both metrics
+    bit-for-bit."""
+    from ..stages import multimodal
+
+    images = _formula_gray_images(sf_dir, limit=40, fixed_size=64)
+    q = images.map_batches(multimodal.ImageQuality(),
+                           batch_format="pyarrow", batch_size=8)
+    return q.map_batches(
+        lambda b: b.select(["image_id", "lap_var6", "grad6"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_media_shards(sf_dir: str):
     """Duration-budget shard packing for a media corpus: MediaProbe
     metadata -> integer duration_ms = n_units*1000 // rate ->
@@ -3965,6 +3982,7 @@ QUERIES = {
     "media_probe": q_media_probe,
     "image_phash": q_image_phash,
     "media_shards": q_media_shards,
+    "image_quality": q_image_quality,
     "video_stats": q_video_stats,
     "video_frames": q_video_frames,
     "tile_feature_join": q_tile_feature_join,
@@ -4550,6 +4568,30 @@ SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
        CAST(1 AS BIGINT) AS geo_ok
 FROM img, px rx, px ry
 GROUP BY 1
+""",
+    "image_quality": """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 40),
+px AS (SELECT i FROM range(1, 63) r(i)),
+l AS (SELECT p,
+        4*((rx.i*7 + ry.i*13 + p*31) % 251)
+        - (((rx.i-1)*7 + ry.i*13 + p*31) % 251)
+        - (((rx.i+1)*7 + ry.i*13 + p*31) % 251)
+        - ((rx.i*7 + (ry.i-1)*13 + p*31) % 251)
+        - ((rx.i*7 + (ry.i+1)*13 + p*31) % 251) AS lap,
+        (((rx.i+1)*7 + ry.i*13 + p*31) % 251)
+        - (((rx.i-1)*7 + ry.i*13 + p*31) % 251) AS gx,
+        ((rx.i*7 + (ry.i+1)*13 + p*31) % 251)
+        - ((rx.i*7 + (ry.i-1)*13 + p*31) % 251) AS gy
+      FROM img, px rx, px ry),
+s AS (SELECT p, COUNT(*) AS n, SUM(lap) AS sm,
+             SUM(CAST(lap AS BIGINT)*lap) AS ss,
+             SUM(CAST(gx AS BIGINT)*gx + CAST(gy AS BIGINT)*gy) AS ge
+      FROM l GROUP BY 1)
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       round(CAST(ss AS DOUBLE)/n
+             - (CAST(sm AS DOUBLE)/n)*(CAST(sm AS DOUBLE)/n), 6) AS lap_var6,
+       round(CAST(ge AS DOUBLE)/n, 6) AS grad6
+FROM s
 """,
     "image_stats": """
 WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 200),

@@ -339,3 +339,54 @@ class Patchify:
         else:
             cols["patch"] = pa.array(blobs, pa.binary())
         return pa.table(cols)
+
+
+class ImageQuality:
+    """Actor-pool stage: per-image sharpness metrics for corpus
+    filtering (the LAION-style blur gate).
+
+    - ``lap_var6``: variance of the 4-neighbor Laplacian over interior
+      pixels — the standard blur detector (low = blurry).
+    - ``grad6``: mean squared central-difference gradient energy
+      (Tenengrad-lite).
+
+    Both are computed from exact integer sums (one float division +
+    subtraction at the end), so a SQL oracle replays them bit-for-bit
+    on formula images.  Multi-channel inputs reduce to integer ITU
+    luma first.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..raster.codec import decode
+
+        ids, lap6, grad6 = [], [], []
+        for i in range(batch.num_rows):
+            px = decode(batch["bytes"][i].as_py(),
+                        batch["fmt"][i].as_py())
+            v = px.astype(np.int64)
+            if v.ndim == 3:
+                if v.shape[2] >= 3:
+                    v = (299 * v[:, :, 0] + 587 * v[:, :, 1]
+                         + 114 * v[:, :, 2]) // 1000
+                else:
+                    v = v[:, :, 0]
+            if v.shape[0] < 3 or v.shape[1] < 3:
+                continue
+            lap = (4 * v[1:-1, 1:-1] - v[:-2, 1:-1] - v[2:, 1:-1]
+                   - v[1:-1, :-2] - v[1:-1, 2:])
+            n = lap.size
+            s = int(lap.sum())
+            ss = int((lap * lap).sum())
+            gx = v[1:-1, 2:] - v[1:-1, :-2]
+            gy = v[2:, 1:-1] - v[:-2, 1:-1]
+            ge = int((gx * gx + gy * gy).sum())
+            ids.append(batch["image_id"][i].as_py())
+            lap6.append(round(ss / n - (s / n) * (s / n), 6))
+            grad6.append(round(ge / n, 6))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "lap_var6": pa.array(lap6, pa.float64()),
+                "grad6": pa.array(grad6, pa.float64()),
+            }
+        )

@@ -244,3 +244,34 @@ def test_patchify_layout_and_bytes_mode(ray_session):
     ).to_pandas()
     p0 = np.frombuffer(got_b["patch"].iloc[4], np.uint8).reshape(16, 16)
     assert (p0 == img[16:32, 16:32]).all()
+
+
+def test_image_quality_metrics():
+    from solaris_ray.raster.codec import encode
+    from solaris_ray.stages.multimodal import ImageQuality
+
+    # constant image: zero sharpness by definition
+    c = np.full((32, 32), 77, np.uint8)
+    # high-frequency checkerboard: maximal Laplacian energy
+    yy, xx = np.indices((32, 32))
+    cb = (((xx + yy) % 2) * 255).astype(np.uint8)
+    tbl = pa.table({
+        "image_id": pa.array(["flat", "check"]),
+        "bytes": pa.array([encode(c, "png"), encode(cb, "png")]),
+        "fmt": pa.array(["png", "png"]),
+    })
+    out = ImageQuality()(tbl).to_pandas().set_index("image_id")
+    assert out.loc["flat", "lap_var6"] == 0.0
+    assert out.loc["flat", "grad6"] == 0.0
+    # checkerboard: lap = +-8*255 alternating, mean 0 in the interior
+    # when counts balance; variance is (8*255)^2 when exactly balanced
+    assert out.loc["check", "lap_var6"] > 1e6
+    # central differences of a checkerboard are 0 (x+1 and x-1 match)
+    assert out.loc["check", "grad6"] == 0.0
+    # rgb path reduces via integer luma without error
+    rgb = np.stack([cb, cb, c], -1)
+    tbl2 = pa.table({"image_id": pa.array(["rgb"]),
+                     "bytes": pa.array([encode(rgb, "png")]),
+                     "fmt": pa.array(["png"])})
+    out2 = ImageQuality()(tbl2).to_pandas()
+    assert out2["lap_var6"].iloc[0] > 0
