@@ -36,25 +36,25 @@ def _dct_matrix(n: int) -> np.ndarray:
 _D32 = _dct_matrix(32)
 
 
-def _area_resize_32(gray: np.ndarray) -> np.ndarray:
-    """[h, w] -> [32, 32] by area mean (integral-image box sums).
+def _area_resize(gray: np.ndarray, ny: int, nx: int) -> np.ndarray:
+    """[h, w] -> [ny, nx] by area mean (integral-image box sums).
 
-    Images narrower than 32 px on either axis are first upscaled by
-    integer pixel repetition — rounded linspace edges would otherwise
-    collide into zero-area cells and silently break the hash's
-    brightness-shift invariance on small images.
+    Images narrower than the target on either axis are first upscaled
+    by integer pixel repetition — rounded linspace edges would
+    otherwise collide into zero-area cells and silently break the
+    hashes' brightness-shift invariance on small images.
     """
     h, w = gray.shape
-    if h < 32 or w < 32:
-        fy = -(-32 // h) if h < 32 else 1
-        fx = -(-32 // w) if w < 32 else 1
+    if h < ny or w < nx:
+        fy = -(-ny // h) if h < ny else 1
+        fx = -(-nx // w) if w < nx else 1
         gray = np.repeat(np.repeat(gray, fy, axis=0), fx, axis=1)
         h, w = gray.shape
     # integral image with a zero row/col prefix
     ii = np.zeros((h + 1, w + 1), np.float64)
     np.cumsum(np.cumsum(gray, axis=0), axis=1, out=ii[1:, 1:])
-    ys = np.linspace(0, h, 33).round().astype(np.int64)
-    xs = np.linspace(0, w, 33).round().astype(np.int64)
+    ys = np.linspace(0, h, ny + 1).round().astype(np.int64)
+    xs = np.linspace(0, w, nx + 1).round().astype(np.int64)
     A = ii[np.ix_(ys[1:], xs[1:])]
     B = ii[np.ix_(ys[:-1], xs[1:])]
     C = ii[np.ix_(ys[1:], xs[:-1])]
@@ -62,6 +62,10 @@ def _area_resize_32(gray: np.ndarray) -> np.ndarray:
     area = ((ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :])
     area = np.maximum(area, 1)
     return (A - B - C + E) / area
+
+
+def _area_resize_32(gray: np.ndarray) -> np.ndarray:
+    return _area_resize(gray, 32, 32)
 
 
 def compute_phash(px: np.ndarray) -> int:
@@ -89,12 +93,17 @@ class PhashImages:
     ``stages/multimodal.py`` consumers.
     """
 
-    def __init__(self, fmt_col: str = "fmt"):
+    def __init__(self, fmt_col: str = "fmt", algo: str = "phash"):
         self.fmt_col = fmt_col
+        if algo not in ("phash", "ahash", "dhash"):
+            raise ValueError(f"unknown hash algo {algo!r}")
+        self.algo = algo
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..raster.codec import decode
 
+        fn = {"phash": compute_phash, "ahash": compute_ahash,
+              "dhash": compute_dhash}[self.algo]
         keep_idx, hashes = [], []
         fmts = (batch[self.fmt_col].to_pylist()
                 if self.fmt_col in batch.schema.names
@@ -105,7 +114,7 @@ class PhashImages:
             except ValueError:
                 continue  # undecodable format: drop the row, keep the batch
             keep_idx.append(i)
-            hashes.append(compute_phash(px))
+            hashes.append(fn(px))
         return pa.table(
             {
                 "image_id": batch["image_id"].take(
@@ -113,3 +122,28 @@ class PhashImages:
                 "phash": pa.array(hashes, pa.int64()),
             }
         )
+
+
+def _to_gray(px: np.ndarray) -> np.ndarray:
+    p = np.asarray(px, np.float64)
+    if p.ndim == 3:
+        if p.shape[2] >= 3:
+            return 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+        return p[:, :, 0]
+    return p
+
+
+def compute_ahash(px: np.ndarray) -> int:
+    """Average hash: 8x8 area-mean luma, bit = cell > mean."""
+    small = _area_resize(_to_gray(px), 8, 8).ravel()
+    bits = (small > small.mean()).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+
+
+def compute_dhash(px: np.ndarray) -> int:
+    """Difference hash: 8x9 area-mean luma, bit = left < right
+    neighbor (horizontal gradient signs — robust to global gain AND
+    bias by construction)."""
+    small = _area_resize(_to_gray(px), 8, 9)
+    bits = (small[:, :-1] < small[:, 1:]).ravel().astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))

@@ -97,3 +97,31 @@ def test_undecodable_rows_dropped_not_fatal():
     })
     out = PhashImages()(tbl).to_pandas()
     assert list(out["image_id"]) == [1, 3]
+
+
+def test_ahash_dhash_invariances_and_stage_algo():
+    from solaris_ray.stages.phash import compute_ahash, compute_dhash
+
+    hs = {"a": [], "d": []}
+    for k in range(6):
+        img = _base_img(k)
+        for key, fn in (("a", compute_ahash), ("d", compute_dhash)):
+            h0 = fn(img)
+            shifted = np.clip(img.astype(np.int16) + 15, 0, 255).astype(np.uint8)
+            assert fn(shifted) == h0  # brightness-exact
+            hs[key].append(h0)
+    for key in hs:
+        dists = [_ham(hs[key][i], hs[key][j])
+                 for i in range(6) for j in range(i + 1, 6)]
+        assert min(dists) >= 5
+    # the stage dispatches by algo
+    tbl = pa.table({
+        "image_id": pa.array([1], pa.int64()),
+        "bytes": pa.array([encode(_base_img(0), "png")]),
+        "fmt": pa.array(["png"]),
+    })
+    out_a = PhashImages(algo="ahash")(tbl).to_pandas()["phash"].iloc[0]
+    out_d = PhashImages(algo="dhash")(tbl).to_pandas()["phash"].iloc[0]
+    assert out_a == compute_ahash(_base_img(0))
+    assert out_d == compute_dhash(_base_img(0))
+    assert out_a != out_d
