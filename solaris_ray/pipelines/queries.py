@@ -3918,7 +3918,6 @@ QUERIES = {
     "clip_join": q_clip_join,
     "partitioned_join": q_partitioned_join,
     "knn_join": q_knn_join,
-    "knn_partitioned": q_knn_partitioned,
     "cell_assign": q_cell_assign,
     "aoi_tile_plan": q_aoi_tile_plan,
     "warp_nearest": q_warp_nearest,
@@ -3926,7 +3925,6 @@ QUERIES = {
     "tiles_pipeline": q_tiles_pipeline,
     "geotiff_roundtrip": q_geotiff_roundtrip,
     "jpeg_roundtrip": q_jpeg_roundtrip,
-    "webp_roundtrip": q_webp_roundtrip,
     "masks_pipeline": q_masks_pipeline,
     "road_masks": q_road_masks,
     "eval_scores": q_eval_scores,
@@ -3948,39 +3946,41 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "semantic_dedup": q_semantic_dedup,
     "dedup_exact": q_dedup_exact,
-    "minhash_pairs": q_minhash_pairs,
-    "embed_neardup": q_embed_neardup,
     "ann_topk": q_ann_topk,
     "tdigest": q_tdigest,
-    "quantiles": q_quantiles,
     "events_window": q_events_window,
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
-    "cms_topk": q_cms_topk,
     "retrieval_eval": q_retrieval_eval,
     "label_vote": q_label_vote,
     "group_quantiles": q_group_quantiles,
     "shard_layout": q_shard_layout,
+    "flac_stats": q_flac_stats,
+    "g711_stats": q_g711_stats,
+    "image_phash": q_image_phash,
+    "media_probe": q_media_probe,
+    "audio_dedup": q_audio_dedup,
     "resume_manifest": q_resume_manifest,
     # --- end of driver window; variants + remaining gates ------------
+    "webp_roundtrip": q_webp_roundtrip,
+    "knn_partitioned": q_knn_partitioned,
+    "minhash_pairs": q_minhash_pairs,
+    "embed_neardup": q_embed_neardup,
+    "quantiles": q_quantiles,
+    "cms_topk": q_cms_topk,
     "instance_masks": q_instance_masks,
     "jpeg_stats": q_jpeg_stats,
     "tiles_jpeg": q_tiles_jpeg,
     "graph_geojson": q_graph_geojson,
     "wav_stats": q_wav_stats,
     "wav_clips": q_wav_clips,
-    "g711_stats": q_g711_stats,
     "adpcm_roundtrip": q_adpcm_roundtrip,
-    "flac_stats": q_flac_stats,
     "spectrogram": q_spectrogram,
     "audio_resample": q_audio_resample,
-    "audio_dedup": q_audio_dedup,
     "vad_segments": q_vad_segments,
     "scene_changes": q_scene_changes,
-    "media_probe": q_media_probe,
-    "image_phash": q_image_phash,
     "media_shards": q_media_shards,
     "image_quality": q_image_quality,
     "video_stats": q_video_stats,
