@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     # round-4b: real audio codecs + audio ML ops
     "flac_stats",
     "audio_dedup",
+    # round-4b: pixels->phash dedup + blur filtering + container probe
+    "image_phash",
+    "image_quality",
+    "media_probe",
 ]
 
 
