@@ -3387,6 +3387,52 @@ def q_media_shards(sf_dir: str):
                         order_cols=["media_id"])
 
 
+def q_speech_prep(sf_dir: str):
+    """End-to-end ASR corpus prep: FLAC decode -> polyphase resample
+    8k->16k -> energy VAD segmentation, chained through three actor
+    stages.  Planted constant-amplitude segments aligned to frame
+    boundaries keep every output column closed-form despite the
+    resampler (unity DC gain in segment interiors; sinc edge smear
+    stays ~4x under the threshold margin on both sides)."""
+    from ..stages import audio
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"],
+                 filter=pc.field("p_partkey") < 30)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        from ..stages.flac import flac_encode
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 30]
+        ids, bufs = [], []
+        for k in p.tolist():
+            frames = np.arange(30)
+            active = ((3 * frames + k) % 7) < 3
+            s8 = np.repeat(np.where(active, 8000, 0), 128).astype(np.int16)
+            ids.append(f"sp_{k}")
+            bufs.append(flac_encode(s8, 8000))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+            }
+        )
+
+    rows = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=64)
+    rs = rows.map_batches(audio.AudioResample(16000),
+                          batch_format="pyarrow", batch_size=16)
+    wav16 = rs.map_batches(
+        lambda b: b.select(["media_id", "bytes"]), batch_format="pyarrow")
+    segs = wav16.map_batches(
+        audio.SilenceSegments(win=256, threshold=4_000_000_000, max_gap=1),
+        batch_format="pyarrow", batch_size=16)
+    return segs.map_batches(
+        lambda b: b.select(
+            ["media_id", "seg_idx", "start_frame", "end_frame", "n_frames"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_adpcm_roundtrip(sf_dir: str):
     """IMA ADPCM WAV roundtrip (fmt 17, 4-bit): encode a sine-ish
     integer signal per part row, decode through the block-vectorized
@@ -3983,6 +4029,7 @@ QUERIES = {
     "scene_changes": q_scene_changes,
     "media_shards": q_media_shards,
     "image_quality": q_image_quality,
+    "speech_prep": q_speech_prep,
     "video_stats": q_video_stats,
     "video_frames": q_video_frames,
     "tile_feature_join": q_tile_feature_join,
@@ -4443,6 +4490,24 @@ SELECT CAST(p_partkey AS BIGINT) AS media_id,
        CAST(CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM part WHERE p_partkey < 60
 ORDER BY media_id
+""",
+    "speech_prep": """
+WITH a AS (SELECT p_partkey AS k FROM part WHERE p_partkey < 30),
+f AS (SELECT k, r.i AS frame
+      FROM a, range(0, 30) r(i) WHERE (3 * r.i + k) % 7 < 3),
+g AS (SELECT k, frame,
+             CASE WHEN frame - LAG(frame) OVER w > 2 OR
+                       LAG(frame) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM f WINDOW w AS (PARTITION BY k ORDER BY frame)),
+s AS (SELECT k, frame,
+             SUM(brk) OVER (PARTITION BY k ORDER BY frame) - 1 AS seg
+      FROM g)
+SELECT 'sp_' || CAST(k AS VARCHAR) AS media_id,
+       CAST(seg AS BIGINT) AS seg_idx,
+       CAST(MIN(frame) AS BIGINT) AS start_frame,
+       CAST(MAX(frame) + 1 AS BIGINT) AS end_frame,
+       CAST(MAX(frame) + 1 - MIN(frame) AS BIGINT) AS n_frames
+FROM s GROUP BY k, seg
 """,
     "vad_segments": """
 WITH a AS (SELECT p_partkey AS k, 1000 + (p_partkey % 3) * 500 AS amp

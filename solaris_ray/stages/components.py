@@ -501,6 +501,12 @@ def image_dedup(
     """
     from . import dedup
 
+    # ds feeds BOTH the pair generator and the node list: materialize
+    # the (id, hash) rows once or the whole upstream chain (a decode +
+    # hash pipeline when fed from PhashImages/AudioFingerprint)
+    # re-executes per consumer — the compact_cells DAG-fan-out lesson.
+    # 16 B/row, so this is small at any corpus scale.
+    ds = ds.select_columns([id_col, hash_col]).materialize()
     pairs = dedup.hamming_neardup_pairs(
         ds, hash_col=hash_col, id_col=id_col, max_dist=max_dist,
         n_bands=n_bands, max_bucket=max_bucket,
