@@ -461,8 +461,10 @@ def fuzzy_dedup(
         est_threshold=est_threshold, max_bucket=max_bucket, seed=seed,
         text_col=text_col, id_col=id_col,
     )
+    # id-only node list (8 B/row) materialized so the document source
+    # chain is not re-executed just to enumerate ids
     comp = connected_components(
-        pairs, ds.select_columns([id_col]), node_col=id_col,
+        pairs, ds.select_columns([id_col]).materialize(), node_col=id_col,
         stats_out=cc_stats, small_edge_limit=small_edge_limit,
     )
 

@@ -262,7 +262,7 @@ def dissolve(rects, cell: float = 256.0, id_col: str = "fid",
 
     pairs = overlap_pairs(rects, cell=cell, id_col=id_col, spanning=True)
     return connected_components(
-        pairs, rects.select_columns([id_col]), node_col=id_col,
+        pairs, rects.select_columns([id_col]).materialize(), node_col=id_col,
         max_rounds=max_rounds, stats_out=cc_stats,
         small_edge_limit=small_edge_limit,
     )
