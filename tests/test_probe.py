@@ -155,3 +155,14 @@ def test_mpeg2_mono_xing_and_zero_rate_guards():
     avi[i:i + 4] = b"\x00\x00\x00\x00"  # us_per_frame = 0 -> fps 0
     with pytest.raises(ValueError):
         media_probe(bytes(avi))
+
+
+def test_ogg_opus_probe_pre_skip():
+    from solaris_ray.stages.probe import make_ogg_opus
+
+    o = ogg_probe(make_ogg_opus(96000, pre_skip=312, channels=2))
+    assert o["codec"] == "opus" and o["sample_rate"] == 48000
+    assert o["channels"] == 2
+    assert o["duration6"] == 2.0  # granule minus pre-skip, at 48 kHz
+    m = media_probe(make_ogg_opus(48000))
+    assert (m["container"], m["codec"], m["duration6"]) == ("ogg", "opus", 1.0)
