@@ -3335,6 +3335,36 @@ def q_image_quality(sf_dir: str):
     )
 
 
+def q_sentences(sf_dir: str):
+    """Sentence segmentation (text.split_sentences — the RAG chunking
+    primitive): planted '. '-joined sentences per doc; the vectorized
+    Arrow split + parent-index flatten must reproduce each sentence,
+    its position and length exactly (string_split twin in SQL)."""
+    from ..stages.text import split_sentences
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"],
+                 filter=pc.field("p_partkey") < 300)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 300]
+        ids, texts = [], []
+        for k in p.tolist():
+            sents = [f"doc{k} sent{j} " + "tok " * (2 + (k + j) % 3)
+                     for j in range(3 + k % 5)]
+            ids.append(int(k))
+            texts.append(". ".join(sents))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    rows = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=256)
+    return rows.map_batches(split_sentences, batch_format="pyarrow")
+
+
 def q_media_shards(sf_dir: str):
     """Duration-budget shard packing for a media corpus: MediaProbe
     metadata -> integer duration_ms = n_units*1000 // rate ->
@@ -4030,6 +4060,7 @@ QUERIES = {
     "media_shards": q_media_shards,
     "image_quality": q_image_quality,
     "speech_prep": q_speech_prep,
+    "sentences": q_sentences,
     "video_stats": q_video_stats,
     "video_frames": q_video_frames,
     "tile_feature_join": q_tile_feature_join,
@@ -4422,6 +4453,17 @@ SELECT 'adpcm_' || CAST(p_partkey AS VARCHAR) AS media_id,
        CAST(3000 + 500 * (p_partkey % 3) AS BIGINT) AS n_samples,
        CAST(1 AS BIGINT) AS ok
 FROM part WHERE p_partkey < 40
+""",
+    "sentences": """
+WITH a AS (SELECT p_partkey AS k FROM part WHERE p_partkey < 300),
+j AS (SELECT k, r.i AS j FROM a, range(0, 8) r(i) WHERE r.i < 3 + k % 5),
+s AS (SELECT k, j,
+             'doc' || CAST(k AS VARCHAR) || ' sent' || CAST(j AS VARCHAR)
+             || ' ' || repeat('tok ', 2 + (k + j) % 3) AS sentence
+      FROM j)
+SELECT CAST(k AS BIGINT) AS doc_id, CAST(j AS BIGINT) AS sent_idx,
+       sentence, CAST(length(sentence) AS BIGINT) AS n_chars
+FROM s
 """,
     "media_shards": """
 WITH a AS (SELECT p_partkey AS k,

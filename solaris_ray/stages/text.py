@@ -336,3 +336,34 @@ def winnow_fingerprints(
             "min_fp": pa.array(np.asarray(min_fp_out, dtype=np.uint64).astype(np.int64), pa.int64()),
         }
     )
+
+
+def split_sentences(batch: pa.Table, sep: str = ". ",
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Sentence segmentation: one output row per sentence, fully
+    vectorized — ``pc.split_pattern`` builds the list column and the
+    flatten uses Arrow's parent-index kernel, no Python loop over
+    rows.  The separator is a literal (RE2/`re` dialect differences
+    don't exist for literals, so the SQL oracle's string_split is an
+    exact twin).  Emits (doc_id, sent_idx, sentence, n_chars).
+    """
+    parts = pc.split_pattern(batch[text_col], pattern=sep)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.flatten()
+    parent = pc.list_parent_indices(parts)
+    # per-list positional index: global arange minus each list's start
+    offsets = parts.offsets.to_numpy(zero_copy_only=False)
+    starts = offsets[:-1]
+    idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+        starts, np.diff(offsets))
+    ids = batch[id_col].take(parent)
+    return pa.table(
+        {
+            id_col: ids,
+            "sent_idx": pa.array(idx, pa.int64()),
+            "sentence": flat,
+            "n_chars": pc.utf8_length(flat),
+        }
+    )

@@ -384,3 +384,19 @@ def test_ivf_hash_sample_beats_head_sample_on_clustered_order(ray_session):
     r_head, r_hash = recall("head"), recall("hash")
     assert r_hash >= 0.8
     assert r_hash > r_head
+
+
+def test_split_sentences_vectorized():
+    import pyarrow as pa
+
+    from solaris_ray.stages.text import split_sentences
+
+    t = pa.table({
+        "doc_id": pa.array([7, 8, 9], pa.int64()),
+        "text": pa.array(["a b. c d. e", "single", ""]),
+    })
+    out = split_sentences(t).to_pandas()
+    assert list(out["doc_id"]) == [7, 7, 7, 8, 9]
+    assert list(out["sent_idx"]) == [0, 1, 2, 0, 0]
+    assert list(out["sentence"]) == ["a b", "c d", "e", "single", ""]
+    assert list(out["n_chars"]) == [3, 3, 1, 6, 0]
