@@ -3049,6 +3049,24 @@ def q_spectrogram(sf_dir: str):
     )
 
 
+def q_mel_bands(sf_dir: str):
+    """Mel filterbank features (AudioMelBands — the ASR front end):
+    partition-of-unity triangular filters make summed filterbank
+    energy equal the EXACT integer time-domain energy, so the
+    conserve_ok bit gates the whole FFT+filterbank chain while the
+    oracle stays closed-form."""
+    from ..stages import audio
+
+    rows = _saw_audio_rows(sf_dir, limit=25)
+    mel = rows.map_batches(audio.AudioMelBands(win=256, hop=128, n_mels=20),
+                           batch_format="pyarrow", batch_size=16)
+    return mel.map_batches(
+        lambda b: b.select(
+            ["media_id", "frame_idx", "time_energy", "conserve_ok"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_audio_resample(sf_dir: str):
     """Polyphase windowed-sinc resampling (AudioResample, 8 kHz ->
     16 kHz): band-limited two-tone fixtures; exact output-length math
@@ -4054,6 +4072,7 @@ QUERIES = {
     "wav_clips": q_wav_clips,
     "adpcm_roundtrip": q_adpcm_roundtrip,
     "spectrogram": q_spectrogram,
+    "mel_bands": q_mel_bands,
     "audio_resample": q_audio_resample,
     "vad_segments": q_vad_segments,
     "scene_changes": q_scene_changes,
@@ -4584,6 +4603,21 @@ SELECT 'aud_' || CAST(k AS VARCHAR) AS media_id,
        CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST(SUM(v*v) AS BIGINT) AS time_energy,
        CAST(1 AS BIGINT) AS parseval_ok
+FROM s GROUP BY k, frame_idx
+""",
+    "mel_bands": """
+WITH a AS (SELECT p_partkey AS k, 4000*(1 + p_partkey % 2) AS n,
+                  (p_partkey % 7 + 3) AS f
+           FROM part WHERE p_partkey < 25),
+fr AS (SELECT k, n, f, r.j AS frame_idx
+       FROM a, range(0, 61) r(j) WHERE r.j * 128 + 256 <= n),
+s AS (SELECT k, frame_idx, ((i.i * f) % 2001 - 1000) AS v
+      FROM fr, range(0, 8000) i(i)
+      WHERE i.i >= frame_idx * 128 AND i.i < frame_idx * 128 + 256)
+SELECT 'aud_' || CAST(k AS VARCHAR) AS media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(SUM(v*v) AS BIGINT) AS time_energy,
+       CAST(1 AS BIGINT) AS conserve_ok
 FROM s GROUP BY k, frame_idx
 """,
     "audio_resample": """

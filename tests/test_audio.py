@@ -296,3 +296,22 @@ def test_fingerprint_preserves_string_media_ids():
     out = audio.AudioFingerprint()(tbl).to_pandas()
     assert list(out["media_id"]) == ["aud_1", "aud_2"]
     assert out["afp"].iloc[0] == out["afp"].iloc[1]
+
+
+def test_mel_bands_partition_of_unity_and_dominant_band():
+    from solaris_ray.stages.audio import AudioMelBands, _mel_filterbank
+
+    fb = _mel_filterbank(20, 129, 8000)
+    assert np.allclose(fb.sum(axis=0), 1.0)  # partition of unity
+    i = np.arange(4096, dtype=np.float64)
+    for hz in (300, 1000, 3000):
+        s = (12000 * np.sin(2 * np.pi * hz * i / 8000)).astype(np.int16)
+        tbl = pa.table({"media_id": pa.array(["m"]),
+                        "bytes": pa.array([audio.wav_encode(s, 8000)])})
+        out = AudioMelBands()(tbl).to_pandas()
+        assert out["conserve_ok"].min() == 1
+        # higher tone -> higher (or equal) dominant mel band
+        if hz == 300:
+            low_band = out["top_mel"].mode()[0]
+        elif hz == 3000:
+            assert out["top_mel"].mode()[0] > low_band
