@@ -531,6 +531,28 @@ class AudioResample:
 # --- spectrogram features ---------------------------------------------------
 
 
+def _framed_power(mono: np.ndarray, win: int, hop: int):
+    """Shared framing + Parseval-weighted power for the FFT stages.
+
+    -> (nf, time_energy int64 [nf], mag2 [nf, win//2+1], power
+    [nf, win//2+1]) with sum(power, axis=1) == time_energy in exact
+    arithmetic (rfft bins 1..win/2-1 weighted 2x).  nf=0 tuple when
+    the clip is shorter than one window.
+    """
+    nf = (len(mono) - win) // hop + 1 if len(mono) >= win else 0
+    if nf <= 0:
+        return 0, None, None, None
+    starts = np.arange(nf) * hop
+    frames = mono[starts[:, None] + np.arange(win)[None, :]]
+    te = (frames.astype(np.int64) ** 2).sum(axis=1)
+    mag2 = np.abs(np.fft.rfft(frames.astype(np.float64), axis=1)) ** 2
+    w = np.full(mag2.shape[1], 2.0)
+    w[0] = 1.0
+    if win % 2 == 0:
+        w[-1] = 1.0
+    return nf, te, mag2, mag2 * w / win
+
+
 class AudioSpectrogram:
     """Actor-pool stage: framed FFT features, one output row per frame.
 
@@ -553,21 +575,10 @@ class AudioSpectrogram:
         for i in range(batch.num_rows):
             s, _rate = audio_decode(batch["bytes"][i].as_py())
             mono = s.astype(np.int64).sum(axis=1) // s.shape[1]
-            nf = (len(mono) - win) // hop + 1 if len(mono) >= win else 0
+            nf, te, mag2, pw = _framed_power(mono, win, hop)
             if nf <= 0:
                 continue
-            starts = np.arange(nf) * hop
-            frames = mono[starts[:, None] + np.arange(win)[None, :]]
-            te = (frames.astype(np.int64) ** 2).sum(axis=1)
-            X = np.fft.rfft(frames.astype(np.float64), axis=1)
-            mag2 = np.abs(X) ** 2
-            # Parseval weights for rfft of real input, even win:
-            # bins 1..win/2-1 appear twice in the full spectrum
-            w = np.full(mag2.shape[1], 2.0)
-            w[0] = 1.0
-            if win % 2 == 0:
-                w[-1] = 1.0
-            se = (mag2 * w).sum(axis=1) / win
+            se = pw.sum(axis=1)
             ok = (np.abs(se - te) <= 1e-9 * np.maximum(te, 1)).astype(np.int64)
             dom = mag2[:, 1:].argmax(axis=1) + 1  # skip DC
             mid = batch["media_id"][i].as_py()
@@ -751,7 +762,7 @@ class AudioMelBands:
     every bin, sum(mel energies) == spectral energy == EXACT integer
     time-domain energy — emitted as ``conserve_ok`` so a SQL oracle
     gates the whole FFT+filterbank chain.  Also emits ``top_mel``
-    (argmax band) and ``mel0_6`` (first band energy, 6 dp).
+    (argmax band).
     """
 
     def __init__(self, win: int = 256, hop: int = 128, n_mels: int = 20):
@@ -771,19 +782,9 @@ class AudioMelBands:
                 self._fb = _mel_filterbank(self.n_mels, win // 2 + 1, rate)
                 self._rate = rate
             mono = s.astype(np.int64).sum(axis=1) // s.shape[1]
-            nf = (len(mono) - win) // hop + 1 if len(mono) >= win else 0
+            nf, te, _mag2, pw = _framed_power(mono, win, hop)
             if nf <= 0:
                 continue
-            starts = np.arange(nf) * hop
-            frames = mono[starts[:, None] + np.arange(win)[None, :]]
-            te = (frames.astype(np.int64) ** 2).sum(axis=1)
-            X = np.fft.rfft(frames.astype(np.float64), axis=1)
-            mag2 = np.abs(X) ** 2
-            w = np.full(mag2.shape[1], 2.0)
-            w[0] = 1.0
-            if win % 2 == 0:
-                w[-1] = 1.0
-            pw = mag2 * w / win  # Parseval-weighted power per bin
             mel = pw @ self._fb.T  # [nf, n_mels]
             ok = (np.abs(mel.sum(axis=1) - te)
                   <= 1e-9 * np.maximum(te, 1)).astype(np.int64)

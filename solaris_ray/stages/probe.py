@@ -316,30 +316,33 @@ def make_mp3(n_frames: int, rate: int = 44100, kbps: int = 128,
     return b"".join(out)
 
 
+def _ogg_page(granule: int, seq: int, body: bytes, flags: int = 0,
+              serial: int = 1) -> bytes:
+    """Serialize one Ogg page (zero CRC — fine for header probing)."""
+    lacing = []
+    rem = len(body)
+    while rem >= 255:
+        lacing.append(255)
+        rem -= 255
+    lacing.append(rem)
+    hdr = (b"OggS\x00" + bytes([flags]) + struct.pack("<q", granule)
+           + struct.pack("<I", serial) + struct.pack("<I", seq)
+           + struct.pack("<I", 0) + bytes([len(lacing)])
+           + bytes(lacing))
+    return hdr + body
+
+
 def make_ogg_vorbis(n_samples: int, rate: int = 16000,
                     channels: int = 1, n_audio_pages: int = 3) -> bytes:
     """A structurally valid Ogg Vorbis container: identification page
     + zero-payload audio pages whose last granule is ``n_samples``."""
-    def page(granule: int, seq: int, body: bytes, flags: int = 0) -> bytes:
-        lacing = []
-        rem = len(body)
-        while rem >= 255:
-            lacing.append(255)
-            rem -= 255
-        lacing.append(rem)
-        hdr = (b"OggS\x00" + bytes([flags]) + struct.pack("<q", granule)
-               + struct.pack("<I", 1) + struct.pack("<I", seq)
-               + struct.pack("<I", 0) + bytes([len(lacing)])
-               + bytes(lacing))
-        return hdr + body
-
     ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
              + struct.pack("<I", rate) + b"\x00" * 16 + b"\x01")
-    pages = [page(0, 0, ident, flags=2)]
+    pages = [_ogg_page(0, 0, ident, flags=2)]
     for j in range(n_audio_pages):
         g = n_samples * (j + 1) // n_audio_pages
-        pages.append(page(g, j + 1, b"\x00" * 64,
-                          flags=4 if j == n_audio_pages - 1 else 0))
+        pages.append(_ogg_page(g, j + 1, b"\x00" * 64,
+                               flags=4 if j == n_audio_pages - 1 else 0))
     return b"".join(pages)
 
 
@@ -348,26 +351,12 @@ def make_ogg_opus(n_samples_48k: int, pre_skip: int = 312,
     """A structurally valid Ogg Opus container: OpusHead id page +
     zero-payload audio pages; final granule = pre_skip + samples (the
     decoder subtracts pre-skip per RFC 7845)."""
-
-    def page(granule: int, seq: int, body: bytes, flags: int = 0) -> bytes:
-        lacing = []
-        rem = len(body)
-        while rem >= 255:
-            lacing.append(255)
-            rem -= 255
-        lacing.append(rem)
-        hdr = (b"OggS\x00" + bytes([flags]) + struct.pack("<q", granule)
-               + struct.pack("<I", 2) + struct.pack("<I", seq)
-               + struct.pack("<I", 0) + bytes([len(lacing)])
-               + bytes(lacing))
-        return hdr + body
-
     ident = (b"OpusHead" + bytes([1, channels])
              + struct.pack("<H", pre_skip) + struct.pack("<I", 48000)
              + struct.pack("<h", 0) + bytes([0]))
-    pages = [page(0, 0, ident, flags=2)]
+    pages = [_ogg_page(0, 0, ident, flags=2, serial=2)]
     for j in range(n_audio_pages):
         g = pre_skip + n_samples_48k * (j + 1) // n_audio_pages
-        pages.append(page(g, j + 1, b"\x00" * 64,
-                          flags=4 if j == n_audio_pages - 1 else 0))
+        pages.append(_ogg_page(g, j + 1, b"\x00" * 64, serial=2,
+                               flags=4 if j == n_audio_pages - 1 else 0))
     return b"".join(pages)
