@@ -643,6 +643,41 @@ def q_phash_neardup(sf_dir: str):
     )
 
 
+def q_hamming_topk(sf_dir: str):
+    """Binary-hash retrieval (ann.hamming_topk): exact Hamming top-k
+    of 10 query hashes over the derived 62-bit phash corpus (one XOR +
+    SWAR popcount per block, block-local top-k with ties, grouped
+    merge).  The oracle recomputes every distance with
+    bit_count(xor(...)) and row_number() — fully exact incl. the
+    (dist, item_id) tie order."""
+    from ..stages.ann import hamming_topk
+
+    M62 = 1 << 62
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy().astype(np.int64)
+        e = e[e < 3000]
+        g = e // 4
+        base = ((g * g % M62) * 2654435761 + g * 97 + 12345) % M62
+        ph = np.bitwise_xor(base, np.int64(1) << (e % 4) * 7)
+        return pa.table(
+            {
+                "image_id": pa.array(e, pa.int64()),
+                "phash": pa.array(ph, pa.int64()),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "events", ["event_id"], filter=pc.field("event_id") < 3000
+    ).map_batches(_derive, batch_format="pyarrow")
+    # queries: group bases of g = 11q with two extra bit flips
+    q = np.arange(10, dtype=np.int64)
+    gq = q * 11
+    qbase = ((gq * gq % M62) * 2654435761 + gq * 97 + 12345) % M62
+    qh = np.bitwise_xor(qbase, (np.int64(1) << 13) | (np.int64(1) << 29))
+    return hamming_topk(ds, q, qh, k=5).sort(["query_id", "rank"])
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic 20-per-source sample of documents via salted-md5
     rank — block-local top-k then per-group merge (bounded shuffle)."""
@@ -4073,6 +4108,7 @@ QUERIES = {
     "adpcm_roundtrip": q_adpcm_roundtrip,
     "spectrogram": q_spectrogram,
     "mel_bands": q_mel_bands,
+    "hamming_topk": q_hamming_topk,
     "audio_resample": q_audio_resample,
     "vad_segments": q_vad_segments,
     "scene_changes": q_scene_changes,
@@ -4604,6 +4640,29 @@ SELECT 'aud_' || CAST(k AS VARCHAR) AS media_id,
        CAST(SUM(v*v) AS BIGINT) AS time_energy,
        CAST(1 AS BIGINT) AS parseval_ok
 FROM s GROUP BY k, frame_idx
+""",
+    "hamming_topk": """
+WITH c AS (SELECT event_id AS id, event_id // 4 AS g
+           FROM events WHERE event_id < 3000),
+h AS (SELECT id,
+        xor(((g*g % 4611686018427387904) * 2654435761 + g*97 + 12345)
+            % 4611686018427387904,
+            CAST(1 AS BIGINT) << ((id % 4) * 7)) AS ph
+      FROM c),
+q AS (SELECT r.i AS qid, r.i * 11 AS gq FROM range(0, 10) r(i)),
+qh AS (SELECT qid,
+         xor(((gq*gq % 4611686018427387904) * 2654435761 + gq*97 + 12345)
+             % 4611686018427387904,
+             (CAST(1 AS BIGINT) << 13) | (CAST(1 AS BIGINT) << 29)) AS ph
+       FROM q),
+d AS (SELECT qh.qid, h.id, bit_count(xor(h.ph, qh.ph)) AS dist
+      FROM qh, h),
+r AS (SELECT qid, id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rk
+      FROM d)
+SELECT CAST(qid AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rank,
+       CAST(id AS BIGINT) AS item_id, CAST(dist AS BIGINT) AS dist
+FROM r WHERE rk <= 5
 """,
     "mel_bands": """
 WITH a AS (SELECT p_partkey AS k, 4000*(1 + p_partkey % 2) AS n,

@@ -361,3 +361,79 @@ def ivf_topk(ds, queries_ids: np.ndarray, queries_mat: np.ndarray, k: int = 5,
 
     filtered = ds.map_batches(_filter, batch_format="pyarrow", batch_size=4096)
     return brute_topk(filtered, queries_ids, queries_mat, k, id_col, vec_col, concurrency)
+
+
+class _HammingScorer:
+    """Broadcast query hashes; per batch one XOR + SWAR popcount
+    against every corpus hash, block-local top-k (ties kept)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, hash_col: str):
+        import ray
+
+        self.q_ids, self.q_hashes = ray.get(queries_ref)
+        self.k = k
+        self.id_col = id_col
+        self.hash_col = hash_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import _popcount64
+
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        h = batch[self.hash_col].to_numpy().astype(np.int64)
+        if len(h) == 0:
+            return pa.schema([("query_id", pa.int64()),
+                              ("item_id", pa.int64()),
+                              ("dist", pa.int64())]).empty_table()
+        d = _popcount64(self.q_hashes[:, None] ^ h[None, :])  # [nq, nb]
+        kk = min(self.k, d.shape[1])
+        if d.shape[1] > kk:
+            kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+            keep = d <= kth[:, None]  # ties survive to the merge
+        else:
+            keep = np.ones_like(d, dtype=bool)
+        qi, ci = np.nonzero(keep)
+        return pa.table(
+            {
+                "query_id": pa.array(self.q_ids[qi], pa.int64()),
+                "item_id": pa.array(ids[ci], pa.int64()),
+                "dist": pa.array(d[qi, ci].astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def hamming_topk(ds, queries_ids: np.ndarray, queries_hashes: np.ndarray,
+                 k: int = 5, id_col: str = "image_id",
+                 hash_col: str = "phash", concurrency=None,
+                 batch_size: int = 8192):
+    """Exact Hamming top-k of each query hash over the whole Dataset —
+    binary-hash retrieval (the query twin of the phash dedup path).
+    Deterministic (dist asc, item_id asc) tie order; corpus streams,
+    only ~q*k candidate rows shuffle."""
+    import ray
+
+    from ..runtime import stateful_map
+
+    ref = ray.put((np.asarray(queries_ids, np.int64),
+                   np.asarray(queries_hashes, np.int64)))
+    partial = stateful_map(
+        ds, _HammingScorer,
+        {"queries_ref": ref, "k": k, "id_col": id_col, "hash_col": hash_col},
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        dist = group["dist"].to_numpy()
+        items = group["item_id"].to_numpy()
+        order = np.lexsort((items, dist))[:k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1,
+                                           dtype=np.int64), pa.int64()),
+                "item_id": pa.array(items[order], pa.int64()),
+                "dist": pa.array(dist[order], pa.int64()),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(_merge,
+                                                  batch_format="pyarrow")

@@ -93,3 +93,30 @@ def test_hamming_neardup_finds_all_close_pairs(ray_session):
 def test_hamming_neardup_rejects_bad_banding():
     with pytest.raises(ValueError):
         dedup.hamming_neardup_pairs(None, max_dist=4, n_bands=4)
+
+
+def test_hamming_topk_exact_vs_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from solaris_ray.stages.ann import hamming_topk
+
+    rng = np.random.default_rng(3)
+    hashes = rng.integers(0, 1 << 62, 800, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": pa.array(np.arange(800), pa.int64()),
+        "phash": pa.array(hashes, pa.int64()),
+    }))
+    q_ids = np.array([10, 20], np.int64)
+    q_hashes = hashes[[7, 42]] ^ np.int64(0b101)
+    out = hamming_topk(ds, q_ids, q_hashes, k=4).to_pandas().sort_values(
+        ["query_id", "rank"])
+
+    def pc(x):
+        return bin(int(x) & (2 ** 64 - 1)).count("1")
+
+    for qid, qh in zip(q_ids, q_hashes):
+        d = np.array([pc(h ^ qh) for h in hashes])
+        order = np.lexsort((np.arange(800), d))[:4]
+        got = out[out.query_id == qid][["item_id", "dist"]].values.tolist()
+        assert got == [[int(i), int(d[i])] for i in order]
