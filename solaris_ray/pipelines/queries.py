@@ -678,6 +678,46 @@ def q_hamming_topk(sf_dir: str):
     return hamming_topk(ds, q, qh, k=5).sort(["query_id", "rank"])
 
 
+def q_hamming_topk_part(sf_dir: str):
+    """Both-sides-large Hamming top-k (ann.hamming_topk_banded — the
+    co-shuffle twin of the broadcast path): query q carries the base
+    hash of group 11q with bits 13 and 29 flipped, so its 4 group
+    members (ids 44q..44q+3, each one 7-aligned bit off the base) sit
+    at EXACTLY distance 3 = radius — the closed-form oracle needs no
+    bit math at all."""
+    from ..stages.ann import hamming_topk_banded
+
+    M62 = 1 << 62
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy().astype(np.int64)
+        e = e[e < 3000]
+        g = e // 4
+        base = ((g * g % M62) * 2654435761 + g * 97 + 12345) % M62
+        ph = np.bitwise_xor(base, np.int64(1) << (e % 4) * 7)
+        return pa.table(
+            {
+                "image_id": pa.array(e, pa.int64()),
+                "phash": pa.array(ph, pa.int64()),
+            }
+        )
+
+    corpus = _read(
+        sf_dir, "events", ["event_id"], filter=pc.field("event_id") < 3000
+    ).map_batches(_derive, batch_format="pyarrow")
+    q = np.arange(10, dtype=np.int64)
+    gq = q * 11
+    qbase = ((gq * gq % M62) * 2654435761 + gq * 97 + 12345) % M62
+    qh = np.bitwise_xor(qbase, (np.int64(1) << 13) | (np.int64(1) << 29))
+    import ray
+
+    queries = ray.data.from_arrow(pa.table(
+        {"query_id": pa.array(q, pa.int64()),
+         "phash": pa.array(qh, pa.int64())}))
+    return hamming_topk_banded(corpus, queries, k=4, radius=3,
+                               n_bands=4).sort(["query_id", "rank"])
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic 20-per-source sample of documents via salted-md5
     rank — block-local top-k then per-group merge (bounded shuffle)."""
@@ -4109,6 +4149,7 @@ QUERIES = {
     "spectrogram": q_spectrogram,
     "mel_bands": q_mel_bands,
     "hamming_topk": q_hamming_topk,
+    "hamming_topk_part": q_hamming_topk_part,
     "audio_resample": q_audio_resample,
     "vad_segments": q_vad_segments,
     "scene_changes": q_scene_changes,
@@ -4663,6 +4704,12 @@ r AS (SELECT qid, id, dist,
 SELECT CAST(qid AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rank,
        CAST(id AS BIGINT) AS item_id, CAST(dist AS BIGINT) AS dist
 FROM r WHERE rk <= 5
+""",
+    "hamming_topk_part": """
+SELECT CAST(q.i AS BIGINT) AS query_id, CAST(r.i AS BIGINT) AS rank,
+       CAST(44 * q.i + r.i - 1 AS BIGINT) AS item_id,
+       CAST(3 AS BIGINT) AS dist
+FROM range(0, 10) q(i), range(1, 5) r(i)
 """,
     "mel_bands": """
 WITH a AS (SELECT p_partkey AS k, 4000*(1 + p_partkey % 2) AS n,

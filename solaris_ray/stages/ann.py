@@ -437,3 +437,111 @@ def hamming_topk(ds, queries_ids: np.ndarray, queries_hashes: np.ndarray,
 
     return partial.groupby("query_id").map_groups(_merge,
                                                   batch_format="pyarrow")
+
+
+def hamming_topk_banded(corpus, queries, k: int = 5, radius: int = 3,
+                        n_bands: int = 4, id_col: str = "image_id",
+                        hash_col: str = "phash",
+                        q_id_col: str = "query_id",
+                        q_hash_col: str = "phash",
+                        max_bucket: int = 4096):
+    """Both-sides-large Hamming top-k: banded co-shuffle instead of
+    broadcasting queries (the partitioned twin of ``hamming_topk``,
+    completing the same broadcast/co-shuffle matrix as the kNN joins).
+
+    Pigeonhole: results are EXACT for neighbors within ``radius`` <
+    n_bands (any such pair agrees on >= 1 of the n_bands equal bands,
+    so the (band_idx, band_key) co-shuffle co-locates it).  Emits up
+    to k rows per query ranked (dist asc, item asc), only from
+    candidates within the banded recall set — callers wanting
+    unbounded-radius exactness use the broadcast ``hamming_topk``.
+
+    Shuffle volume: n_bands 18-byte rows per hash on each side plus
+    the candidate (query, item, dist) rows; hashes travel in the band
+    rows so the rerank happens in-bucket with no join-back.
+    """
+    band_bits = 64 // n_bands
+    band_mask = np.uint64((1 << band_bits) - 1)
+
+    def _bander(side: int, idc: str, hc: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            h = batch[hc].to_numpy().astype(np.uint64)
+            ids = batch[idc].to_numpy().astype(np.int64)
+            n = len(h)
+            bi = np.repeat(np.arange(n_bands, dtype=np.int64), n)
+            hh = np.tile(h, n_bands)
+            keys = (hh >> (np.uint64(band_bits) *
+                           bi.astype(np.uint64))) & band_mask
+            return pa.table(
+                {
+                    "band": pa.array(bi, pa.int64()),
+                    "key": pa.array(keys.astype(np.int64), pa.int64()),
+                    "rid": pa.array(np.tile(ids, n_bands), pa.int64()),
+                    "rhash": pa.array(hh.astype(np.int64), pa.int64()),
+                    "side": pa.array(np.full(n_bands * n, side), pa.int64()),
+                }
+            )
+
+        return _f
+
+    from .dedup import _popcount64
+
+    both = (corpus.map_batches(_bander(0, id_col, hash_col),
+                               batch_format="pyarrow")
+            .union(queries.map_batches(_bander(1, q_id_col, q_hash_col),
+                                       batch_format="pyarrow")))
+
+    cand_schema = pa.schema([("query_id", pa.int64()),
+                             ("item_id", pa.int64()),
+                             ("dist", pa.int64())])
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        qm = side == 1
+        cm = ~qm
+        if not qm.any() or not cm.any():
+            return cand_schema.empty_table()
+        qi = group["rid"].to_numpy()[qm]
+        qh = group["rhash"].to_numpy()[qm].astype(np.uint64)
+        ci = group["rid"].to_numpy()[cm]
+        ch = group["rhash"].to_numpy()[cm].astype(np.uint64)
+        if len(qi) * len(ci) > max_bucket * max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "hamming_topk_banded: bucket %d x %d truncated",
+                len(qi), len(ci))
+            qi, qh = qi[:max_bucket], qh[:max_bucket]
+            ci, ch = ci[:max_bucket], ch[:max_bucket]
+        d = _popcount64((qh[:, None] ^ ch[None, :]).astype(np.int64))
+        keep = d <= radius
+        a, b = np.nonzero(keep)
+        return pa.table(
+            {
+                "query_id": pa.array(qi[a], pa.int64()),
+                "item_id": pa.array(ci[b], pa.int64()),
+                "dist": pa.array(d[a, b].astype(np.int64), pa.int64()),
+            }
+        )
+
+    cands = both.groupby(["band", "key"]).map_groups(
+        _bucket, batch_format="pyarrow")
+    # a pair can surface from several agreeing bands: distinct first
+    cands = cands.groupby(["query_id", "item_id"]).min("dist")
+
+    def _merge(group: pa.Table) -> pa.Table:
+        dist = group["min(dist)"].to_numpy()
+        items = group["item_id"].to_numpy()
+        order = np.lexsort((items, dist))[:k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1,
+                                           dtype=np.int64), pa.int64()),
+                "item_id": pa.array(items[order], pa.int64()),
+                "dist": pa.array(dist[order].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return cands.groupby("query_id").map_groups(_merge,
+                                                batch_format="pyarrow")

@@ -120,3 +120,33 @@ def test_hamming_topk_exact_vs_bruteforce(ray_session):
         order = np.lexsort((np.arange(800), d))[:4]
         got = out[out.query_id == qid][["item_id", "dist"]].values.tolist()
         assert got == [[int(i), int(d[i])] for i in order]
+
+
+def test_hamming_topk_banded_matches_broadcast(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from solaris_ray.stages.ann import hamming_topk, hamming_topk_banded
+
+    rng = np.random.default_rng(5)
+    hashes = rng.integers(0, 1 << 62, 1200, dtype=np.int64)
+    q_ids = np.arange(5, dtype=np.int64)
+    qh = hashes[q_ids * 97].copy()
+    for qi in range(5):  # plant 6 close neighbors per query
+        for j in range(6):
+            nb = int(qh[qi]) ^ (1 << (j * 9)) ^ (
+                (1 << (j * 5 + 2)) if j % 2 else 0)
+            hashes[900 + qi * 6 + j] = nb
+    corpus = ray.data.from_arrow(pa.table({
+        "image_id": pa.array(np.arange(1200), pa.int64()),
+        "phash": pa.array(hashes, pa.int64())}))
+    queries = ray.data.from_arrow(pa.table({
+        "query_id": pa.array(q_ids, pa.int64()),
+        "phash": pa.array(qh, pa.int64())}))
+    banded = hamming_topk_banded(corpus, queries, k=5, radius=3,
+                                 n_bands=4).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    brute = hamming_topk(corpus, q_ids, qh, k=5).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    cols = ["query_id", "rank", "item_id", "dist"]
+    assert banded[cols].astype("int64").equals(brute[cols].astype("int64"))
