@@ -387,13 +387,36 @@ def flac_encode(samples: np.ndarray, rate: int = 16000,
         blk = s[fi * block_size:(fi + 1) * block_size]
         bs = blk.shape[0]
         bs_code = _BLOCKSIZE_CODES.get(bs)
+        # stereo decorrelation: per frame, pick the channel assignment
+        # with the smallest order-2 residual mass (the decoder handles
+        # all four modes already)
+        if ch == 2:
+            L = blk[:, 0].astype(np.int64)
+            R = blk[:, 1].astype(np.int64)
+            S = L - R
+            M = (L + R) >> 1
+
+            def _cost(x):
+                return int(np.abs(np.diff(np.diff(x))).sum()) if len(x) > 2 \
+                    else int(np.abs(x).sum())
+
+            modes = [
+                (1, _cost(L) + _cost(R), [(L, bps), (R, bps)]),
+                (8, _cost(L) + _cost(S), [(L, bps), (S, bps + 1)]),
+                (9, _cost(S) + _cost(R), [(S, bps + 1), (R, bps)]),
+                (10, _cost(M) + _cost(S), [(M, bps), (S, bps + 1)]),
+            ]
+            ch_code, _, subplan = min(modes, key=lambda m: m[1])
+        else:
+            ch_code = ch - 1
+            subplan = [(blk[:, c], bps) for c in range(ch)]
         hdr = _BitSink()
         hdr.put(0b11111111111110, 14)
         hdr.put(0, 1)  # reserved
         hdr.put(0, 1)  # fixed blocking: number = frame index
         hdr.put(bs_code if bs_code else (6 if bs <= 256 else 7), 4)
         hdr.put(rate_code, 4)
-        hdr.put(ch - 1, 4)  # independent channels
+        hdr.put(ch_code, 4)
         hdr.put(_BPS_CODES[bps], 3)
         hdr.put(0, 1)  # reserved
         hdr_bytes = hdr.to_bytes() + _utf8_number(fi)
@@ -404,8 +427,8 @@ def flac_encode(samples: np.ndarray, rate: int = 16000,
             hdr_bytes += struct.pack(">H", rate)
         hdr_bytes += bytes([_crc8(hdr_bytes)])
         body = _BitSink()
-        for c in range(ch):
-            _encode_subframe(body, blk[:, c], bps)
+        for sdata, sbps in subplan:
+            _encode_subframe(body, sdata, sbps)
         frame = hdr_bytes + body.to_bytes()
         frame += struct.pack(">H", _crc16(frame))
         out.append(frame)

@@ -231,3 +231,25 @@ def test_md5_verification_catches_tamper():
     with pytest.raises(ValueError, match="MD5"):
         flac_decode(tampered)
     flac_decode(tampered, check=False)  # opt-out path still decodes
+
+
+def test_stereo_decorrelation_engages_and_stays_lossless():
+    """Correlated stereo must pick a side-channel mode (smaller file)
+    and still roundtrip exactly; independent noise stays exact too."""
+    rng = np.random.default_rng(6)
+    n = 20000
+    L = np.cumsum(rng.integers(-80, 80, n)).clip(-20000, 20000).astype(np.int16)
+    # identical channels: side channel is constant 0, nearly free —
+    # independent encoding would cost ~2x the mono file
+    st = np.stack([L, L], -1)
+    buf = flac_encode(st, 16000)
+    assert np.array_equal(flac_decode(buf)[0], st)
+    mono_alone = flac_encode(L, 16000)
+    assert len(buf) < 1.15 * len(mono_alone)
+    # correlated-but-noisy channels still roundtrip exactly
+    R = (L + rng.integers(-50, 50, n)).clip(-32768, 32767).astype(np.int16)
+    st2 = np.stack([L, R], -1)
+    assert np.array_equal(flac_decode(flac_encode(st2, 16000))[0], st2)
+    # independent noise falls back gracefully and stays exact
+    st3 = rng.integers(-20000, 20000, (4000, 2)).astype(np.int16)
+    assert np.array_equal(flac_decode(flac_encode(st3, 16000))[0], st3)
