@@ -316,6 +316,46 @@ def _rice_k(res: np.ndarray) -> int:
     return k
 
 
+def _lpc_analyze(s64: np.ndarray, order: int = 8, precision: int = 15
+                 ) -> tuple[np.ndarray, int, np.ndarray] | None:
+    """Levinson-Durbin LPC -> (quantized coefs, shift, residuals).
+
+    Prediction runs on the TRUE samples (lossless: the decoder
+    reconstructs them exactly), so the encode-side residual is one
+    vectorized sliding dot product — only decode is sequential.
+    Returns None when the analysis is degenerate.
+    """
+    n = len(s64)
+    if n <= order + 1:
+        return None
+    x = s64.astype(np.float64)
+    ac = np.array([np.dot(x[: n - l], x[l:]) for l in range(order + 1)])
+    if ac[0] <= 0:
+        return None
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):  # Levinson-Durbin recursion
+        acc = ac[i + 1] - np.dot(a[:i], ac[i:0:-1][:i])
+        kref = acc / err
+        a[:i], a[i] = a[:i] - kref * a[i - 1::-1][:i], kref
+        err *= 1 - kref * kref
+        if err <= 0:
+            return None
+    cmax = np.abs(a).max()
+    if not np.isfinite(cmax) or cmax == 0:
+        return None
+    shift = min(14, max(1, precision - 1 - int(np.ceil(np.log2(cmax + 1e-12)))))
+    q = np.clip(np.round(a * (1 << shift)), -(1 << (precision - 1)),
+                (1 << (precision - 1)) - 1).astype(np.int64)
+    if not q.any():
+        return None
+    # residual via one strided matmul over true samples
+    win = np.lib.stride_tricks.sliding_window_view(s64, order)[:-1]
+    pred = (win @ q[::-1]) >> shift
+    res = s64[order:] - pred
+    return q, shift, res
+
+
 def _encode_subframe(sink: _BitSink, s: np.ndarray, bps: int) -> None:
     s64 = s.astype(np.int64)
     if len(s64) and (s64 == s64[0]).all():
@@ -330,6 +370,40 @@ def _encode_subframe(sink: _BitSink, s: np.ndarray, bps: int) -> None:
         if best_cost is None or cost < best_cost:
             best_o, best_cost, best_res = o, cost, r
     o, res = best_o, best_res
+    # LPC-8 when it beats the best fixed predictor (bit-cost proxy:
+    # residual mass; the ~150-bit coef header is charged via margin)
+    lpc = _lpc_analyze(s64, order=8) if len(s64) >= 64 else None
+    if lpc is not None:
+        q, shift, lres = lpc
+        if int(np.abs(lres).sum()) * 2 < best_cost:  # clear win only
+            prec = 15
+            sink.put((0b100000 | (8 - 1)) << 1, 8)  # LPC order 8
+            for w in s64[:8]:
+                sink.put(int(w), bps)
+            sink.put(prec - 1, 4)
+            sink.put(shift, 5)
+            for c in q:
+                sink.put(int(c), prec)
+            k = _rice_k(lres)
+            zz = (lres << 1) ^ (lres >> 63)
+            if k < 15 and (len(zz) == 0 or int(zz.max()) >> k <= 4096):
+                sink.put(0b00, 2)
+                sink.put(0, 4)
+                sink.put(k, 4)
+                sink.put_arrays((np.int64(1) << k)
+                                | (zz & ((np.int64(1) << k) - 1)),
+                                (zz >> k) + 1 + k)
+                return
+            width = max(int(np.abs(lres).max()).bit_length() + 1, 2) \
+                if len(lres) else 2
+            width = min(width, 31)
+            sink.put(0b00, 2)
+            sink.put(0, 4)
+            sink.put(0b1111, 4)
+            sink.put(width, 5)
+            sink.put_arrays(lres & ((1 << width) - 1),
+                            np.full(len(lres), width))
+            return
     # header: 0 pad, 001xxx fixed order, 0 wasted-bits flag
     sink.put((0b001000 | o) << 1, 8)
     for w in s64[:o]:  # warmup, raw bps bits

@@ -253,3 +253,26 @@ def test_stereo_decorrelation_engages_and_stays_lossless():
     # independent noise falls back gracefully and stays exact
     st3 = rng.integers(-20000, 20000, (4000, 2)).astype(np.int16)
     assert np.array_equal(flac_decode(flac_encode(st3, 16000))[0], st3)
+
+
+def test_lpc_encoding_engages_on_tonal_content():
+    """Dual-sine content: LPC-8 must beat fixed predictors (residual
+    mass ~3x lower) and stay bit-exact."""
+    t = np.arange(40000)
+    tone = (9000 * np.sin(2 * np.pi * 440 * t / 16000)
+            + 4000 * np.sin(2 * np.pi * 1210 * t / 16000)).astype(np.int16)
+    buf = flac_encode(tone, 16000)
+    back, _ = flac_decode(buf)
+    assert np.array_equal(back[:, 0], tone)
+    assert len(buf) < 0.55 * tone.nbytes
+    # an LPC subframe type byte (0b1xxxxx0x with order 8 -> 0x4E) must
+    # actually appear — i.e. the branch engaged, not just fixed
+    from solaris_ray.stages.flac import _lpc_analyze
+
+    blk = tone[:4096].astype(np.int64)
+    q, shift, res = _lpc_analyze(blk, 8)
+    from solaris_ray.stages.flac import _fixed_residual
+
+    best_fixed = min(int(np.abs(_fixed_residual(blk, o)).sum())
+                     for o in range(5))
+    assert int(np.abs(res).sum()) * 2 < best_fixed
