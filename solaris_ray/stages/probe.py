@@ -113,6 +113,16 @@ def mp3_probe(buf: bytes) -> dict:
                             "channels": channels, "duration6": dur,
                             "vbr": 1, "bitrate_kbps": kbps,
                         }
+            # Fraunhofer VBRI: fixed offset 32 past the 4-byte header,
+            # frame count at +14 (big-endian u32)
+            if buf[pos + 36:pos + 40] == b"VBRI" and pos + 54 <= n:
+                n_frames = struct.unpack_from(">I", buf, pos + 50)[0]
+                dur = round(n_frames * samples_per_frame / rate, 6)
+                return {
+                    "n_frames": n_frames, "sample_rate": rate,
+                    "channels": channels, "duration6": dur,
+                    "vbr": 1, "bitrate_kbps": kbps,
+                }
         n_frames += 1
         pos += max(flen, 4)
     if rate is None:

@@ -166,3 +166,17 @@ def test_ogg_opus_probe_pre_skip():
     assert o["duration6"] == 2.0  # granule minus pre-skip, at 48 kHz
     m = media_probe(make_ogg_opus(48000))
     assert (m["container"], m["codec"], m["duration6"]) == ("ogg", "opus", 1.0)
+
+
+def test_mp3_vbri_header():
+    """Fraunhofer VBRI (offset 32 after the frame header): frame count
+    at VBRI+14 shortcuts the walk."""
+    base = make_mp3(5, 44100, 128, stereo=True)
+    flen = 144 * 128 * 1000 // 44100
+    first = bytearray(base[:flen])
+    vbri = (b"VBRI" + struct.pack(">HHH", 1, 0, 80)
+            + struct.pack(">I", 123456) + struct.pack(">I", 4321))
+    first[36:36 + len(vbri)] = vbri
+    m = mp3_probe(bytes(first) + base[flen:])
+    assert m["n_frames"] == 4321 and m["vbr"] == 1
+    assert m["duration6"] == round(4321 * 1152 / 44100, 6)
