@@ -3428,6 +3428,39 @@ def q_image_quality(sf_dir: str):
     )
 
 
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE vocabulary training (stages/bpe.py): planted
+    letter-pair words with strictly ordered frequencies force a
+    closed-form merge sequence — for each letter c_j (freq 25*(8-j)):
+    merge (c_j, </w>) then (c_j, c_j</w>).  The whole 16-row merge
+    table is enumerable in SQL; the engine must reproduce it exactly
+    (count-desc, pair-asc tie-break included)."""
+    from ..stages.bpe import train_bpe
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"],
+                 filter=pc.field("p_partkey") < 200)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 200]
+        ids, texts = [], []
+        for k in p.tolist():
+            j = k % 8
+            ids.append(int(k))
+            texts.append(" ".join([chr(97 + j) * 2] * (8 - j)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    docs = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=256)
+    merges = train_bpe(docs, n_merges=16)
+    return merges.rename_columns(
+        ["merge_rank", "left_sym", "right_sym", "pair_count"])
+
+
 def q_sentences(sf_dir: str):
     """Sentence segmentation (text.split_sentences — the RAG chunking
     primitive): planted '. '-joined sentences per doc; the vectorized
@@ -4157,6 +4190,7 @@ QUERIES = {
     "image_quality": q_image_quality,
     "speech_prep": q_speech_prep,
     "sentences": q_sentences,
+    "bpe_train": q_bpe_train,
     "video_stats": q_video_stats,
     "video_frames": q_video_frames,
     "tile_feature_join": q_tile_feature_join,
@@ -4549,6 +4583,17 @@ SELECT 'adpcm_' || CAST(p_partkey AS VARCHAR) AS media_id,
        CAST(3000 + 500 * (p_partkey % 3) AS BIGINT) AS n_samples,
        CAST(1 AS BIGINT) AS ok
 FROM part WHERE p_partkey < 40
+""",
+    "bpe_train": """
+WITH j AS (SELECT r.i AS j, chr(97 + CAST(r.i AS INT)) AS c,
+                  25 * (8 - r.i) AS cnt
+           FROM range(0, 8) r(i))
+SELECT CAST(2*j AS BIGINT) AS merge_rank, c AS left_sym,
+       '</w>' AS right_sym, CAST(cnt AS BIGINT) AS pair_count
+FROM j
+UNION ALL
+SELECT CAST(2*j + 1 AS BIGINT), c, c || '</w>', CAST(cnt AS BIGINT)
+FROM j
 """,
     "sentences": """
 WITH a AS (SELECT p_partkey AS k FROM part WHERE p_partkey < 300),
