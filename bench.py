@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "image_phash",
     "image_quality",
     "media_probe",
+    # round-4i: iterative graph rank + sequential funnel matching
+    "pagerank",
+    "funnel",
 ]
 
 

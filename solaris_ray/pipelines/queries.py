@@ -2843,6 +2843,49 @@ def q_triangles(sf_dir: str):
     return triangle_counts(edges).sort("node")
 
 
+def q_pagerank(sf_dir: str):
+    """Integer micro-unit damped PageRank (5 rounds, scale 1e9) over a
+    deterministic directed chord graph on customer keys (edge
+    i -> (i+d) % N for d = 1..3, kept when (i*d) % 7 < 5, so in/out
+    degrees vary and ranks are asymmetric).  Two id-only bucketed
+    co-shuffles per round; all arithmetic is exact int64 so every
+    per-node sum is order-free and hash-identical to the SQL twin."""
+    from ..stages.pagerank import pagerank
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    n_nodes = cust.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        i = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for d in (1, 2, 3):
+            s = i[(i * d) % 7 < 5]
+            j = (s + d) % n_nodes
+            ok = s != j
+            srcs.append(s[ok])
+            dsts.append(j[ok])
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs), pa.int64()),
+                "dst": pa.array(np.concatenate(dsts), pa.int64()),
+            }
+        )
+
+    edges = cust.map_batches(_edges, batch_format="pyarrow")
+    return pagerank(edges, iters=5).sort("node")
+
+
+def q_funnel(sf_dir: str):
+    """Ordered funnel view -> click -> purchase per user: first-touch
+    matching with strict timestamp chaining.  One bucketed co-shuffle
+    of id-only rows (non-step events collapse to per-batch distinct
+    user markers); per-step scatter-min inside the bucket kernel."""
+    from ..stages.funnel import funnel
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return funnel(ev, ["view", "click", "purchase"]).sort("user_id")
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus heavy-hitters: global top-100 terms by occurrence.
     Per-batch Arrow combine, bucketed exact totals with safe in-bucket
@@ -4258,6 +4301,8 @@ QUERIES = {
     "ingest_dedup": q_ingest_dedup,
     "hll_sketch": q_hll_sketch,
     "cms_sketch": q_cms_sketch,
+    "pagerank": q_pagerank,
+    "funnel": q_funnel,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -5899,6 +5944,65 @@ t3 AS (SELECT x AS node FROM tri
        UNION ALL SELECT y FROM tri
        UNION ALL SELECT z FROM tri)
 SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt FROM t3 GROUP BY 1 ORDER BY 1
+"""
+
+def _pagerank_oracle_sql(iters: int = 5, scale: int = 10**9,
+                         damp_num: int = 85, damp_den: int = 100) -> str:
+    """DuckDB twin of stages.pagerank over the chord-graph fixture:
+    the recurrence is unrolled as chained CTEs (one per round) in the
+    SAME exact int64 arithmetic (// floor division, order-free sums),
+    so the result is hash-identical, not merely allclose."""
+    teleport = (scale * (damp_den - damp_num)) // damp_den
+    parts = [f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+v AS (SELECT CAST(c_custkey AS BIGINT) AS i FROM customer),
+edges AS (SELECT i AS src, (i + d) % nn.n AS dst
+          FROM v, nn, range(1, 4) r(d)
+          WHERE (i * d) % 7 < 5 AND i <> (i + d) % nn.n),
+outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS g FROM edges GROUP BY 1),
+an AS (SELECT DISTINCT node
+       FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM an)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+pr{t} AS (
+  SELECT a.node,
+         CAST({teleport} + ({damp_num} * COALESCE(s.tot, 0)) // {damp_den}
+              AS BIGINT) AS r
+  FROM an a LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // o.g) AS tot
+    FROM edges e
+    JOIN pr{t - 1} p ON p.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY 1) s ON s.node = a.node)""")
+    parts.append(f"\nSELECT node, r AS pr_micro FROM pr{iters} ORDER BY node")
+    return "".join(parts)
+
+
+_ORACLES_BASE["pagerank"] = _pagerank_oracle_sql()
+
+_ORACLES_BASE["funnel"] = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+       FROM events e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+       FROM events e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.t IS NOT NULL THEN 3
+                 WHEN s2.t IS NOT NULL THEN 2
+                 WHEN s1.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth,
+       COALESCE(s1.t, -1) AS t1_us,
+       COALESCE(s2.t, -1) AS t2_us,
+       COALESCE(s3.t, -1) AS t3_us
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+ORDER BY user_id
 """
 
 _ORACLES_BASE["vocab_topk"] = f"""
