@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     # round-4i: iterative graph rank + sequential funnel matching
     "pagerank",
     "funnel",
+    "rollup",
 ]
 
 

@@ -2886,6 +2886,19 @@ def q_funnel(sf_dir: str):
     return funnel(ev, ["view", "click", "purchase"]).sort("user_id")
 
 
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP over documents (source, lang): every subtotal
+    level from ONE wide shuffle — finest-level partial+combine, then
+    coarser levels re-aggregated from the already-tiny previous level
+    (counts/sums compose exactly).  Sentinel '*' marks rolled keys."""
+    from ..stages.rollup import rollup_aggregate
+
+    docs = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    return rollup_aggregate(docs, ["source", "lang"], ["n_chars"]).sort(
+        ["lvl", "source", "lang"]
+    )
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus heavy-hitters: global top-100 terms by occurrence.
     Per-batch Arrow combine, bucketed exact totals with safe in-bucket
@@ -4303,6 +4316,7 @@ QUERIES = {
     "cms_sketch": q_cms_sketch,
     "pagerank": q_pagerank,
     "funnel": q_funnel,
+    "rollup": q_rollup,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -5980,6 +5994,17 @@ pr{t} AS (
 
 
 _ORACLES_BASE["pagerank"] = _pagerank_oracle_sql()
+
+_ORACLES_BASE["rollup"] = """
+SELECT COALESCE(source, '*') AS source,
+       COALESCE(lang, '*') AS lang,
+       CAST(2 - GROUPING(source) - GROUPING(lang) AS BIGINT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_n_chars
+FROM documents
+GROUP BY ROLLUP(source, lang)
+ORDER BY lvl, source, lang
+"""
 
 _ORACLES_BASE["funnel"] = """
 WITH u AS (SELECT DISTINCT user_id FROM events),
