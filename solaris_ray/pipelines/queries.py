@@ -4202,7 +4202,7 @@ QUERIES = {
     "triangles": q_triangles,
     "hll_distinct": q_hll_distinct,
     "dup_spans": q_dup_spans,
-    "semantic_dedup": q_semantic_dedup,
+    "pagerank": q_pagerank,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "tdigest": q_tdigest,
@@ -4213,15 +4213,20 @@ QUERIES = {
     "asof_join": q_asof_join,
     "retrieval_eval": q_retrieval_eval,
     "label_vote": q_label_vote,
-    "group_quantiles": q_group_quantiles,
+    "rollup": q_rollup,
     "shard_layout": q_shard_layout,
     "flac_stats": q_flac_stats,
-    "g711_stats": q_g711_stats,
+    "funnel": q_funnel,
     "image_phash": q_image_phash,
     "media_probe": q_media_probe,
     "audio_dedup": q_audio_dedup,
     "resume_manifest": q_resume_manifest,
     # --- end of driver window; variants + remaining gates ------------
+    # (rotated out of the window for round 4i — their families keep
+    # other in-window gates: dedup 4, audio 2, quantiles 1)
+    "semantic_dedup": q_semantic_dedup,
+    "group_quantiles": q_group_quantiles,
+    "g711_stats": q_g711_stats,
     "webp_roundtrip": q_webp_roundtrip,
     "knn_partitioned": q_knn_partitioned,
     "minhash_pairs": q_minhash_pairs,
@@ -4314,9 +4319,6 @@ QUERIES = {
     "ingest_dedup": q_ingest_dedup,
     "hll_sketch": q_hll_sketch,
     "cms_sketch": q_cms_sketch,
-    "pagerank": q_pagerank,
-    "funnel": q_funnel,
-    "rollup": q_rollup,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
