@@ -30,12 +30,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ._buckets import bucket_of
+
 _I64MAX = np.iinfo(np.int64).max
 _I64MIN = np.iinfo(np.int64).min
-
-
-def _bucket_of(x: np.ndarray, n_buckets: int) -> np.ndarray:
-    return ((x * np.int64(2654435761)) % np.int64(n_buckets)).astype(np.int64)
 
 
 def funnel(
@@ -86,7 +84,7 @@ def funnel(
                 "u": pa.array(ou, pa.int64()),
                 "st": pa.array(ost, pa.int64()),
                 "ts": pa.array(ots, pa.int64()),
-                "kb": pa.array(_bucket_of(ou, n_buckets), pa.int64()),
+                "kb": pa.array(bucket_of(ou, n_buckets), pa.int64()),
             }
         )
 

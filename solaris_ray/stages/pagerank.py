@@ -43,9 +43,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-
-def _bucket_of(x: np.ndarray, n_buckets: int) -> np.ndarray:
-    return ((x * np.int64(2654435761)) % np.int64(n_buckets)).astype(np.int64)
+from ._buckets import bucket_of
 
 
 def pagerank(
@@ -71,13 +69,6 @@ def pagerank(
         raise ValueError("iters must be >= 0")
     teleport = (scale * (damp_den - damp_num)) // damp_den
 
-    tag_schema = pa.schema(
-        [("k", pa.int64()), ("dst", pa.int64()), ("g", pa.int64()),
-         ("r", pa.int64()), ("kb", pa.int64())]
-    )
-    contrib_schema = pa.schema(
-        [("dst", pa.int64()), ("c", pa.int64()), ("kb", pa.int64())]
-    )
     rank_schema = pa.schema([("node", pa.int64()), ("pr_micro", pa.int64())])
 
     def _src_tag(batch: pa.Table) -> pa.Table:
@@ -98,7 +89,7 @@ def pagerank(
                 "dst": pa.array(dst, pa.int64()),
                 "g": pa.array(g, pa.int64()),
                 "r": pa.array(np.zeros(k.size, np.int64)),
-                "kb": pa.array(_bucket_of(k, n_buckets), pa.int64()),
+                "kb": pa.array(bucket_of(k, n_buckets), pa.int64()),
             }
         )
 
@@ -128,7 +119,7 @@ def pagerank(
                 "dst": pa.array(out_dst, pa.int64()),
                 "g": pa.array(out_g, pa.int64()),
                 "r": pa.array(np.zeros(out_k.size, np.int64)),
-                "kb": pa.array(_bucket_of(out_k, n_buckets), pa.int64()),
+                "kb": pa.array(bucket_of(out_k, n_buckets), pa.int64()),
             }
         )
 
@@ -195,7 +186,7 @@ def pagerank(
             {
                 "dst": pa.array(out_dst, pa.int64()),
                 "c": pa.array(out_c, pa.int64()),
-                "kb": pa.array(_bucket_of(out_dst, n_buckets), pa.int64()),
+                "kb": pa.array(bucket_of(out_dst, n_buckets), pa.int64()),
             }
         )
 
@@ -216,7 +207,7 @@ def pagerank(
                 "dst": pa.array(np.full(nodes.size, -1, np.int64)),
                 "g": pa.array(np.zeros(nodes.size, np.int64)),
                 "r": pa.array(r_new, pa.int64()),
-                "kb": pa.array(_bucket_of(nodes, n_buckets), pa.int64()),
+                "kb": pa.array(bucket_of(nodes, n_buckets), pa.int64()),
             }
         )
 

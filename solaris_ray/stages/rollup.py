@@ -48,6 +48,15 @@ def rollup_aggregate(ds, keys: list[str], value_cols: list[str],
     def _partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
+        for k in keys:
+            if batch[k].null_count:
+                # pandas groupby drops NaN groups and SQL ROLLUP would
+                # COALESCE a NULL group into the same spelling as a
+                # subtotal row — both silently wrong; demand clean keys
+                raise ValueError(
+                    f"rollup_aggregate: key column {k!r} contains nulls; "
+                    "fill or filter them before rolling up"
+                )
         data = {k: batch[k].to_numpy(zero_copy_only=False) for k in keys}
         for v in value_cols:
             data[v] = batch[v].to_numpy(zero_copy_only=False).astype(np.int64)

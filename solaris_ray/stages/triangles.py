@@ -33,9 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-
-def _bucket_of(x: np.ndarray, n_buckets: int) -> np.ndarray:
-    return ((x * np.int64(2654435761)) % np.int64(n_buckets)).astype(np.int64)
+from ._buckets import bucket_of
 
 
 def triangle_counts(edges, a_col: str = "a", b_col: str = "b",
@@ -63,7 +61,7 @@ def triangle_counts(edges, a_col: str = "a", b_col: str = "b",
                 "k": pa.array(k, pa.int64()),
                 "peer": pa.array(peer, pa.int64()),
                 "side": pa.array(side, pa.int64()),
-                "kb": pa.array(_bucket_of(k, n_buckets), pa.int64()),
+                "kb": pa.array(bucket_of(k, n_buckets), pa.int64()),
             }
         )
 
@@ -89,7 +87,7 @@ def triangle_counts(edges, a_col: str = "a", b_col: str = "b",
                 "b": pa.array(b, pa.int64()),
                 "side": pa.array(side, pa.int64()),
                 "degk": pa.array(degk, pa.int64()),
-                "pb": pa.array(_bucket_of(a * 31 + b, n_buckets), pa.int64()),
+                "pb": pa.array(bucket_of(a * 31 + b, n_buckets), pa.int64()),
             }
         )
 
@@ -117,7 +115,7 @@ def triangle_counts(edges, a_col: str = "a", b_col: str = "b",
             {
                 "src": pa.array(src, pa.int64()),
                 "dst": pa.array(dst, pa.int64()),
-                "sb": pa.array(_bucket_of(src, n_buckets), pa.int64()),
+                "sb": pa.array(bucket_of(src, n_buckets), pa.int64()),
             }
         )
 
@@ -165,7 +163,7 @@ def triangle_counts(edges, a_col: str = "a", b_col: str = "b",
                 "v": pa.array(v, pa.int64()),
                 "apex": pa.array(apex, pa.int64()),
                 "is_edge": pa.array(is_edge, pa.int64()),
-                "pb": pa.array(_bucket_of(u * 31 + v, n_buckets), pa.int64()),
+                "pb": pa.array(bucket_of(u * 31 + v, n_buckets), pa.int64()),
             }
         )
 

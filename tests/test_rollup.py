@@ -88,3 +88,13 @@ def test_rollup_empty_input_emits_grand_total():
 def test_rollup_rejects_no_keys():
     with pytest.raises(ValueError):
         rollup_aggregate(ray.data.range(1), [], ["id"])
+
+
+def test_rollup_rejects_null_keys():
+    # NULL keys would be dropped by pandas and COALESCE-aliased with
+    # subtotal rows by the SQL twin — refuse loudly instead
+    ds = ray.data.from_arrow(
+        pa.table({"a": pa.array(["x", None, "x"]), "x": pa.array([1, 2, 4])})
+    )
+    with pytest.raises(Exception, match="contains nulls"):
+        rollup_aggregate(ds, ["a"], ["x"]).take_all()
