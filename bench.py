@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "pagerank",
     "funnel",
     "rollup",
+    "retention",
+    "ntile",
 ]
 
 

@@ -2899,6 +2899,28 @@ def q_rollup(sf_dir: str):
     )
 
 
+def q_retention(sf_dir: str):
+    """Retention cohort triangle over the event log: users bucketed by
+    first-seen epoch week, distinct-active counts per (cohort, offset).
+    Two id-only co-shuffles; exactly-once (user, week) emission makes
+    the distinct count a plain row count."""
+    from ..stages.cohorts import retention_cohorts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return retention_cohorts(ev).sort(["cohort_week", "week_offset"])
+
+
+def q_ntile(sf_dir: str):
+    """NTILE(10) per language over document length — SQL window-exact
+    equi-count deciles (larger buckets first, (val, id) total order).
+    One co-shuffle on the partition hash; all partitions in a bucket
+    ranked by one lexsort-segment kernel."""
+    from ..stages.ntile import group_ntile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return group_ntile(docs, "lang", "n_chars", "doc_id", k=10).sort("doc_id")
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus heavy-hitters: global top-100 terms by occurrence.
     Per-batch Arrow combine, bucketed exact totals with safe in-bucket
@@ -4319,6 +4341,8 @@ QUERIES = {
     "ingest_dedup": q_ingest_dedup,
     "hll_sketch": q_hll_sketch,
     "cms_sketch": q_cms_sketch,
+    "retention": q_retention,
+    "ntile": q_ntile,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -6006,6 +6030,23 @@ SELECT COALESCE(source, '*') AS source,
 FROM documents
 GROUP BY ROLLUP(source, lang)
 ORDER BY lvl, source, lang
+"""
+
+_ORACLES_BASE["retention"] = """
+WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+fu AS (SELECT user_id, MIN(wk) AS cw FROM ev GROUP BY 1),
+uw AS (SELECT DISTINCT e.user_id, f.cw, e.wk - f.cw AS woff
+       FROM ev e JOIN fu f ON f.user_id = e.user_id)
+SELECT cw AS cohort_week, woff AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_ORACLES_BASE["ntile"] = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+            AS BIGINT) AS bucket
+FROM documents ORDER BY doc_id
 """
 
 _ORACLES_BASE["funnel"] = """
