@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "rollup",
     "retention",
     "ntile",
+    "transitions",
+    "histogram",
+    "percent_rank",
 ]
 
 

@@ -2921,6 +2921,38 @@ def q_ntile(sf_dir: str):
     return group_ntile(docs, "lang", "n_chars", "doc_id", k=10).sort("doc_id")
 
 
+def q_transitions(sf_dir: str):
+    """First-order Markov transition matrix of the event log: per-user
+    (ts, event_id)-ordered consecutive type pairs, counted.  One wide
+    co-shuffle + a types^2-row combine; the id tie-break keeps the
+    order total so LEAD() agrees exactly."""
+    from ..stages.transitions import transition_matrix
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    return transition_matrix(ev).sort(["from_type", "to_type"])
+
+
+def q_histogram(sf_dir: str):
+    """Equi-width document-length histogram per source over the fixed
+    range [0, 1600), 16 bins, edge-clamped.  Per-batch partial
+    bincounts; only (source, bin, n) rows shuffle."""
+    from ..stages.histogram import group_histogram
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return group_histogram(docs, "source", "n_chars", n_bins=16, lo=0,
+                           hi=1600).sort(["source", "bin"])
+
+
+def q_percent_rank(sf_dir: str):
+    """PERCENT_RANK per language over document length in exact
+    micro-units (ties-share rank, single-row partition -> 0).  Same
+    one-shuffle partition-hash plan as ntile."""
+    from ..stages.ntile import group_percent_rank
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return group_percent_rank(docs, "lang", "n_chars", "doc_id").sort("doc_id")
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus heavy-hitters: global top-100 terms by occurrence.
     Per-batch Arrow combine, bucketed exact totals with safe in-bucket
@@ -4343,6 +4375,9 @@ QUERIES = {
     "cms_sketch": q_cms_sketch,
     "retention": q_retention,
     "ntile": q_ntile,
+    "transitions": q_transitions,
+    "histogram": q_histogram,
+    "percent_rank": q_percent_rank,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -6047,6 +6082,36 @@ SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
        CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
             AS BIGINT) AS bucket
 FROM documents ORDER BY doc_id
+"""
+
+_ORACLES_BASE["transitions"] = """
+WITH o AS (SELECT event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_ORACLES_BASE["histogram"] = """
+WITH b AS (SELECT source,
+  LEAST(GREATEST(CAST(n_chars AS BIGINT) * 16 // 1600, 0), 15) AS bin
+  FROM documents)
+SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_ORACLES_BASE["percent_rank"] = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(CASE WHEN cnt > 1
+                 THEN (rk - 1) * 1000000 // (cnt - 1)
+                 ELSE 0 END AS BIGINT) AS pr_micro
+FROM (SELECT doc_id, lang, n_chars,
+             RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM documents)
+ORDER BY doc_id
 """
 
 _ORACLES_BASE["funnel"] = """
