@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "transitions",
     "histogram",
     "percent_rank",
+    "actives",
 ]
 
 

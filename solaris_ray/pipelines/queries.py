@@ -2953,6 +2953,17 @@ def q_percent_rank(sf_dir: str):
     return group_percent_rank(docs, "lang", "n_chars", "doc_id").sort("doc_id")
 
 
+def q_actives(sf_dir: str):
+    """Trailing-7-day distinct active users (WAU) for every day.
+    Exactly-once (user, window-day) membership emission turns the
+    rolling distinct count into a plain sum — one wide co-shuffle,
+    then a per-day count-row combine."""
+    from ..stages.actives import rolling_actives
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return rolling_actives(ev, window=7).sort("day")
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus heavy-hitters: global top-100 terms by occurrence.
     Per-batch Arrow combine, bucketed exact totals with safe in-bucket
@@ -4378,6 +4389,7 @@ QUERIES = {
     "transitions": q_transitions,
     "histogram": q_histogram,
     "percent_rank": q_percent_rank,
+    "actives": q_actives,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -6082,6 +6094,15 @@ SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
        CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
             AS BIGINT) AS bucket
 FROM documents ORDER BY doc_id
+"""
+
+_ORACLES_BASE["actives"] = """
+WITH days AS (SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS d FROM events),
+wins AS (SELECT DISTINCT user_id, d + o AS day
+         FROM days, range(0, 7) r(o))
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active
+FROM wins GROUP BY 1 ORDER BY 1
 """
 
 _ORACLES_BASE["transitions"] = """
