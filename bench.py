@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "histogram",
     "percent_rank",
     "actives",
+    "dbscan",
 ]
 
 

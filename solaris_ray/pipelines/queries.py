@@ -2620,6 +2620,17 @@ def q_dissolve(sf_dir: str):
     return dissolve(rects, cell=256.0).sort("fid")
 
 
+def q_dbscan(sf_dir: str):
+    """Density clustering (DBSCAN, Ester et al. KDD'96) over the event
+    points: eps-grid cell partitioning with 3x3 halo replication,
+    exactly-once pair emission, distributed CC over core-core edges,
+    min-core-neighbour border assignment, -1 noise."""
+    from ..stages.dbscan import dbscan
+
+    pts = _event_points(sf_dir)
+    return dbscan(pts, eps=30.0, min_pts=4).sort("point_id")
+
+
 def q_outer_join(sf_dir: str):
     """Generic FULL OUTER hash equi-join (orders x customer): bucketed
     union co-shuffle, vectorized many-to-many merge, unmatched rows
@@ -4264,6 +4275,7 @@ QUERIES = {
     "image_dedup": q_image_dedup,
     "outer_join": q_outer_join,
     "dissolve": q_dissolve,
+    "dbscan": q_dbscan,
     "triangles": q_triangles,
     "hll_distinct": q_hll_distinct,
     "dup_spans": q_dup_spans,
@@ -6094,6 +6106,40 @@ SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
        CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
             AS BIGINT) AS bucket
 FROM documents ORDER BY doc_id
+"""
+
+_ORACLES_BASE["dbscan"] = f"""
+WITH RECURSIVE pts AS ({_PTS}),
+nbr AS (
+  SELECT a.point_id AS pa, b.point_id AS pb
+  FROM pts a JOIN pts b
+    ON b.x BETWEEN a.x - 30 AND a.x + 30
+   AND b.y BETWEEN a.y - 30 AND a.y + 30
+   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 900.0),
+cnt AS (SELECT pa AS id, COUNT(*) AS n FROM nbr GROUP BY 1),
+core AS (SELECT id FROM cnt WHERE n >= 4),
+cedge AS (
+  SELECT pa AS a, pb AS b FROM nbr
+  WHERE pa IN (SELECT id FROM core)
+    AND pb IN (SELECT id FROM core) AND pa <> pb),
+reach(node, lbl) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN cedge e
+    ON e.a = r.node AND r.lbl < e.b),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+border AS (
+  SELECT n.pa AS id, MIN(n.pb) AS mcore FROM nbr n
+  WHERE n.pa NOT IN (SELECT id FROM core)
+    AND n.pb IN (SELECT id FROM core)
+  GROUP BY 1),
+assigned AS (
+  SELECT node AS id, component FROM comp
+  UNION ALL
+  SELECT b.id, c.component FROM border b JOIN comp c ON c.node = b.mcore)
+SELECT p.point_id, CAST(COALESCE(a.component, -1) AS BIGINT) AS cluster
+FROM pts p LEFT JOIN assigned a ON a.id = p.point_id
+ORDER BY p.point_id
 """
 
 _ORACLES_BASE["actives"] = """
