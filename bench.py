@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "percent_rank",
     "actives",
     "dbscan",
+    "moran",
+    "mad_outliers",
 ]
 
 

@@ -2631,6 +2631,17 @@ def q_dbscan(sf_dir: str):
     return dbscan(pts, eps=30.0, min_pts=4).sort("point_id")
 
 
+def q_moran(sf_dir: str):
+    """Queen-contiguity Moran's I of per-cell event-point counts, in
+    exact integer sufficient statistics (n, W, S1, S2, sum x, sum x^2)
+    plus the statistic in trunc-semantics micro-units — hash-exact
+    despite being a float-valued diagnostic."""
+    from ..stages.moran import moran_i
+
+    pts = _event_points(sf_dir)
+    return moran_i(pts, cell=64.0)
+
+
 def q_outer_join(sf_dir: str):
     """Generic FULL OUTER hash equi-join (orders x customer): bucketed
     union co-shuffle, vectorized many-to-many merge, unmatched rows
@@ -2994,6 +3005,16 @@ def q_zscore(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
         group_col="lang", val_col="n_chars", id_col="doc_id",
     ).sort("doc_id")
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust per-language length outliers: MAD (median absolute
+    deviation) via two exact distributed median passes, broadcast
+    per-group medians between them; |x - med| > 3*mad counted."""
+    from ..stages.outliers import mad_outliers
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return mad_outliers(docs, "lang", "n_chars", k=3).sort("lang")
 
 
 def q_covariance(sf_dir: str):
@@ -4276,6 +4297,7 @@ QUERIES = {
     "outer_join": q_outer_join,
     "dissolve": q_dissolve,
     "dbscan": q_dbscan,
+    "moran": q_moran,
     "triangles": q_triangles,
     "hll_distinct": q_hll_distinct,
     "dup_spans": q_dup_spans,
@@ -4379,6 +4401,7 @@ QUERIES = {
     "covariance": q_covariance,
     "vocab_topk": q_vocab_topk,
     "zscore": q_zscore,
+    "mad_outliers": q_mad_outliers,
     "search_and": q_search_and,
     "source_overlap": q_source_overlap,
     "bm25": q_bm25,
@@ -6140,6 +6163,45 @@ assigned AS (
 SELECT p.point_id, CAST(COALESCE(a.component, -1) AS BIGINT) AS cluster
 FROM pts p LEFT JOIN assigned a ON a.id = p.point_id
 ORDER BY p.point_id
+"""
+
+_ORACLES_BASE["mad_outliers"] = """
+WITH m AS (SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+           FROM documents GROUP BY lang),
+d AS (SELECT doc.lang, ABS(doc.n_chars - m.med) AS dev
+      FROM documents doc JOIN m ON m.lang = doc.lang),
+md AS (SELECT lang, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+       FROM d GROUP BY lang)
+SELECT m.lang, m.med, md.mad,
+       CAST(SUM(CASE WHEN d.dev > 3*md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+FROM d JOIN m ON m.lang = d.lang JOIN md ON md.lang = d.lang
+GROUP BY m.lang, m.med, md.mad
+ORDER BY m.lang
+"""
+
+_ORACLES_BASE["moran"] = f"""
+WITH pts AS ({_PTS}),
+cells AS (
+  SELECT CAST(floor(x/64) AS BIGINT) AS cx, CAST(floor(y/64) AS BIGINT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM pts GROUP BY 1, 2),
+pr AS (
+  SELECT a.v AS va, b.v AS vb FROM cells a JOIN cells b
+    ON b.cx BETWEEN a.cx-1 AND a.cx+1 AND b.cy BETWEEN a.cy-1 AND a.cy+1
+   AND NOT (b.cx = a.cx AND b.cy = a.cy)),
+g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(v) AS HUGEINT) AS sx,
+             CAST(SUM(v*v) AS HUGEINT) AS sx2 FROM cells),
+p AS (SELECT CAST(COUNT(*) AS HUGEINT) AS w,
+             CAST(COALESCE(SUM(va*vb), 0) AS HUGEINT) AS s1,
+             CAST(COALESCE(SUM(va+vb), 0) AS HUGEINT) AS s2 FROM pr)
+SELECT CAST(n AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_pairs,
+       CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+       CAST(sx AS BIGINT) AS sum_x, CAST(sx2 AS BIGINT) AS sum_x2,
+       CAST(CASE WHEN w = 0 OR (n*sx2 - sx*sx) = 0 THEN 0
+            ELSE (1000000 * (s1*n*n - s2*sx*n + w*sx*sx))
+                 // (w * (n*sx2 - sx*sx))
+       END AS BIGINT) AS moran_e6
+FROM g, p
 """
 
 _ORACLES_BASE["actives"] = """
