@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "dbscan",
     "moran",
     "mad_outliers",
+    "tpch_q3",
+    "session_paths",
+    "source_kl",
 ]
 
 

@@ -385,6 +385,95 @@ def q_events_window(sf_dir: str):
     )
 
 
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3-shaped 3-table pipeline: filter-pushdown reads,
+    broadcast-or-shuffle auto-select joins (customer side is small by
+    predicate, the lineitem side never is), per-batch revenue
+    combiner BEFORE the orderkey shuffle, exact e4 integer revenue
+    (cents x percent), total-order top-10."""
+    from ..stages.relational import hash_join
+
+    cutoff = np.datetime64("1998-06-01", "us")
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+        filter=pc.field("c_mktsegment") == "BUILDING",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < pa.scalar(cutoff.item()),
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pc.field("l_shipdate") > pa.scalar(cutoff.item()),
+    )
+
+    cust_k = cust.map_batches(
+        lambda b: pa.table({"c_custkey": pc.cast(b["c_custkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        d = (
+            batch["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "o_date_us": pa.array(d, pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    bo = hash_join(
+        orders.map_batches(_ord, batch_format="pyarrow"),
+        cust_k, "o_custkey", "c_custkey", how="inner", strategy="auto",
+    ).select_columns(["o_orderkey", "o_date_us", "o_orderpriority"])
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        disc = np.round(batch["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        rev = cents * (100 - disc)
+        order = np.argsort(k, kind="stable")
+        k, rev = k[order], rev[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        sums = np.add.reduceat(rev, starts) if k.size else rev
+        return pa.table(
+            {
+                "l_orderkey": pa.array(k[starts], pa.int64()),
+                "rev": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    li_agg = (
+        li.map_batches(_li_partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("l_orderkey")
+        .sum("rev")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                    "revenue_e4": pc.cast(b["sum(rev)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    joined = hash_join(
+        li_agg, bo, "l_orderkey", "o_orderkey", how="inner", strategy="auto"
+    ).select_columns(["l_orderkey", "revenue_e4", "o_date_us", "o_orderpriority"])
+    return joined.sort(
+        ["revenue_e4", "o_date_us", "l_orderkey"],
+        descending=[True, False, False],
+    ).limit(10)
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -2348,6 +2437,16 @@ def q_sessionize(sf_dir: str):
     return windows.sessionize(ev, gap_us=30 * 60 * 1_000_000)
 
 
+def q_session_paths(sf_dir: str):
+    """Top-20 clickstream session paths (30-min gap sessions, same
+    rule as `sessionize`): vectorized Arrow list-join path strings,
+    per-bucket pre-counts, total-order top-k."""
+    from ..stages.paths import session_paths
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return session_paths(ev, gap_us=30 * 60 * 1_000_000, top_k=20)
+
+
 def q_sliding_window(sf_dir: str):
     """1-hour windows sliding by 30 min (each event in 2 windows)."""
     from ..stages import windows
@@ -2993,6 +3092,17 @@ def q_vocab_topk(sf_dir: str):
     from ..stages.tfidf import vocab_topk
 
     return vocab_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=100)
+
+
+def q_source_kl(sf_dir: str):
+    """Per-source unigram KL divergence vs the corpus distribution:
+    one term-bucketed co-shuffle (term totals + per-source partial KL
+    are bucket-local), broadcast source totals, tfidf float idiom
+    (identical ln expression both sides, 6-dp round)."""
+    from ..stages.divergence import source_kl
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return source_kl(docs).sort("source")
 
 
 def q_zscore(sf_dir: str):
@@ -4307,6 +4417,7 @@ QUERIES = {
     "tdigest": q_tdigest,
     "events_window": q_events_window,
     "lineitem_agg": q_lineitem_agg,
+    "tpch_q3": q_tpch_q3,
     "token_count": q_token_count,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
@@ -4377,6 +4488,7 @@ QUERIES = {
     "augment": q_augment,
     "group_topk": q_group_topk,
     "sessionize": q_sessionize,
+    "session_paths": q_session_paths,
     "sliding_window": q_sliding_window,
     "anti_join": q_anti_join,
     "distinct_types": q_distinct_types,
@@ -4402,6 +4514,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "zscore": q_zscore,
     "mad_outliers": q_mad_outliers,
+    "source_kl": q_source_kl,
     "search_and": q_search_and,
     "source_overlap": q_source_overlap,
     "bm25": q_bm25,
@@ -6163,6 +6276,56 @@ assigned AS (
 SELECT p.point_id, CAST(COALESCE(a.component, -1) AS BIGINT) AS cluster
 FROM pts p LEFT JOIN assigned a ON a.id = p.point_id
 ORDER BY p.point_id
+"""
+
+_ORACLES_BASE["source_kl"] = f"""
+WITH tok AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM st GROUP BY 1),
+g AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM st),
+t AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY 1)
+SELECT st.source, s.ns AS n_tokens,
+       round(SUM((st.c / s.ns) * ln((st.c / s.ns) / (t.ct / g.n))), 6) AS kl6
+FROM st JOIN s ON s.source = st.source JOIN t ON t.term = st.term, g
+GROUP BY 1, 2
+ORDER BY st.source
+"""
+
+_ORACLES_BASE["session_paths"] = """
+WITH e AS (SELECT user_id, event_id, ts, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e),
+p AS (SELECT string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, sid)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+_ORACLES_BASE["tpch_q3"] = """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4,
+       epoch_us(o.o_orderdate) AS o_date_us,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue_e4 DESC, o_date_us, l.l_orderkey
+LIMIT 10
 """
 
 _ORACLES_BASE["mad_outliers"] = """
