@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "tpch_q3",
     "session_paths",
     "source_kl",
+    "contrast_stretch",
 ]
 
 

@@ -1691,6 +1691,17 @@ def q_image_stats(sf_dir: str):
     )
 
 
+def q_contrast_stretch(sf_dir: str):
+    """Corpus-GLOBAL percentile contrast stretch: one 256-bin
+    histogram pass (O(256) rows per batch), discrete percentiles with
+    quantile_disc rank semantics, broadcast (lo, hi), pure-integer
+    rescale — exact on both sides."""
+    from ..stages.stretch import contrast_stretch
+
+    images = _formula_gray_images(sf_dir, limit=200, fixed_size=128)
+    return contrast_stretch(images, q_lo=0.02, q_hi=0.98).sort("image_id")
+
+
 def q_image_resize(sf_dir: str):
     """Nearest-neighbor resize 128 -> 32 (actor-pool decode/encode),
     SQL-oracled via the integer source-index formula yi = i*128//32."""
@@ -4477,6 +4488,7 @@ QUERIES = {
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
     "image_stats": q_image_stats,
+    "contrast_stretch": q_contrast_stretch,
     "image_resize": q_image_resize,
     "frame_sample": q_frame_sample,
     "embed_extract_ann": q_embed_extract_ann,
@@ -6276,6 +6288,26 @@ assigned AS (
 SELECT p.point_id, CAST(COALESCE(a.component, -1) AS BIGINT) AS cluster
 FROM pts p LEFT JOIN assigned a ON a.id = p.point_id
 ORDER BY p.point_id
+"""
+
+_ORACLES_BASE["contrast_stretch"] = """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 200),
+px AS (SELECT i FROM range(0, 128) r(i)),
+v AS (SELECT p, ((rx.i*7 + ry.i*13 + p*31) % 251) AS val FROM img, px rx, px ry),
+q AS (SELECT CAST(quantile_disc(val, 0.02) AS BIGINT) AS lo,
+             CAST(quantile_disc(val, 0.98) AS BIGINT) AS hi FROM v),
+s AS (SELECT p, q.lo AS lo, q.hi AS hi,
+             SUM(LEAST(GREATEST(val - q.lo, 0) * 255
+                       // GREATEST(q.hi - q.lo, 1), 255)) AS psum,
+             MIN(LEAST(GREATEST(val - q.lo, 0) * 255
+                       // GREATEST(q.hi - q.lo, 1), 255)) AS pmin,
+             MAX(LEAST(GREATEST(val - q.lo, 0) * 255
+                       // GREATEST(q.hi - q.lo, 1), 255)) AS pmax
+      FROM v, q GROUP BY 1, 2, 3)
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(psum AS BIGINT) AS px_sum, CAST(pmin AS BIGINT) AS px_min,
+       CAST(pmax AS BIGINT) AS px_max, lo, hi
+FROM s ORDER BY image_id
 """
 
 _ORACLES_BASE["source_kl"] = f"""
