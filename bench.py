@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "session_paths",
     "source_kl",
     "contrast_stretch",
+    "peak_sessions",
 ]
 
 

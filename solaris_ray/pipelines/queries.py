@@ -429,10 +429,16 @@ def q_tpch_q3(sf_dir: str):
             }
         )
 
+    # materialized: the second join's auto-select counts its right
+    # side, which would otherwise re-execute this whole first join
     bo = hash_join(
         orders.map_batches(_ord, batch_format="pyarrow"),
         cust_k, "o_custkey", "c_custkey", how="inner", strategy="auto",
-    ).select_columns(["o_orderkey", "o_date_us", "o_orderpriority"])
+    ).select_columns(
+        ["o_orderkey", "o_date_us", "o_orderpriority"]
+    ).materialize()
+
+    from ..stages._buckets import bucket_of
 
     def _li_partial(batch: pa.Table) -> pa.Table:
         k = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -443,26 +449,39 @@ def q_tpch_q3(sf_dir: str):
         k, rev = k[order], rev[order]
         starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
         sums = np.add.reduceat(rev, starts) if k.size else rev
+        uk = k[starts]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "rev": pa.array(sums.astype(np.int64), pa.int64()),
+                "kb": pa.array(bucket_of(uk, 128), pa.int64()),
+            }
+        )
+
+    li_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("revenue_e4", pa.int64())]
+    )
+
+    def _li_combine(group: pa.Table) -> pa.Table:
+        k = group["l_orderkey"].to_numpy(zero_copy_only=False)
+        r = group["rev"].to_numpy(zero_copy_only=False)
+        if k.size == 0:
+            return li_schema.empty_table()
+        order = np.argsort(k, kind="stable")
+        k, r = k[order], r[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        sums = np.add.reduceat(r, starts)
         return pa.table(
             {
                 "l_orderkey": pa.array(k[starts], pa.int64()),
-                "rev": pa.array(sums.astype(np.int64), pa.int64()),
+                "revenue_e4": pa.array(sums.astype(np.int64), pa.int64()),
             }
         )
 
     li_agg = (
         li.map_batches(_li_partial, batch_format="pyarrow", batch_size=16384)
-        .groupby("l_orderkey")
-        .sum("rev")
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
-                    "revenue_e4": pc.cast(b["sum(rev)"], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        .groupby("kb")
+        .map_groups(_li_combine, batch_format="pyarrow")
     )
 
     joined = hash_join(
@@ -2466,6 +2485,19 @@ def q_sliding_window(sf_dir: str):
     return windows.sliding_window_counts(
         ev, width_us=3600 * 1_000_000, slide_us=1800 * 1_000_000
     )
+
+
+def q_peak_sessions(sf_dir: str):
+    """Peak simultaneous sessions (30-min-gap sessions, inclusive
+    endpoints) and the earliest instant it happens: sweep-line with
+    per-instant delta pre-aggregation and the pack.py two-pass
+    global-prefix shape (three scalars per block to the driver)."""
+    from ..stages import windows
+    from ..stages.concurrency import peak_concurrency
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    sess = windows.sessionize(ev, gap_us=30 * 60 * 1_000_000)
+    return peak_concurrency(sess, "start_us", "end_us")
 
 
 def q_anti_join(sf_dir: str):
@@ -4501,6 +4533,7 @@ QUERIES = {
     "group_topk": q_group_topk,
     "sessionize": q_sessionize,
     "session_paths": q_session_paths,
+    "peak_sessions": q_peak_sessions,
     "sliding_window": q_sliding_window,
     "anti_join": q_anti_join,
     "distinct_types": q_distinct_types,
@@ -6288,6 +6321,28 @@ assigned AS (
 SELECT p.point_id, CAST(COALESCE(a.component, -1) AS BIGINT) AS cluster
 FROM pts p LEFT JOIN assigned a ON a.id = p.point_id
 ORDER BY p.point_id
+"""
+
+_ORACLES_BASE["peak_sessions"] = """
+WITH e AS (SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e),
+sess AS (SELECT user_id, sid, epoch_us(min(ts)) AS st, epoch_us(max(ts)) AS en
+         FROM s GROUP BY 1, 2),
+b AS (SELECT st AS t, 1 AS d FROM sess
+      UNION ALL SELECT en + 1, -1 FROM sess),
+agg AS (SELECT t, SUM(d) AS d FROM b GROUP BY 1),
+c AS (SELECT t, SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc
+      FROM agg)
+SELECT CAST(conc AS BIGINT) AS peak, CAST(t AS BIGINT) AS t_us
+FROM c ORDER BY conc DESC, t LIMIT 1
 """
 
 _ORACLES_BASE["contrast_stretch"] = """

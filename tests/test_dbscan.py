@@ -93,6 +93,32 @@ def test_negative_coordinates():
     assert got == _naive(pts, 2.0, 4)
 
 
+def test_exact_duplicate_sites_collapse():
+    # many coincident points (the site-collapse path): multiplicity
+    # makes a lone duplicated location core on its own
+    pts = (
+        [(i, 5.0, 5.0) for i in range(6)]          # 6 coincident -> core
+        + [(50, 5.5, 5.0)]                           # border of that site
+        + [(60, 400.0, 400.0), (61, 400.0, 400.0)]  # 2 coincident -> noise
+    )
+    got = _run(pts, eps=1.0, min_pts=4)
+    assert got == _naive(pts, 1.0, 4)
+    assert got[0] == 0 and got[5] == 0   # cluster label = min core id
+    assert got[50] == 0                  # border joins via min core nbr
+    assert got[60] == -1 and got[61] == -1
+
+
+def test_duplicates_split_across_blocks():
+    # fragments of one site arrive in different input blocks; counts
+    # and labels must still be exact
+    pts = [(i, 10.0, 10.0) for i in range(8)] + [(100, 12.0, 10.0)]
+    got = dbscan(_pts_ds(pts, n_blocks=6), eps=3.0, min_pts=5).take_all()
+    m = {r["point_id"]: r["cluster"] for r in got}
+    assert m == _naive(pts, 3.0, 5)
+    assert all(m[i] == 0 for i in range(8))
+    assert m[100] == 0  # core too (9 weighted nbrs), same component
+
+
 def test_rejects_bad_params():
     with pytest.raises(ValueError):
         dbscan(_pts_ds([(1, 0, 0)]), eps=0.0, min_pts=3)
