@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "source_kl",
     "contrast_stretch",
     "peak_sessions",
+    "clark_evans",
 ]
 
 

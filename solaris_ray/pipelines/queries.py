@@ -236,6 +236,23 @@ def q_knn_partitioned(sf_dir: str):
     return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
 
 
+def q_clark_evans(sf_dir: str):
+    """Clark-Evans nearest-neighbour dispersion index over the event
+    points (queries: point_id < 2000; candidates: all points): rides
+    the both-sides-large kNN at k=2 (a non-self neighbour survives
+    exact duplicates), per-point min, scalar partials to the driver."""
+    from ..stages.pointstats import clark_evans
+
+    qs = _event_points(sf_dir, limit_ids=2000)
+    feats = _event_points(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"feature_id": b["point_id"], "cx": b["x"], "cy": b["y"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return clark_evans(qs, feats, area=3200.0 * 3200.0)
+
+
 def q_aoi_tile_plan(sf_dir: str):
     """restrict_to_aoi grid restriction (raster_tile.py:169-181 +
     split_geom AOI ∩ bounds): planned tiles intersecting a fixed AOI
@@ -4534,6 +4551,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "session_paths": q_session_paths,
     "peak_sessions": q_peak_sessions,
+    "clark_evans": q_clark_evans,
     "sliding_window": q_sliding_window,
     "anti_join": q_anti_join,
     "distinct_types": q_distinct_types,
@@ -6321,6 +6339,21 @@ assigned AS (
 SELECT p.point_id, CAST(COALESCE(a.component, -1) AS BIGINT) AS cluster
 FROM pts p LEFT JOIN assigned a ON a.id = p.point_id
 ORDER BY p.point_id
+"""
+
+_ORACLES_BASE["clark_evans"] = f"""
+WITH pts AS ({_PTS}),
+q AS (SELECT * FROM pts WHERE point_id < 2000),
+d AS (SELECT q.point_id,
+             MIN((q.x-p.x)*(q.x-p.x) + (q.y-p.y)*(q.y-p.y)) AS d2
+      FROM q JOIN pts p ON p.point_id <> q.point_id
+      GROUP BY 1),
+m AS (SELECT COUNT(*) AS nq, SUM(sqrt(d2)) AS s FROM d),
+n AS (SELECT COUNT(*) AS nf FROM pts)
+SELECT CAST(m.nq AS BIGINT) AS n_q, CAST(n.nf AS BIGINT) AS n_feat,
+       round(m.s / m.nq, 6) AS mean_nn6,
+       round((m.s / m.nq) / (0.5 / sqrt(n.nf / 10240000.0)), 6) AS r6
+FROM m, n
 """
 
 _ORACLES_BASE["peak_sessions"] = """
