@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "contrast_stretch",
     "peak_sessions",
     "clark_evans",
+    "image_entropy",
+    "trajectory",
 ]
 
 

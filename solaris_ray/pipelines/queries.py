@@ -1738,6 +1738,37 @@ def q_contrast_stretch(sf_dir: str):
     return contrast_stretch(images, q_lo=0.02, q_hi=0.98).sort("image_id")
 
 
+def q_image_entropy(sf_dir: str):
+    """Per-image Shannon entropy over the 256-bin pixel histogram
+    (texture screening): pure map stage, identical division/ln
+    expression both sides, 6-dp round."""
+    from ..stages.entropy import image_entropy
+
+    images = _formula_gray_images(sf_dir, limit=200, fixed_size=128)
+    return image_entropy(images).sort("image_id")
+
+
+def q_trajectory(sf_dir: str):
+    """Per-user trajectory length over time-ordered event points
+    (sessionize's total order): one bucketed co-shuffle, in-kernel
+    lexsort + vectorized consecutive distances."""
+    from ..stages.trajectory import trajectory_length
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _xy(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "x", pa.array(((e * 7919) % 3200).astype(np.float64), pa.float64())
+        ).append_column(
+            "y", pa.array(((e * 104729) % 3200).astype(np.float64), pa.float64())
+        )
+
+    return trajectory_length(
+        ev.map_batches(_xy, batch_format="pyarrow")
+    ).sort("user_id")
+
+
 def q_image_resize(sf_dir: str):
     """Nearest-neighbor resize 128 -> 32 (actor-pool decode/encode),
     SQL-oracled via the integer source-index formula yi = i*128//32."""
@@ -4538,6 +4569,8 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "image_stats": q_image_stats,
     "contrast_stretch": q_contrast_stretch,
+    "image_entropy": q_image_entropy,
+    "trajectory": q_trajectory,
     "image_resize": q_image_resize,
     "frame_sample": q_frame_sample,
     "embed_extract_ann": q_embed_extract_ann,
@@ -6339,6 +6372,31 @@ assigned AS (
 SELECT p.point_id, CAST(COALESCE(a.component, -1) AS BIGINT) AS cluster
 FROM pts p LEFT JOIN assigned a ON a.id = p.point_id
 ORDER BY p.point_id
+"""
+
+_ORACLES_BASE["image_entropy"] = """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 200),
+px AS (SELECT i FROM range(0, 128) r(i)),
+v AS (SELECT p, ((rx.i*7 + ry.i*13 + p*31) % 251) AS val FROM img, px rx, px ry),
+h AS (SELECT p, val, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2)
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(16384 AS BIGINT) AS n_px,
+       round(-SUM((c / 16384.0) * ln(c / 16384.0)), 6) AS h6
+FROM h GROUP BY 1 ORDER BY image_id
+"""
+
+_ORACLES_BASE["trajectory"] = """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST((event_id*7919) % 3200 AS DOUBLE) AS x,
+                  CAST((event_id*104729) % 3200 AS DOUBLE) AS y
+           FROM events),
+d AS (SELECT user_id,
+             sqrt((x - lag(x) OVER w)*(x - lag(x) OVER w)
+                  + (y - lag(y) OVER w)*(y - lag(y) OVER w)) AS step
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(COALESCE(SUM(step), 0), 6) AS path6
+FROM d GROUP BY 1 ORDER BY 1
 """
 
 _ORACLES_BASE["clark_evans"] = f"""
