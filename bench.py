@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "clark_evans",
     "image_entropy",
     "trajectory",
+    "getis_ord",
 ]
 
 

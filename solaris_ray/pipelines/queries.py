@@ -2832,6 +2832,17 @@ def q_moran(sf_dir: str):
     return moran_i(pts, cell=64.0)
 
 
+def q_getis_ord(sf_dir: str):
+    """Getis-Ord Gi* hot-spot score per occupied cell (queen window
+    incl. self): one 8-neighbour replication co-shuffle, integer
+    (k, window-sum) per cell, three broadcast global scalars, gi6 via
+    the identical float expression on both sides."""
+    from ..stages.moran import getis_ord
+
+    pts = _event_points(sf_dir)
+    return getis_ord(pts, cell=64.0).sort(["cx", "cy"])
+
+
 def q_outer_join(sf_dir: str):
     """Generic FULL OUTER hash equi-join (orders x customer): bucketed
     union co-shuffle, vectorized many-to-many merge, unmatched rows
@@ -4499,6 +4510,7 @@ QUERIES = {
     "dissolve": q_dissolve,
     "dbscan": q_dbscan,
     "moran": q_moran,
+    "getis_ord": q_getis_ord,
     "triangles": q_triangles,
     "hll_distinct": q_hll_distinct,
     "dup_spans": q_dup_spans,
@@ -6372,6 +6384,30 @@ assigned AS (
 SELECT p.point_id, CAST(COALESCE(a.component, -1) AS BIGINT) AS cluster
 FROM pts p LEFT JOIN assigned a ON a.id = p.point_id
 ORDER BY p.point_id
+"""
+
+_ORACLES_BASE["getis_ord"] = f"""
+WITH pts AS ({_PTS}),
+cells AS (SELECT CAST(floor(x/64) AS BIGINT) AS cx,
+                 CAST(floor(y/64) AS BIGINT) AS cy,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM pts GROUP BY 1, 2),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sx,
+             CAST(SUM(v*v) AS BIGINT) AS sx2 FROM cells),
+w AS (SELECT a.cx, a.cy, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(b.v) AS BIGINT) AS ws
+      FROM cells a JOIN cells b
+        ON b.cx BETWEEN a.cx-1 AND a.cx+1 AND b.cy BETWEEN a.cy-1 AND a.cy+1
+      GROUP BY 1, 2)
+SELECT w.cx, w.cy, w.k, w.ws AS wsum,
+       CASE WHEN g.n > 1
+             AND sqrt(g.sx2/g.n - (g.sx/g.n)*(g.sx/g.n))
+                 * sqrt((g.n*w.k - w.k*w.k)/(g.n - 1)) > 0
+            THEN round((w.ws - (g.sx/g.n)*w.k)
+                       / (sqrt(g.sx2/g.n - (g.sx/g.n)*(g.sx/g.n))
+                          * sqrt((g.n*w.k - w.k*w.k)/(g.n - 1))), 6)
+            ELSE 0.0 END AS gi6
+FROM w, g ORDER BY w.cx, w.cy
 """
 
 _ORACLES_BASE["image_entropy"] = """
