@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "image_entropy",
     "trajectory",
     "getis_ord",
+    "cooccurrence",
 ]
 
 

@@ -2535,6 +2535,17 @@ def q_sliding_window(sf_dir: str):
     )
 
 
+def q_cooccurrence(sf_dir: str):
+    """Event-type co-occurrence with PMI over per-user presence sets:
+    one user-bucketed co-shuffle emits pair/marginal/user-count
+    partials together; broadcast marginals; int64 products, identical
+    ln expression both sides."""
+    from ..stages.cooccur import type_cooccurrence
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return type_cooccurrence(ev).sort(["ta", "tb"])
+
+
 def q_peak_sessions(sf_dir: str):
     """Peak simultaneous sessions (30-min-gap sessions, inclusive
     endpoints) and the earliest instant it happens: sweep-line with
@@ -4597,6 +4608,7 @@ QUERIES = {
     "session_paths": q_session_paths,
     "peak_sessions": q_peak_sessions,
     "clark_evans": q_clark_evans,
+    "cooccurrence": q_cooccurrence,
     "sliding_window": q_sliding_window,
     "anti_join": q_anti_join,
     "distinct_types": q_distinct_types,
@@ -6384,6 +6396,22 @@ assigned AS (
 SELECT p.point_id, CAST(COALESCE(a.component, -1) AS BIGINT) AS cluster
 FROM pts p LEFT JOIN assigned a ON a.id = p.point_id
 ORDER BY p.point_id
+"""
+
+_ORACLES_BASE["cooccurrence"] = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM ut GROUP BY 1),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM ut)
+SELECT p.ta, p.tb, p.c AS n_both, ma.c AS n_a, mb.c AS n_b,
+       round(ln((p.c * n.n) / (ma.c * mb.c)), 6) AS pmi6
+FROM p JOIN m ma ON ma.event_type = p.ta
+       JOIN m mb ON mb.event_type = p.tb, n
+ORDER BY p.ta, p.tb
 """
 
 _ORACLES_BASE["getis_ord"] = f"""
