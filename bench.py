@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "trajectory",
     "getis_ord",
     "cooccurrence",
+    "trend_slope",
 ]
 
 

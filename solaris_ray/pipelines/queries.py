@@ -2535,6 +2535,17 @@ def q_sliding_window(sf_dir: str):
     )
 
 
+def q_trend_slope(sf_dir: str):
+    """Per-user OLS spend trend (cents/day) in exact integer
+    sufficient statistics — days-rebased time bounds t^2 inside
+    int64; micro-unit division in arbitrary-precision ints with
+    DuckDB's trunc semantics."""
+    from ..stages.trend import trend_slope
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return trend_slope(ev).sort("user_id")
+
+
 def q_cooccurrence(sf_dir: str):
     """Event-type co-occurrence with PMI over per-user presence sets:
     one user-bucketed co-shuffle emits pair/marginal/user-count
@@ -4609,6 +4620,7 @@ QUERIES = {
     "peak_sessions": q_peak_sessions,
     "clark_evans": q_clark_evans,
     "cooccurrence": q_cooccurrence,
+    "trend_slope": q_trend_slope,
     "sliding_window": q_sliding_window,
     "anti_join": q_anti_join,
     "distinct_types": q_distinct_types,
@@ -6396,6 +6408,26 @@ assigned AS (
 SELECT p.point_id, CAST(COALESCE(a.component, -1) AS BIGINT) AS cluster
 FROM pts p LEFT JOIN assigned a ON a.id = p.point_id
 ORDER BY p.point_id
+"""
+
+_ORACLES_BASE["trend_slope"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                  CAST(round(value*100) AS BIGINT) AS v
+           FROM events),
+r AS (SELECT user_id, d - MIN(d) OVER (PARTITION BY user_id) AS t, v
+      FROM e),
+s AS (SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(t) AS HUGEINT) AS st, CAST(SUM(v) AS HUGEINT) AS sv,
+             CAST(SUM(t*v) AS HUGEINT) AS stv,
+             CAST(SUM(t*t) AS HUGEINT) AS st2
+      FROM r GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(n*stv - st*sv AS BIGINT) AS num,
+       CAST(n*st2 - st*st AS BIGINT) AS den,
+       CAST(CASE WHEN n*st2 - st*st = 0 THEN 0
+            ELSE (1000000 * (n*stv - st*sv)) // (n*st2 - st*st)
+       END AS BIGINT) AS slope_e6
+FROM s ORDER BY user_id
 """
 
 _ORACLES_BASE["cooccurrence"] = """
