@@ -1025,6 +1025,28 @@ def q_ivf_ann(sf_dir: str):
     return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
 
 
+def q_pq_adc(sf_dir: str):
+    """IVF-PQ's compression half: product-quantization encode (4
+    subspaces x 8 codes over the 64-dim embeddings) then asymmetric-
+    distance top-5 per query (vec_id < 10).  Embeddings quantize once
+    to int64 micro-units, so assignment argmins and ADC lookup sums
+    are exact integer arithmetic — hash-identical to the DuckDB twin,
+    which regenerates the closed-form codebooks with range() joins.
+    The corpus never shuffles: per-batch partial top-k rows only."""
+    from ..stages import pq as pqz
+
+    tbl = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = tbl.filter(pc.less(tbl["vec_id"], 10))
+    qids = q["vec_id"].to_numpy().astype(np.int64)
+    qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pqz.seeded_codebooks(64, m=4, ksub=8)
+    codes = pqz.pq_encode(ds, books)
+    return pqz.pq_adc_topk(codes, qids, qmat, books, k=5).sort(
+        ["query_id", "rank"]
+    )
+
+
 def _formula_gray_images(sf_dir: str, limit: int, base: int = 0, mod: int = 251,
                          fixed_size: int | None = None):
     """part rows -> real PNG images whose pixel values follow the
@@ -2865,6 +2887,34 @@ def q_getis_ord(sf_dir: str):
     return getis_ord(pts, cell=64.0).sort(["cx", "cy"])
 
 
+def q_idw(sf_dir: str):
+    """IDW interpolation of the event-point surface (v = point_id %
+    100) onto a 20x20 prediction grid, radius 128: integer micro-unit
+    weights (1e9 // d², d² clamped >= 1) make every weighted sum exact
+    int64 — hash-identical to the SQL twin.  Queries broadcast;
+    observations stream in one map_batches and never shuffle."""
+    from ..stages.idw import idw_interpolate
+
+    pts = _event_points(sf_dir)
+
+    def _val(batch: pa.Table) -> pa.Table:
+        p = batch["point_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "x": batch["x"],
+                "y": batch["y"],
+                "v": pa.array((p % 100).astype(np.int64)),
+            }
+        )
+
+    obs = pts.map_batches(_val, batch_format="pyarrow")
+    grid = np.array(
+        [[i * 160 + 80, j * 160 + 80] for i in range(20) for j in range(20)],
+        np.int64,
+    )
+    return idw_interpolate(obs, grid, radius=128).sort("qid")
+
+
 def q_outer_join(sf_dir: str):
     """Generic FULL OUTER hash equi-join (orders x customer): bucketed
     union co-shuffle, vectorized many-to-many merge, unmatched rows
@@ -3118,6 +3168,43 @@ def q_pagerank(sf_dir: str):
 
     edges = cust.map_batches(_edges, batch_format="pyarrow")
     return pagerank(edges, iters=5).sort("node")
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distances over the deterministic chord
+    graph on customer keys (the pagerank fixture's edge rule), seeded
+    at every key divisible by 29 — the graph twin of
+    "distance to nearest POI".  Frontier-synchronous rounds, two
+    id-only bucketed co-shuffles each, exact int64 min-merge; the SQL
+    twin is a depth-capped recursive CTE, so output is hash-exact."""
+    from ..stages.bfs import bfs_hops
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    n_nodes = cust.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        i = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for d in (1, 2, 3):
+            s = i[(i * d) % 7 < 5]
+            j = (s + d) % n_nodes
+            ok = s != j
+            srcs.append(s[ok])
+            dsts.append(j[ok])
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs), pa.int64()),
+                "dst": pa.array(np.concatenate(dsts), pa.int64()),
+            }
+        )
+
+    def _seeds(batch: pa.Table) -> pa.Table:
+        i = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(i[i % 29 == 0], pa.int64())})
+
+    edges = cust.map_batches(_edges, batch_format="pyarrow")
+    seeds = cust.map_batches(_seeds, batch_format="pyarrow")
+    return bfs_hops(edges, seeds).sort("node")
 
 
 def q_funnel(sf_dir: str):
@@ -4670,6 +4757,9 @@ QUERIES = {
     "histogram": q_histogram,
     "percent_rank": q_percent_rank,
     "actives": q_actives,
+    "bfs_hops": q_bfs_hops,
+    "pq_adc": q_pq_adc,
+    "idw": q_idw,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -7430,6 +7520,76 @@ SELECT r.item_id, r.label, r.votes, t.total, t.n_labels,
        round(CAST(r.votes AS DOUBLE) / t.total, 6) AS share6
 FROM r JOIN t USING (item_id) WHERE rk = 1
 ORDER BY item_id
+"""
+
+_ORACLES_BASE["bfs_hops"] = """
+WITH RECURSIVE
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+v AS (SELECT CAST(c_custkey AS BIGINT) AS i FROM customer),
+edges AS (SELECT i AS src, (i + d) % nn.n AS dst
+          FROM v, nn, range(1, 4) r(d)
+          WHERE (i * d) % 7 < 5 AND i <> (i + d) % nn.n),
+seeds AS (SELECT i AS node FROM v WHERE i % 29 = 0),
+sp(node, d) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT e.dst, sp.d + 1 FROM sp JOIN edges e ON e.src = sp.node
+  WHERE sp.d < 100)
+SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM sp GROUP BY 1 ORDER BY 1
+"""
+
+_ORACLES_BASE["pq_adc"] = """
+WITH x AS (
+  SELECT vec_id, CAST(r.j AS BIGINT) AS j,
+         CAST(floor(CAST(embedding[r.j + 1] AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings, range(0, 64) r(j)),
+cb AS (SELECT s.s AS sub, c.c AS code, t.t,
+              CAST((s.s*131 + c.c*37 + t.t*17) % 401 - 200 AS BIGINT) AS cv
+       FROM range(0, 4) s(s), range(0, 8) c(c), range(0, 16) t(t)),
+sd AS (SELECT x.vec_id, cb.sub, cb.code,
+              SUM((x.v - cb.cv) * (x.v - cb.cv)) AS dist
+       FROM x JOIN cb ON cb.sub = x.j // 16 AND cb.t = x.j % 16
+       GROUP BY 1, 2, 3),
+codes AS (SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist, code) AS rk FROM sd)
+  WHERE rk = 1),
+lut AS (SELECT x.vec_id AS qid, cb.sub, cb.code,
+               SUM((x.v - cb.cv) * (x.v - cb.cv)) AS d
+        FROM x JOIN cb ON cb.sub = x.j // 16 AND cb.t = x.j % 16
+        WHERE x.vec_id < 10
+        GROUP BY 1, 2, 3),
+adc AS (SELECT l.qid, c.vec_id, SUM(l.d) AS dist
+        FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+        WHERE c.vec_id <> l.qid
+        GROUP BY 1, 2)
+SELECT qid AS query_id, vec_id, CAST(dist AS BIGINT) AS dist,
+       CAST(row_number() OVER w AS BIGINT) AS "rank"
+FROM adc
+WINDOW w AS (PARTITION BY qid ORDER BY dist, vec_id)
+QUALIFY row_number() OVER w <= 5
+ORDER BY query_id, "rank"
+"""
+
+_ORACLES_BASE["idw"] = f"""
+WITH pts AS ({_PTS}),
+obs AS (SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+               CAST(point_id % 100 AS BIGINT) AS v FROM pts),
+q AS (SELECT CAST(i*20 + j AS BIGINT) AS qid,
+             CAST(i*160 + 80 AS BIGINT) AS qx,
+             CAST(j*160 + 80 AS BIGINT) AS qy
+      FROM range(0, 20) a(i), range(0, 20) b(j)),
+pairs AS (SELECT q.qid,
+                 1000000000 // GREATEST(
+                   (o.x-q.qx)*(o.x-q.qx) + (o.y-q.qy)*(o.y-q.qy), 1) AS w,
+                 o.v
+          FROM q JOIN obs o
+            ON (o.x-q.qx)*(o.x-q.qx) + (o.y-q.qy)*(o.y-q.qy) <= 16384)
+SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(w) AS BIGINT) AS wsum,
+       CAST(SUM(w*v) // SUM(w) AS BIGINT) AS est
+FROM pairs GROUP BY 1 ORDER BY 1
 """
 
 ORACLES.update(_ORACLES_BASE)
