@@ -127,6 +127,10 @@ BENCH_QUERIES = [
     "getis_ord",
     "cooccurrence",
     "trend_slope",
+    # round-4n: graph distances + PQ compression + surface interpolation
+    "bfs_hops",
+    "pq_adc",
+    "idw",
 ]
 
 

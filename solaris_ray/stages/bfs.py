@@ -29,6 +29,14 @@ id-only dataset is metadata-only, so convergence detection is free.
 Round count is O(eccentricity of the seed set), the BFS lower bound
 for synchronous frontier expansion.
 
+Two physical plans, chosen by edge count (the ``connected_components``
+idiom): graphs ``<= small_edge_limit`` edges route to ONE remote task
+running a fully vectorized CSR BFS (each synchronous round is ~1.3 s
+of fixed Ray Data overhead at any data size, so a 15-round frontier
+loop over a 45k-edge graph pays 20 s for 50 ms of work); larger graphs
+keep the frontier-synchronous rounds, whose per-round shuffle volume
+is what survives 100 TB.  Both plans are parity-tested bit-identical.
+
 Partitioning assumption (SURVEY custom-operator rule): node ids are
 non-negative int64 (the ``dst = -1`` frontier-row marker relies on it).
 Per-round shuffle volume is O(frontier out-degree + |visited|) rows of
@@ -46,6 +54,73 @@ from ._buckets import bucket_of
 _OUT_SCHEMA = pa.schema([("node", pa.int64()), ("hops", pa.int64())])
 
 
+def _bfs_single_task(edge_side, state):
+    """Small-graph plan: ONE remote task runs vectorized CSR BFS over
+    the already-tagged edge blocks (k=src, dst) and state blocks
+    (seeds = every k row; all enter at d=0).  Engine-side: blocks move
+    object-store -> task as refs; the driver never holds the graph."""
+    import ray
+
+    @ray.remote
+    def _bfs(n_edge_blocks, *blocks):
+        eb = [b for b in blocks[:n_edge_blocks] if "dst" in b.schema.names]
+        sb = [b for b in blocks[n_edge_blocks:] if "k" in b.schema.names]
+        src = np.concatenate(
+            [b["k"].to_numpy(zero_copy_only=False) for b in eb]
+        ).astype(np.int64) if eb else np.empty(0, np.int64)
+        dst = np.concatenate(
+            [b["dst"].to_numpy(zero_copy_only=False) for b in eb]
+        ).astype(np.int64) if eb else np.empty(0, np.int64)
+        seeds = np.concatenate(
+            [b["k"].to_numpy(zero_copy_only=False) for b in sb]
+        ).astype(np.int64) if sb else np.empty(0, np.int64)
+        uniq, inv = np.unique(
+            np.concatenate([src, dst, seeds]), return_inverse=True
+        )
+        n = uniq.size
+        si = inv[: src.size]
+        di = inv[src.size: src.size + dst.size]
+        sdi = inv[src.size + dst.size:]
+        order = np.argsort(si, kind="stable")
+        si, adj = si[order], di[order]
+        indptr = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(si, minlength=n), out=indptr[1:])
+        dist = np.full(n, -1, np.int64)
+        frontier = np.unique(sdi)
+        dist[frontier] = 0
+        hops = 0
+        while frontier.size:
+            starts = indptr[frontier]
+            deg = indptr[frontier + 1] - starts
+            tot = int(deg.sum())
+            if tot == 0:
+                break
+            # flat index array for all out-edges of the frontier
+            idx = np.repeat(starts - np.concatenate(([0], np.cumsum(deg)[:-1])),
+                            deg) + np.arange(tot)
+            nbrs = np.unique(adj[idx])
+            new = nbrs[dist[nbrs] < 0]
+            if new.size == 0:
+                break
+            hops += 1
+            dist[new] = hops
+            frontier = new
+        hit = dist >= 0
+        return pa.table(
+            {
+                "node": pa.array(uniq[hit], pa.int64()),
+                "hops": pa.array(dist[hit], pa.int64()),
+            }
+        )
+
+    e_refs = edge_side.to_arrow_refs()
+    s_refs = state.to_arrow_refs()
+    ref = _bfs.remote(len(e_refs), *e_refs, *s_refs)
+    import ray.data
+
+    return ray.data.from_arrow_refs([ref])
+
+
 def bfs_hops(
     edges,
     seeds,
@@ -55,6 +130,8 @@ def bfs_hops(
     max_rounds: int = 256,
     n_buckets: int = 64,
     shuffle_blocks: int = 16,
+    small_edge_limit: int = 500_000,
+    stats_out: dict | None = None,
 ):
     """Directed ``edges`` + ``seeds`` datasets -> (node, hops): the
     exact minimum hop count from any seed, for every reachable node
@@ -110,6 +187,16 @@ def bfs_hops(
         .repartition(shuffle_blocks)
         .materialize()
     )
+
+    n_edges = edge_side.count()  # metadata-only on a materialized ds
+    if n_edges <= small_edge_limit:
+        if stats_out is not None:
+            stats_out["plan"] = "single-task"
+            stats_out["edges"] = n_edges
+        return _bfs_single_task(edge_side, state)
+    if stats_out is not None:
+        stats_out["plan"] = "frontier-rounds"
+        stats_out["edges"] = n_edges
 
     def _to_frontier_rows(batch: pa.Table) -> pa.Table:
         # frontier rows ride shuffle 1 in the edge-row schema with the
@@ -222,6 +309,9 @@ def bfs_hops(
             .repartition(shuffle_blocks)
             .materialize()
         )
+
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
 
     def _out(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["f"], 0))

@@ -80,14 +80,34 @@ def test_bfs_bucket_invariance_random_graph():
     ]
     seeds = [0, 17, 33]
     want = _dense_twin(pairs, seeds)
-    assert _run(pairs, seeds, n_buckets=5) == want
-    assert _run(pairs, seeds, n_buckets=128) == want
+    # force the frontier-rounds plan: n_buckets only matters there
+    assert _run(pairs, seeds, n_buckets=5, small_edge_limit=0) == want
+    assert _run(pairs, seeds, n_buckets=128, small_edge_limit=0) == want
+
+
+def test_bfs_plan_parity_single_vs_rounds():
+    # both physical plans must agree exactly on the same graph
+    rng = np.random.RandomState(11)
+    pairs = [
+        (int(a), int(b))
+        for a, b in zip(rng.randint(0, 80, 300), rng.randint(0, 80, 300))
+        if a != b
+    ]
+    seeds = [1, 40, 79]
+    s_single, s_rounds = {}, {}
+    got_single = _run(pairs, seeds, stats_out=s_single)
+    got_rounds = _run(pairs, seeds, small_edge_limit=0, stats_out=s_rounds)
+    assert s_single["plan"] == "single-task"
+    assert s_rounds["plan"] == "frontier-rounds"
+    assert got_single == got_rounds == _dense_twin(pairs, seeds)
 
 
 def test_bfs_max_rounds_valve_raises():
     pairs = [(i, i + 1) for i in range(10)]
     with pytest.raises(Exception, match="max_rounds"):
-        bfs_hops(_ds_edges(pairs), _ds_seeds([0]), max_rounds=3).take_all()
+        bfs_hops(
+            _ds_edges(pairs), _ds_seeds([0]), max_rounds=3, small_edge_limit=0
+        ).take_all()
 
 
 def test_bfs_rejects_negative_ids():
