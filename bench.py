@@ -131,6 +131,12 @@ BENCH_QUERIES = [
     "bfs_hops",
     "pq_adc",
     "idw",
+    # round-4n: multi-objective frontier, FastSS edit-distance join,
+    # inequality stats, interval algebra
+    "skyline",
+    "editdist",
+    "gini",
+    "intervals",
 ]
 
 

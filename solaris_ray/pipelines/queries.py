@@ -2915,6 +2915,99 @@ def q_idw(sf_dir: str):
     return idw_interpolate(obs, grid, radius=128).sort("qid")
 
 
+def q_skyline(sf_dir: str):
+    """2-D Pareto frontier of lineitem (maximize price cents, minimize
+    quantity): one streaming per-block frontier pass + a single tiny
+    merge task — the input never shuffles.  Integer cents make the
+    dominance test exact; all tied frontier rows are kept, so output
+    is hash-identical to the SQL level-max/running-max twin."""
+    from ..stages.skyline import skyline
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"],
+    )
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": pc.cast(batch["l_orderkey"], pa.int64()),
+                "lnum": pc.cast(batch["l_linenumber"], pa.int64()),
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(batch["l_extendedprice"], 100.0)),
+                    pa.int64(),
+                ),
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+            }
+        )
+
+    ds = li.map_batches(_prep, batch_format="pyarrow")
+    return skyline(ds, "price_c", "qty").sort(["okey", "lnum"])
+
+
+def q_editdist(sf_dir: str):
+    """Edit-distance-<=1 self-join on customer names via FastSS
+    deletion neighborhoods: vectorized per-position deletion keys, two
+    bucketed co-shuffles (capped + logged key buckets), byte-matrix
+    exact verification — the short-string complement of MinHash.
+    Hash-exact vs DuckDB's levenshtein() cross-join at sf0.01."""
+    from ..stages.editdist import editdist1_pairs
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return editdist1_pairs(cust, id_col="c_custkey", s_col="c_name").sort(
+        ["id_a", "id_b"]
+    )
+
+
+def q_gini(sf_dir: str):
+    """Per-nation Gini index over customer balances, as exact integer
+    sufficient statistics (n, sum_v, gini_num) — the engine-side
+    "is this key skewed enough to salt?" signal.  One partition-hash
+    co-shuffle, lexsort-segment reduceat per bucket."""
+    from ..stages.gini import group_gini
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "grp": pc.cast(batch["c_nationkey"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(batch["c_acctbal"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = cust.map_batches(_prep, batch_format="pyarrow")
+    return group_gini(ds, "grp", "cents").sort("grp")
+
+
+def q_intervals(sf_dir: str):
+    """Gaps-and-islands per user: each event carries its OWN duration
+    ((event_id % 1000) seconds), overlapping-or-touching intervals
+    coalesce; output = islands / covered union length / longest
+    island.  Segmented-cummax vectorized, one bucketed co-shuffle."""
+    from ..stages.intervals import merge_intervals
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pc.cast(batch["user_id"], pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "e": pa.array(s + (eid % 1000) * 1_000_000, pa.int64()),
+            }
+        )
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow")
+    return merge_intervals(ds).sort("key")
+
+
 def q_outer_join(sf_dir: str):
     """Generic FULL OUTER hash equi-join (orders x customer): bucketed
     union co-shuffle, vectorized many-to-many merge, unmatched rows
@@ -4760,6 +4853,10 @@ QUERIES = {
     "bfs_hops": q_bfs_hops,
     "pq_adc": q_pq_adc,
     "idw": q_idw,
+    "skyline": q_skyline,
+    "editdist": q_editdist,
+    "gini": q_gini,
+    "intervals": q_intervals,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -7590,6 +7687,67 @@ SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_obs,
        CAST(SUM(w) AS BIGINT) AS wsum,
        CAST(SUM(w*v) // SUM(w) AS BIGINT) AS est
 FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+_ORACLES_BASE["skyline"] = """
+WITH t AS (SELECT CAST(l_orderkey AS BIGINT) AS okey,
+                  CAST(l_linenumber AS BIGINT) AS lnum,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+                  CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+lv AS (SELECT qty, MAX(price_c) AS mp FROM t GROUP BY qty),
+sk AS (SELECT qty, mp,
+              MAX(mp) OVER (ORDER BY qty
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pmax
+       FROM lv)
+SELECT t.okey, t.lnum, t.price_c, t.qty
+FROM t JOIN sk ON t.qty = sk.qty AND t.price_c = sk.mp
+WHERE sk.pmax IS NULL OR sk.mp > sk.pmax
+ORDER BY okey, lnum
+"""
+
+_ORACLES_BASE["editdist"] = """
+SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+       CAST(b.c_custkey AS BIGINT) AS id_b
+FROM customer a, customer b
+WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+_ORACLES_BASE["gini"] = """
+WITH v AS (SELECT CAST(c_nationkey AS BIGINT) AS grp,
+                  CAST(round(c_acctbal*100) AS BIGINT) AS x FROM customer),
+r AS (SELECT grp, x,
+             row_number() OVER (PARTITION BY grp ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n FROM v)
+SELECT grp, CAST(MAX(n) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sum_v,
+       CAST(SUM((2*rn - n - 1)*x) AS BIGINT) AS gini_num
+FROM r GROUP BY grp ORDER BY grp
+"""
+
+_ORACLES_BASE["intervals"] = """
+WITH iv AS (SELECT CAST(user_id AS BIGINT) AS u,
+                   CAST(epoch_us(ts) AS BIGINT) AS s,
+                   CAST(epoch_us(ts) + (event_id % 1000) * 1000000
+                        AS BIGINT) AS e,
+                   event_id AS id
+            FROM events),
+o AS (SELECT u, s, e, id,
+             MAX(e) OVER (PARTITION BY u ORDER BY s, e, id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM iv),
+f AS (SELECT u, s, e, id,
+             CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS flag
+      FROM o),
+g AS (SELECT u, s, e,
+             SUM(flag) OVER (PARTITION BY u ORDER BY s, e, id) AS isl
+      FROM f),
+isl AS (SELECT u, isl, MIN(s) AS ms, MAX(e) AS me FROM g GROUP BY 1, 2)
+SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(me - ms) AS BIGINT) AS covered,
+       CAST(MAX(me - ms) AS BIGINT) AS max_island
+FROM isl GROUP BY u ORDER BY key
 """
 
 ORACLES.update(_ORACLES_BASE)

@@ -1,0 +1,258 @@
+"""Edit-distance-1 similarity self-join via FastSS deletion
+neighborhoods.
+
+The short-string complement of the MinHash ladder (`stages/dedup.py`):
+near-identical names / titles / labels — OCR'd street names in the
+reference's geocoding world, near-duplicate captions or entity labels
+in a training corpus — differ by ONE substitution, insertion or
+deletion, which Jaccard shingles are blind to at short lengths.
+
+FastSS (Bocek et al., 2007): lev(a, b) <= 1 implies the key sets
+{s} ∪ D1(s) intersect, where D1 is all single-character deletions —
+a substitution at i shares the delete-i key, an insertion shares the
+inserted string itself, equality shares the identity key.  The
+converse does NOT hold (e.g. "ab"/"ba" share keys at distance 2), so
+candidates are verified exactly.
+
+Scale shape: one vectorized emission pass (O(L) `utf8_slice_codeunits`
+kernels per batch — per deletion POSITION, never per row), then two
+bucketed co-shuffles of short rows: (1) key-hash buckets emit
+candidate pairs per shared key with a per-key cap (capped + logged,
+the dedup.py discipline — a degenerate key like the empty string
+cannot blow up a task); (2) pair-id buckets dedupe pairs that met
+under several keys and run the exact verifier.  The verifier is
+byte-level (UTF-8): per distinct length pair, strings become a uint8
+matrix and hamming / aligned-deletion checks are pure numpy — loops
+run over distinct LENGTHS, not rows.  Byte-level equals
+character-level edit distance on ASCII corpora (the fixture); for
+multibyte text a one-character edit can span bytes and is counted as
+such — documented, not hidden.
+
+Output: (id_a, id_b) with id_a < id_b, every byte-level
+edit-distance-<=1 pair exactly once — hash-exact vs a DuckDB
+``levenshtein() <= 1`` cross-join twin on ASCII input.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._buckets import bucket_of
+
+logger = logging.getLogger(__name__)
+
+_PAIR_SCHEMA = pa.schema(
+    [
+        ("id_a", pa.int64()),
+        ("id_b", pa.int64()),
+        ("s_a", pa.string()),
+        ("s_b", pa.string()),
+        ("pb", pa.int64()),
+    ]
+)
+_OUT_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
+def _hash_strings(arr: pa.Array) -> np.ndarray:
+    """Vectorized string -> int64 key hash (pandas siphash, C loop)."""
+    h = pd.util.hash_array(np.asarray(arr.to_pylist(), dtype=object))
+    return h.astype(np.int64)
+
+
+def _verify_leq1(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+    """Exact byte-level lev(a,b) <= 1 for object arrays of UTF-8
+    bytes; vectorized per distinct (len_a, len_b) combination."""
+    n = sa.size
+    ok = np.zeros(n, bool)
+    if n == 0:
+        return ok
+    la = np.fromiter((len(x) for x in sa), np.int64, n)
+    lb = np.fromiter((len(x) for x in sb), np.int64, n)
+
+    def _matrix(strs, length):
+        return np.frombuffer(b"".join(strs), np.uint8).reshape(-1, length)
+
+    same = la == lb
+    for L in np.unique(la[same]):
+        rows = np.flatnonzero(same & (la == L))
+        if L == 0:
+            ok[rows] = True  # equal empty strings
+            continue
+        ma = _matrix(sa[rows].tolist(), L)
+        mb = _matrix(sb[rows].tolist(), L)
+        ok[rows] = (ma != mb).sum(axis=1) <= 1
+    diff1 = np.abs(la - lb) == 1
+    for L in np.unique(np.maximum(la, lb)[diff1]):
+        rows = np.flatnonzero(diff1 & (np.maximum(la, lb) == L))
+        a_long = la[rows] > lb[rows]
+        lng = np.where(a_long, sa[rows], sb[rows])
+        sht = np.where(a_long, sb[rows], sa[rows])
+        ml = _matrix(lng.tolist(), L)
+        if L == 1:
+            ok[rows] = True  # one char vs empty string
+            continue
+        ms = _matrix([s + b"\x00" for s in sht.tolist()], L)
+        # first mismatch position p: long == short on [0, p) and
+        # long[p+1:] == short[p:] iff deleting long[p] yields short
+        neq = ml[:, :-1] != ms[:, :-1]
+        p = np.where(neq.any(axis=1), neq.argmax(axis=1), L - 1)
+        cols = np.arange(L - 1)
+        shifted_eq = ml[:, 1:] == ms[:, :-1]
+        # suffix check: all columns >= p must match shifted
+        ok[rows] = np.where(cols >= p[:, None], shifted_eq, True).all(axis=1)
+    return ok
+
+
+def editdist1_pairs(
+    ds,
+    id_col: str = "doc_id",
+    s_col: str = "s",
+    max_len: int = 64,
+    n_buckets: int = 64,
+    max_key_bucket: int = 4096,
+):
+    """Dataset of (id, string) -> all unordered pairs at byte-level
+    edit distance <= 1, as (id_a, id_b) with id_a < id_b.
+
+    ``max_len``: deletion keys are emitted for the first ``max_len``
+    byte positions only; longer strings still join exactly when their
+    edit lies in that prefix (raise it for long-tail corpora).
+    ``max_key_bucket``: per-key candidate cap — keys carrying more
+    strings are truncated WITH A LOG LINE (degenerate keys, e.g.
+    every 1-char string sharing the empty-deletion key)."""
+
+    def _emit_keys(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch[s_col], pa.string())
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(s)
+        if n == 0:
+            return pa.table(
+                {
+                    "kh": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.string()),
+                    "kb": pa.array([], pa.int64()),
+                }
+            )
+        lens = pc.utf8_length(s).to_numpy(zero_copy_only=False)
+        khs, kid, kst = [], [], []
+        sv = s  # identity key
+        khs.append(_hash_strings(sv))
+        kid.append(ids)
+        kst.append(np.asarray(s.to_pylist(), dtype=object))
+        dmax = int(min(max_len, lens.max()))
+        for d in range(dmax):
+            valid = np.flatnonzero(lens > d)
+            if valid.size == 0:
+                break
+            sub = s.take(pa.array(valid))
+            pre = pc.utf8_slice_codeunits(sub, 0, d)
+            suf = pc.utf8_slice_codeunits(sub, d + 1, 2**30)
+            key = pc.binary_join_element_wise(pre, suf, "")
+            khs.append(_hash_strings(key))
+            kid.append(ids[valid])
+            kst.append(np.asarray(sub.to_pylist(), dtype=object))
+        kh = np.concatenate(khs)
+        return pa.table(
+            {
+                "kh": pa.array(kh, pa.int64()),
+                "id": pa.array(np.concatenate(kid), pa.int64()),
+                "s": pa.array(np.concatenate(kst), pa.string()),
+                "kb": pa.array(bucket_of(kh, n_buckets), pa.int64()),
+            }
+        )
+
+    def _candidates(group: pa.Table) -> pa.Table:
+        kh = group["kh"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        strs = np.asarray(group["s"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, kh))
+        kh, ids, strs = kh[order], ids[order], strs[order]
+        new = np.ones(kh.size, bool)
+        new[1:] = kh[1:] != kh[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, kh.size))
+        over = counts > max_key_bucket
+        if over.any():
+            logger.warning(
+                "editdist1_pairs: %d keys over max_key_bucket=%d "
+                "(largest %d) — candidates truncated",
+                int(over.sum()), max_key_bucket, int(counts.max()),
+            )
+            counts = np.minimum(counts, max_key_bucket)
+        # all-pairs per key segment, fully vectorized: enumerate the
+        # global pair rank t, invert the triangle offset function
+        # S(i) = i*(c-1) - i*(i-1)/2 in closed form (+/-1 fixup for
+        # float rounding; c is capped so the sqrt is well-conditioned)
+        m = counts * (counts - 1) // 2
+        tot = int(m.sum())
+        if tot == 0:
+            return _PAIR_SCHEMA.empty_table()
+        segp = np.repeat(np.arange(counts.size), m)
+        t = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+        c = counts[segp]
+
+        def _S(i):
+            return i * (c - 1) - i * (i - 1) // 2
+
+        tri_i = np.floor(
+            (2 * c - 1 - np.sqrt((2 * c - 1.0) ** 2 - 8.0 * t)) / 2
+        ).astype(np.int64)
+        tri_i = np.clip(tri_i, 0, c - 2)
+        tri_i -= (_S(tri_i) > t).astype(np.int64)
+        tri_i += (_S(tri_i + 1) <= t).astype(np.int64)
+        tri_j = t - _S(tri_i) + tri_i + 1
+        base = starts[segp]
+        ga, gb = ids[base + tri_i], ids[base + tri_j]
+        sa, sb = strs[base + tri_i], strs[base + tri_j]
+        lo = np.minimum(ga, gb)
+        hi = np.maximum(ga, gb)
+        keepmask = lo != hi
+        lo, hi = lo[keepmask], hi[keepmask]
+        sa, sb = sa[keepmask], sb[keepmask]
+        swap = ga[keepmask] > gb[keepmask]
+        sa2 = np.where(swap, sb, sa)
+        sb2 = np.where(swap, sa, sb)
+        return pa.table(
+            {
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+                "s_a": pa.array(sa2, pa.string()),
+                "s_b": pa.array(sb2, pa.string()),
+                "pb": pa.array(
+                    bucket_of(lo * np.int64(1000003) + hi, n_buckets),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def _verify(group: pa.Table) -> pa.Table:
+        ia = group["id_a"].to_numpy(zero_copy_only=False)
+        ib = group["id_b"].to_numpy(zero_copy_only=False)
+        key = np.stack([ia, ib], axis=1)
+        _, first = np.unique(key, axis=0, return_index=True)
+        sa = np.asarray(
+            [x.encode() for x in group["s_a"].take(pa.array(first)).to_pylist()],
+            dtype=object,
+        )
+        sb = np.asarray(
+            [x.encode() for x in group["s_b"].take(pa.array(first)).to_pylist()],
+            dtype=object,
+        )
+        ok = _verify_leq1(sa, sb)
+        hit = first[ok]
+        return pa.table(
+            {
+                "id_a": pa.array(ia[hit], pa.int64()),
+                "id_b": pa.array(ib[hit], pa.int64()),
+            }
+        )
+
+    keys = ds.map_batches(_emit_keys, batch_format="pyarrow")
+    cands = keys.groupby("kb").map_groups(_candidates, batch_format="pyarrow")
+    return cands.groupby("pb").map_groups(_verify, batch_format="pyarrow")
