@@ -2948,16 +2948,19 @@ def q_skyline(sf_dir: str):
 
 def q_editdist(sf_dir: str):
     """Edit-distance-<=1 self-join on customer names via FastSS
-    deletion neighborhoods: vectorized per-position deletion keys, two
-    bucketed co-shuffles (capped + logged key buckets), byte-matrix
-    exact verification — the short-string complement of MinHash.
+    deletion neighborhoods: vectorized per-position deletion keys, ONE
+    bucketed co-shuffle (capped + logged key buckets) with in-bucket
+    byte-matrix exact verification, then an id-only distinct — the
+    short-string complement of MinHash.
     Hash-exact vs DuckDB's levenshtein() cross-join at sf0.01."""
     from ..stages.editdist import editdist1_pairs
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return editdist1_pairs(cust, id_col="c_custkey", s_col="c_name").sort(
-        ["id_a", "id_b"]
-    )
+    # n_buckets sized to the fixture (15k names); the library default
+    # (64) is the scale shape — buckets grow with the corpus
+    return editdist1_pairs(
+        cust, id_col="c_custkey", s_col="c_name", n_buckets=16
+    ).sort(["id_a", "id_b"])
 
 
 def q_gini(sf_dir: str):

@@ -15,12 +15,14 @@ converse does NOT hold (e.g. "ab"/"ba" share keys at distance 2), so
 candidates are verified exactly.
 
 Scale shape: one vectorized emission pass (O(L) `utf8_slice_codeunits`
-kernels per batch — per deletion POSITION, never per row), then two
-bucketed co-shuffles of short rows: (1) key-hash buckets emit
-candidate pairs per shared key with a per-key cap (capped + logged,
-the dedup.py discipline — a degenerate key like the empty string
-cannot blow up a task); (2) pair-id buckets dedupe pairs that met
-under several keys and run the exact verifier.  The verifier is
+kernels per batch — per deletion POSITION, never per row), then ONE
+bucketed co-shuffle of (key-hash, id, string) rows: key-hash buckets
+emit candidate pairs per shared key with a per-key cap (capped +
+logged, the dedup.py discipline — a degenerate key like the empty
+string cannot blow up a task), dedupe within the bucket, and run the
+exact verifier IN the bucket, so strings never ride a second
+exchange; a final id-only groupby distinct collapses pairs that met
+under keys in different buckets.  The verifier is
 byte-level (UTF-8): per distinct length pair, strings become a uint8
 matrix and hamming / aligned-deletion checks are pure numpy — loops
 run over distinct LENGTHS, not rows.  Byte-level equals
@@ -46,16 +48,7 @@ from ._buckets import bucket_of
 
 logger = logging.getLogger(__name__)
 
-_PAIR_SCHEMA = pa.schema(
-    [
-        ("id_a", pa.int64()),
-        ("id_b", pa.int64()),
-        ("s_a", pa.string()),
-        ("s_b", pa.string()),
-        ("pb", pa.int64()),
-    ]
-)
-_OUT_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
 
 def _hash_strings(arr: pa.Array) -> np.ndarray:
@@ -158,11 +151,21 @@ def editdist1_pairs(
             kid.append(ids[valid])
             kst.append(np.asarray(sub.to_pylist(), dtype=object))
         kh = np.concatenate(khs)
+        kid_all = np.concatenate(kid)
+        kst_all = np.concatenate(kst)
+        # dedupe (key, id): deleting any char of a same-char RUN yields
+        # the same key ("Customer#000000001" has 8 equal zero-deletion
+        # keys), which would inflate candidate volume quadratically
+        order = np.lexsort((kid_all, kh))
+        kh, kid_all, kst_all = kh[order], kid_all[order], kst_all[order]
+        keep = np.ones(kh.size, bool)
+        keep[1:] = (kh[1:] != kh[:-1]) | (kid_all[1:] != kid_all[:-1])
+        kh, kid_all, kst_all = kh[keep], kid_all[keep], kst_all[keep]
         return pa.table(
             {
                 "kh": pa.array(kh, pa.int64()),
-                "id": pa.array(np.concatenate(kid), pa.int64()),
-                "s": pa.array(np.concatenate(kst), pa.string()),
+                "id": pa.array(kid_all, pa.int64()),
+                "s": pa.array(kst_all, pa.string()),
                 "kb": pa.array(bucket_of(kh, n_buckets), pa.int64()),
             }
         )
@@ -215,44 +218,33 @@ def editdist1_pairs(
         keepmask = lo != hi
         lo, hi = lo[keepmask], hi[keepmask]
         sa, sb = sa[keepmask], sb[keepmask]
-        swap = ga[keepmask] > gb[keepmask]
-        sa2 = np.where(swap, sb, sa)
-        sb2 = np.where(swap, sa, sb)
+        # dedupe within the bucket, then VERIFY HERE — strings never
+        # ride a second shuffle; the remaining exchange is id-only
+        key = lo * np.int64(1000003) + hi
+        order2 = np.argsort(key, kind="stable")
+        lo, hi, sa, sb = lo[order2], hi[order2], sa[order2], sb[order2]
+        uniq = np.ones(lo.size, bool)
+        uniq[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        lo, hi, sa, sb = lo[uniq], hi[uniq], sa[uniq], sb[uniq]
+        ok = _verify_leq1(
+            np.asarray([x.encode() for x in sa], dtype=object),
+            np.asarray([x.encode() for x in sb], dtype=object),
+        )
         return pa.table(
             {
-                "id_a": pa.array(lo, pa.int64()),
-                "id_b": pa.array(hi, pa.int64()),
-                "s_a": pa.array(sa2, pa.string()),
-                "s_b": pa.array(sb2, pa.string()),
-                "pb": pa.array(
-                    bucket_of(lo * np.int64(1000003) + hi, n_buckets),
-                    pa.int64(),
-                ),
-            }
-        )
-
-    def _verify(group: pa.Table) -> pa.Table:
-        ia = group["id_a"].to_numpy(zero_copy_only=False)
-        ib = group["id_b"].to_numpy(zero_copy_only=False)
-        key = np.stack([ia, ib], axis=1)
-        _, first = np.unique(key, axis=0, return_index=True)
-        sa = np.asarray(
-            [x.encode() for x in group["s_a"].take(pa.array(first)).to_pylist()],
-            dtype=object,
-        )
-        sb = np.asarray(
-            [x.encode() for x in group["s_b"].take(pa.array(first)).to_pylist()],
-            dtype=object,
-        )
-        ok = _verify_leq1(sa, sb)
-        hit = first[ok]
-        return pa.table(
-            {
-                "id_a": pa.array(ia[hit], pa.int64()),
-                "id_b": pa.array(ib[hit], pa.int64()),
+                "id_a": pa.array(lo[ok], pa.int64()),
+                "id_b": pa.array(hi[ok], pa.int64()),
             }
         )
 
     keys = ds.map_batches(_emit_keys, batch_format="pyarrow")
-    cands = keys.groupby("kb").map_groups(_candidates, batch_format="pyarrow")
-    return cands.groupby("pb").map_groups(_verify, batch_format="pyarrow")
+    verified = keys.groupby("kb").map_groups(
+        _candidates, batch_format="pyarrow"
+    )
+    # cross-key distinct (a pair can meet under several keys that land
+    # in different kb buckets) — the dedup.py idiom
+    return (
+        verified.groupby(["id_a", "id_b"])
+        .count()
+        .select_columns(["id_a", "id_b"])
+    )
