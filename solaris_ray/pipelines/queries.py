@@ -3011,6 +3011,18 @@ def q_intervals(sf_dir: str):
     return merge_intervals(ds).sort("key")
 
 
+def q_zorder(sf_dir: str):
+    """Z-order (Morton) spatial partitioner over the event points:
+    SWAR bit-interleave per row, EXACT integer-rank boundaries via the
+    histogram+refinement selector, contiguous-range partition ids that
+    keep equal keys together — the locality-preserving layout the
+    north-star tile shuffle partitions by."""
+    from ..stages.zorder import zorder_assign
+
+    pts = _event_points(sf_dir)
+    return zorder_assign(pts, n_parts=8, bits=12).sort("point_id")
+
+
 def q_outer_join(sf_dir: str):
     """Generic FULL OUTER hash equi-join (orders x customer): bucketed
     union co-shuffle, vectorized many-to-many merge, unmatched rows
@@ -4860,6 +4872,7 @@ QUERIES = {
     "editdist": q_editdist,
     "gini": q_gini,
     "intervals": q_intervals,
+    "zorder": q_zorder,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -7751,6 +7764,28 @@ SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(SUM(me - ms) AS BIGINT) AS covered,
        CAST(MAX(me - ms) AS BIGINT) AS max_island
 FROM isl GROUP BY u ORDER BY key
+"""
+
+_ORACLES_BASE["zorder"] = f"""
+WITH pts AS ({_PTS}),
+ip AS (SELECT point_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+       FROM pts),
+bitsrc AS (SELECT CAST(b AS BIGINT) AS b FROM range(0, 12) t(b)),
+z AS (SELECT point_id,
+             CAST(SUM((((x >> b) & 1) << (2*b + 1))
+                      + (((y >> b) & 1) << (2*b))) AS BIGINT) AS zkey
+      FROM ip CROSS JOIN bitsrc GROUP BY point_id),
+n AS (SELECT COUNT(*) AS c FROM z),
+r AS (SELECT zkey, row_number() OVER (ORDER BY zkey) - 1 AS rk FROM z),
+bnd AS (SELECT r.zkey AS bz FROM r, n
+        WHERE rk IN (SELECT j * (c - 1) // 8
+                     FROM range(1, 8) s(j), n)),
+p AS (SELECT z.point_id, z.zkey,
+             (SELECT COUNT(*) FROM bnd WHERE bz <= z.zkey) AS part
+      FROM z)
+SELECT CAST(point_id AS BIGINT) AS point_id, zkey,
+       CAST(part AS BIGINT) AS part
+FROM p ORDER BY point_id
 """
 
 ORACLES.update(_ORACLES_BASE)

@@ -34,8 +34,28 @@ def exact_quantiles(ds, col: str, qs: list[float], n_buckets: int = 1024) -> pa.
     n, lo, hi = agg["count()"], float(agg[f"min({col})"]), float(agg[f"max({col})"])
     if n == 0:
         return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.nulls(len(qs), pa.float64())})
-    width = (hi - lo) / n_buckets or 1.0
     ranks = [int(np.floor(q * (n - 1))) for q in qs]
+    values = exact_rank_select(ds, col, ranks, n_buckets=n_buckets)
+    return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(values, pa.float64())})
+
+
+def exact_rank_select(
+    ds, col: str, ranks: list[int], n_buckets: int = 1024
+) -> list[float]:
+    """Exact values at the given ascending 0-based ranks — the
+    integer-rank core of ``exact_quantiles`` (3 passes: count+extent,
+    histogram partials, single-bucket refinement).  Integer ranks avoid
+    the float ``floor(q*(n-1))`` rounding trap when a caller's rank
+    formula is integer arithmetic (zorder boundaries)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = ds.aggregate(Count(), Min(col), Max(col))
+    n, lo, hi = agg["count()"], float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    if n == 0:
+        raise ValueError("exact_rank_select: empty dataset")
+    if any(r < 0 or r >= n for r in ranks):
+        raise ValueError(f"exact_rank_select: rank outside [0, {n})")
+    width = (hi - lo) / n_buckets or 1.0
 
     def _hist(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy().astype(np.float64)
@@ -87,8 +107,7 @@ def exact_quantiles(ds, col: str, qs: list[float], n_buckets: int = 1024) -> pa.
         vals = np.sort(allv[allb == b], kind="stable")
         for r, start in rank_list:
             by_rank[r] = float(vals[r - start])
-    values = [by_rank[r] for r in ranks]
-    return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(values, pa.float64())})
+    return [by_rank[r] for r in ranks]
 
 
 class TDigest:
