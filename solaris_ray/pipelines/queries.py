@@ -3315,6 +3315,46 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds).sort("node")
 
 
+def q_sssp(sf_dir: str):
+    """Weighted multi-source shortest paths over the chord graph on
+    customer keys (deterministic int weights 1..9), seeded at every key
+    divisible by 13 — "weighted minutes to nearest depot" where
+    bfs_hops is "blocks to nearest depot".  Frontier-synchronous
+    label-correcting relaxation, id-only rows, exact int64 min-merge;
+    hash-exact vs a depth-capped recursive-CTE twin."""
+    from ..stages.sssp import sssp_dist
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    n_nodes = cust.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        i = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for d in (1, 2, 3):
+            s = i[(i * d) % 7 < 5]
+            j = (s + d) % n_nodes
+            ok = s != j
+            srcs.append(s[ok])
+            dsts.append(j[ok])
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "w": pa.array((src * 7 + dst * 3) % 9 + 1, pa.int64()),
+            }
+        )
+
+    def _seeds(batch: pa.Table) -> pa.Table:
+        i = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(i[i % 13 == 0], pa.int64())})
+
+    edges = cust.map_batches(_edges, batch_format="pyarrow")
+    seeds = cust.map_batches(_seeds, batch_format="pyarrow")
+    return sssp_dist(edges, seeds).sort("node")
+
+
 def q_funnel(sf_dir: str):
     """Ordered funnel view -> click -> purchase per user: first-touch
     matching with strict timestamp chaining.  One bucketed co-shuffle
@@ -4873,6 +4913,7 @@ QUERIES = {
     "gini": q_gini,
     "intervals": q_intervals,
     "zorder": q_zorder,
+    "sssp": q_sssp,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -7764,6 +7805,23 @@ SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(SUM(me - ms) AS BIGINT) AS covered,
        CAST(MAX(me - ms) AS BIGINT) AS max_island
 FROM isl GROUP BY u ORDER BY key
+"""
+
+_ORACLES_BASE["sssp"] = """
+WITH RECURSIVE
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+v AS (SELECT CAST(c_custkey AS BIGINT) AS i FROM customer),
+edges AS (SELECT i AS src, (i + d) % nn.n AS dst,
+                 (i * 7 + ((i + d) % nn.n) * 3) % 9 + 1 AS w
+          FROM v, nn, range(1, 4) r(d)
+          WHERE (i * d) % 7 < 5 AND i <> (i + d) % nn.n),
+seeds AS (SELECT i AS node FROM v WHERE i % 13 = 0),
+sp(node, d) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT e.dst, sp.d + e.w FROM sp JOIN edges e ON e.src = sp.node
+  WHERE sp.d < 200)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM sp GROUP BY 1 ORDER BY 1
 """
 
 _ORACLES_BASE["zorder"] = f"""
