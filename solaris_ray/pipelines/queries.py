@@ -3355,6 +3355,38 @@ def q_sssp(sf_dir: str):
     return sssp_dist(edges, seeds).sort("node")
 
 
+def q_hull(sf_dir: str):
+    """Per-cell convex hull of the event points (cell edge 200):
+    integer monotone chain + exact on-edge membership, one bucketed
+    co-shuffle.  Output = every point on its cell hull's BOUNDARY
+    (corners, collinear edge points, duplicates) — the supporting-edge
+    characterization makes the SQL twin exact."""
+    from ..stages.hull import group_convex_hull
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def _cellify(batch: pa.Table) -> pa.Table:
+        # quadratic scramble: the linear _PTS map collapses each cell
+        # to a handful of lattice points (every point on its own hull
+        # — a vacuous gate); e^2 mixing gives real interiors while
+        # staying exactly SQL-expressible (mod-first keeps int64 safe)
+        e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = ((e * e) % 3200 * 7919 + e * 31) % 3200
+        y = ((e * e) % 3200 * 104729 + e * 57) % 3200
+        cell = (x // 200) * 16 + (y // 200)
+        return pa.table(
+            {
+                "group": pa.array(cell, pa.int64()),
+                "point_id": pa.array(e, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    ds = ev.map_batches(_cellify, batch_format="pyarrow")
+    return group_convex_hull(ds).sort(["group", "point_id"])
+
+
 def q_funnel(sf_dir: str):
     """Ordered funnel view -> click -> purchase per user: first-touch
     matching with strict timestamp chaining.  One bucketed co-shuffle
@@ -4914,6 +4946,7 @@ QUERIES = {
     "intervals": q_intervals,
     "zorder": q_zorder,
     "sssp": q_sssp,
+    "hull": q_hull,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -7805,6 +7838,41 @@ SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(SUM(me - ms) AS BIGINT) AS covered,
        CAST(MAX(me - ms) AS BIGINT) AS max_island
 FROM isl GROUP BY u ORDER BY key
+"""
+
+_ORACLES_BASE["hull"] = """
+WITH e0 AS (SELECT CAST(event_id AS BIGINT) AS e FROM events),
+pts AS (
+  SELECT e AS point_id,
+         ((e * e) % 3200 * 7919 + e * 31) % 3200 AS x,
+         ((e * e) % 3200 * 104729 + e * 57) % 3200 AS y
+  FROM e0),
+c AS (SELECT point_id,
+             CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+             (x // 200) * 16 + (y // 200) AS cell
+      FROM pts),
+-- directed supporting pairs: every cell point left-of-or-on line a->b
+gp AS (
+  SELECT a.cell, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM c a JOIN c b ON b.cell = a.cell
+   AND (a.x <> b.x OR a.y <> b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM c r WHERE r.cell = a.cell
+      AND (b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) < 0)),
+onhull AS (
+  SELECT DISTINCT p.cell, p.point_id
+  FROM c p JOIN gp g ON g.cell = p.cell
+   AND (g.bx - g.ax) * (p.y - g.ay) - (g.by - g.ay) * (p.x - g.ax) = 0
+   AND p.x BETWEEN least(g.ax, g.bx) AND greatest(g.ax, g.bx)
+   AND p.y BETWEEN least(g.ay, g.by) AND greatest(g.ay, g.by)),
+singles AS (
+  SELECT p.cell, p.point_id FROM c p
+  WHERE p.cell IN (SELECT cell FROM c GROUP BY cell
+                   HAVING COUNT(DISTINCT (x, y)) = 1))
+SELECT CAST(cell AS BIGINT) AS "group",
+       CAST(point_id AS BIGINT) AS point_id
+FROM (SELECT * FROM onhull UNION SELECT * FROM singles)
+ORDER BY 1, 2
 """
 
 _ORACLES_BASE["sssp"] = """
