@@ -3387,6 +3387,58 @@ def q_hull(sf_dir: str):
     return group_convex_hull(ds).sort(["group", "point_id"])
 
 
+def q_setjoin(sf_dir: str):
+    """EXACT Jaccard >= 0.8 set-similarity self-join over document
+    token sets (prefix filter, rarest-token-first ordering, per-key
+    boolean-matrix matmul verification) — the guaranteed-no-miss
+    complement of minhash_pairs.  Integer threshold compare, so the
+    SQL twin is hash-exact.
+
+    Gated on the first 500 docs: the synthetic corpus has a ~31-token
+    vocabulary, so EXACT Jaccard at 0.8 is intrinsically ~n^2/4 dense
+    (3M pairs at sf0.1 — measured); the bound keeps the gate's answer
+    complete (no truncation) and the bench honest, while the operator
+    itself stays general."""
+    from ..stages.setjoin import jaccard_set_join
+
+    docs = _read(
+        sf_dir,
+        "documents",
+        ["doc_id", "text"],
+        filter=pc.field("doc_id") < 500,
+    )
+    return jaccard_set_join(docs, tau100=80).sort(["id_a", "id_b"])
+
+
+def q_auc(sf_dir: str):
+    """Exact ROC AUC of a synthetic quality scorer on the events table
+    (integer scores, midrank tie handling): one partial-count
+    co-shuffle on the score domain, 2U and micro-unit AUC in pure
+    int64 — hash-exact vs the SQL rank identity."""
+    from ..stages.auc import auc_exact
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def _scored(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # label: ~30% positives; score: correlated with the label rule
+        # (pure hash mixing; ties guaranteed by the mod-1000 domain)
+        label = ((e * 7919) % 10 < 3).astype(np.int64)
+        score = (e * 2654435761) % 1000 + label * 150
+        return pa.table(
+            {
+                "score": pa.array(score, pa.int64()),
+                "label": pa.array(label, pa.int64()),
+            }
+        )
+
+    import ray
+
+    return ray.data.from_arrow(
+        auc_exact(ev.map_batches(_scored, batch_format="pyarrow"))
+    )
+
+
 def q_funnel(sf_dir: str):
     """Ordered funnel view -> click -> purchase per user: first-touch
     matching with strict timestamp chaining.  One bucketed co-shuffle
@@ -4947,6 +4999,8 @@ QUERIES = {
     "zorder": q_zorder,
     "sssp": q_sssp,
     "hull": q_hull,
+    "setjoin": q_setjoin,
+    "auc": q_auc,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -7838,6 +7892,47 @@ SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(SUM(me - ms) AS BIGINT) AS covered,
        CAST(MAX(me - ms) AS BIGINT) AS max_island
 FROM isl GROUP BY u ORDER BY key
+"""
+
+_ORACLES_BASE["auc"] = """
+WITH e0 AS (SELECT CAST(event_id AS BIGINT) AS e FROM events),
+sc AS (SELECT (CASE WHEN (e * 7919) % 10 < 3 THEN 1 ELSE 0 END) AS label,
+              (e * 2654435761) % 1000
+                + (CASE WHEN (e * 7919) % 10 < 3 THEN 150 ELSE 0 END) AS score
+       FROM e0),
+g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS np
+      FROM sc GROUP BY 1),
+w AS (SELECT score, n, np,
+             SUM(n) OVER (ORDER BY score) - n AS before FROM g),
+agg AS (SELECT CAST(SUM(np * (2 * before + n + 1)) AS BIGINT) AS spr2,
+               CAST(SUM(np) AS BIGINT) AS tp,
+               CAST(SUM(n) AS BIGINT) AS tot
+        FROM w)
+SELECT tp AS n_pos, tot - tp AS n_neg,
+       spr2 - tp * (tp + 1) AS u2,
+       CAST(((spr2 - tp * (tp + 1)) * 1000000)
+            // (2 * tp * (tot - tp)) AS BIGINT) AS auc6
+FROM agg
+"""
+
+_ORACLES_BASE["setjoin"] = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents,
+       UNNEST(string_split_regex(trim(text), '\\s+')) AS t(tok)
+  WHERE doc_id < 500),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                 CAST(COUNT(*) AS BIGINT) AS i
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT CAST(da AS BIGINT) AS id_a, CAST(db AS BIGINT) AS id_b,
+       i AS inter, sa.n + sb.n - i AS uni
+FROM inter JOIN sizes sa ON sa.doc_id = da
+           JOIN sizes sb ON sb.doc_id = db
+WHERE 100 * i >= 80 * (sa.n + sb.n - i)
+ORDER BY 1, 2
 """
 
 _ORACLES_BASE["hull"] = """
