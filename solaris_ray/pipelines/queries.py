@@ -3439,6 +3439,70 @@ def q_auc(sf_dir: str):
     )
 
 
+def q_ffill(sf_dir: str):
+    """Per-user forward fill of purchase amounts over the event
+    stream (LOCF): one bucketed co-shuffle, segmented running-max
+    gather, int64 cent units end to end — hash-exact vs SQL
+    last_value(... IGNORE NULLS)."""
+    from ..stages.ffill import forward_fill
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        is_obs = np.asarray(batch["event_type"].to_pylist(), object) == "purchase"
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "v": pa.array(cents, pa.int64(), mask=~is_obs),
+            }
+        )
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow")
+    return forward_fill(
+        ds, key_col="user_id", order_cols=["ts_us"], val_col="v",
+        id_col="event_id",
+    ).sort("event_id")
+
+
+def q_pivot(sf_dir: str):
+    """Long->wide pivot of the event log: per user, one count and one
+    cent-sum column per event type (static category list, conditional-
+    aggregation semantics).  Per-batch partial pivot, then one
+    key-level sum groupby — the exchange carries (key, batch) rows,
+    never events."""
+    from ..stages.pivot import pivot_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "cents": pa.array(
+                    np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow")
+    return pivot_counts(
+        ds,
+        key_col="user_id",
+        cat_col="event_type",
+        categories=["view", "click", "purchase", "signup", "error"],
+        val_col="cents",
+    ).sort("user_id")
+
+
 def q_funnel(sf_dir: str):
     """Ordered funnel view -> click -> purchase per user: first-touch
     matching with strict timestamp chaining.  One bucketed co-shuffle
@@ -5001,6 +5065,8 @@ QUERIES = {
     "hull": q_hull,
     "setjoin": q_setjoin,
     "auc": q_auc,
+    "ffill": q_ffill,
+    "pivot": q_pivot,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -7892,6 +7958,40 @@ SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(SUM(me - ms) AS BIGINT) AS covered,
        CAST(MAX(me - ms) AS BIGINT) AS max_island
 FROM isl GROUP BY u ORDER BY key
+"""
+
+_ORACLES_BASE["ffill"] = """
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS v
+  FROM events)
+SELECT event_id,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM ev ORDER BY event_id
+"""
+
+_ORACLES_BASE["pivot"] = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view_n,
+  CAST(SUM(CASE WHEN event_type='view'
+       THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS view_sum,
+  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click_n,
+  CAST(SUM(CASE WHEN event_type='click'
+       THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS click_sum,
+  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_n,
+  CAST(SUM(CASE WHEN event_type='purchase'
+       THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_sum,
+  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_n,
+  CAST(SUM(CASE WHEN event_type='signup'
+       THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS signup_sum,
+  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error_n,
+  CAST(SUM(CASE WHEN event_type='error'
+       THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS error_sum
+FROM events GROUP BY 1 ORDER BY 1
 """
 
 _ORACLES_BASE["auc"] = """
