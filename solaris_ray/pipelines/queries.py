@@ -3503,6 +3503,44 @@ def q_pivot(sf_dir: str):
     ).sort("user_id")
 
 
+def q_kcore(sf_dir: str):
+    """k-core (k=5) of the chord graph augmented with a planted dense
+    subgraph on every 10th key: synchronous Matula-Beck peeling, two
+    id-only co-shuffles per round (single-task CSR plan at gate
+    scale).  The SQL twin generates one CTE level per peel round and
+    emits final degrees UNFILTERED, so an unconverged twin fails the
+    gate loudly instead of hiding behind a >= k filter."""
+    from ..stages.kcore import kcore
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    n_nodes = cust.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        i = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for d in (1, 2, 3):
+            s = i[(i * d) % 7 < 5]
+            j = (s + d) % n_nodes
+            ok = s != j
+            srcs.append(s[ok])
+            dsts.append(j[ok])
+        m = i[i % 10 == 0]
+        for d in (10, 20, 30, 40):
+            j = (m + d) % n_nodes
+            ok = m != j
+            srcs.append(m[ok])
+            dsts.append(j[ok])
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs), pa.int64()),
+                "dst": pa.array(np.concatenate(dsts), pa.int64()),
+            }
+        )
+
+    edges = cust.map_batches(_edges, batch_format="pyarrow")
+    return kcore(edges, k=5).sort("node")
+
+
 def q_funnel(sf_dir: str):
     """Ordered funnel view -> click -> purchase per user: first-touch
     matching with strict timestamp chaining.  One bucketed co-shuffle
@@ -5067,6 +5105,7 @@ QUERIES = {
     "auc": q_auc,
     "ffill": q_ffill,
     "pivot": q_pivot,
+    "kcore": q_kcore,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -7959,6 +7998,43 @@ SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(MAX(me - ms) AS BIGINT) AS max_island
 FROM isl GROUP BY u ORDER BY key
 """
+
+# k-core oracle: one generated CTE level per peel round (12 levels —
+# the fixture converges in 3-4; unconverged depth shows up as extra
+# under-k rows and fails the hash, never passes silently)
+def _kcore_oracle(k: int = 5, levels: int = 12) -> str:
+    parts = ["""WITH
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+v AS (SELECT CAST(c_custkey AS BIGINT) AS i FROM customer),
+de AS (
+  SELECT i AS src, (i + d) % nn.n AS dst FROM v, nn, range(1, 4) r(d)
+  WHERE (i * d) % 7 < 5 AND i <> (i + d) % nn.n
+  UNION ALL
+  SELECT i AS src, (i + d) % nn.n AS dst FROM v, nn,
+       (VALUES (10), (20), (30), (40)) r(d)
+  WHERE i % 10 = 0 AND i <> (i + d) % nn.n),
+sedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+  (SELECT src, dst FROM de UNION ALL SELECT dst AS src, src AS dst FROM de)
+  WHERE src <> dst),
+rem0 AS (SELECT CAST(NULL AS BIGINT) AS node WHERE 1 = 0)"""]
+    for i in range(1, levels + 1):
+        parts.append(f""",
+ae{i} AS MATERIALIZED (SELECT src, dst FROM sedges
+  WHERE src NOT IN (SELECT node FROM rem{i - 1})
+    AND dst NOT IN (SELECT node FROM rem{i - 1})),
+rem{i} AS MATERIALIZED (SELECT node FROM rem{i - 1}
+  UNION
+  SELECT src AS node FROM ae{i} GROUP BY src HAVING COUNT(*) < {k})""")
+    parts.append(f""",
+aefin AS (SELECT src, dst FROM sedges
+  WHERE src NOT IN (SELECT node FROM rem{levels})
+    AND dst NOT IN (SELECT node FROM rem{levels}))
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM aefin GROUP BY 1 ORDER BY 1""")
+    return "".join(parts)
+
+
+_ORACLES_BASE["kcore"] = _kcore_oracle()
 
 _ORACLES_BASE["ffill"] = """
 WITH ev AS (
