@@ -137,6 +137,16 @@ BENCH_QUERIES = [
     "editdist",
     "gini",
     "intervals",
+    # round-4o: spatial partitioner, weighted SSSP, hulls, exact
+    # set-similarity join, AUC, LOCF fill, pivot, k-core
+    "zorder",
+    "sssp",
+    "hull",
+    "setjoin",
+    "auc",
+    "ffill",
+    "pivot",
+    "kcore",
 ]
 
 

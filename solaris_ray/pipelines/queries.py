@@ -4962,22 +4962,29 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "tdigest": q_tdigest,
     "events_window": q_events_window,
-    "lineitem_agg": q_lineitem_agg,
     "tpch_q3": q_tpch_q3,
-    "token_count": q_token_count,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
     "retrieval_eval": q_retrieval_eval,
-    "label_vote": q_label_vote,
     "rollup": q_rollup,
     "shard_layout": q_shard_layout,
-    "flac_stats": q_flac_stats,
-    "funnel": q_funnel,
+    # round-4 session families: spatial partitioner, weighted graph,
+    # computational geometry, exact similarity join, graph density
+    "zorder": q_zorder,
+    "sssp": q_sssp,
+    "hull": q_hull,
+    "setjoin": q_setjoin,
+    "kcore": q_kcore,
     "image_phash": q_image_phash,
     "media_probe": q_media_probe,
     "audio_dedup": q_audio_dedup,
     "resume_manifest": q_resume_manifest,
     # --- end of driver window; variants + remaining gates ------------
+    "lineitem_agg": q_lineitem_agg,
+    "token_count": q_token_count,
+    "label_vote": q_label_vote,
+    "flac_stats": q_flac_stats,
+    "funnel": q_funnel,
     # (rotated out of the window for round 4i — their families keep
     # other in-window gates: dedup 4, audio 2, quantiles 1)
     "semantic_dedup": q_semantic_dedup,
@@ -5098,14 +5105,9 @@ QUERIES = {
     "editdist": q_editdist,
     "gini": q_gini,
     "intervals": q_intervals,
-    "zorder": q_zorder,
-    "sssp": q_sssp,
-    "hull": q_hull,
-    "setjoin": q_setjoin,
     "auc": q_auc,
     "ffill": q_ffill,
     "pivot": q_pivot,
-    "kcore": q_kcore,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
