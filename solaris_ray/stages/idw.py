@@ -54,21 +54,41 @@ def idw_interpolate(
          ("wsum", pa.int64()), ("num", pa.int64())]
     )
 
+    # queries sorted by x: each observation's in-radius queries lie in
+    # one contiguous x-band of this order, found by two searchsorteds —
+    # candidate volume drops from nq per obs to the band occupancy
+    # (dense-matrix d2 was the 13 s in the round-4o bench)
+    qorder = np.argsort(q[:, 0], kind="stable")
+    qx_s = q[qorder, 0]
+    qy_s = q[qorder, 1]
+    rad = int(radius)
+
     def _partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return out_schema.empty_table()
         x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         v = batch[v_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        dx = q[:, 0][:, None] - x[None, :]
-        dy = q[:, 1][:, None] - y[None, :]
-        d2 = dx * dx + dy * dy  # (nq, n) int64 exact
-        # Radius passes are sparse (~ pi*r^2 / domain-area of all
-        # pairs), so divide and accumulate only the survivors — a
-        # dense int64 floor-divide + int64 matmul here costs seconds
-        # per batch (int64 matmul has no BLAS path).
-        qi, oi = np.nonzero(d2 <= r2)
-        w = W_SCALE // np.maximum(d2[qi, oi], 1)
+        n = x.size
+        lo = np.searchsorted(qx_s, x - rad, side="left")
+        hi = np.searchsorted(qx_s, x + rad, side="right")
+        cnt_band = (hi - lo).astype(np.int64)
+        tot = int(cnt_band.sum())
+        if tot == 0:
+            return out_schema.empty_table()
+        oi = np.repeat(np.arange(n, dtype=np.int64), cnt_band)
+        flat = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(np.cumsum(cnt_band) - cnt_band, cnt_band)
+            + np.repeat(lo, cnt_band)
+        )
+        dx = qx_s[flat] - x[oi]
+        dy = qy_s[flat] - y[oi]
+        d2 = dx * dx + dy * dy
+        keep2 = d2 <= r2
+        qi = qorder[flat[keep2]]
+        oi = oi[keep2]
+        w = W_SCALE // np.maximum(d2[keep2], 1)
         cnt = np.bincount(qi, minlength=nq).astype(np.int64)
         wsum = np.zeros(nq, np.int64)
         np.add.at(wsum, qi, w)
