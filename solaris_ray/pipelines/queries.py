@@ -3503,6 +3503,63 @@ def q_pivot(sf_dir: str):
     ).sort("user_id")
 
 
+def q_cusum(sf_dir: str):
+    """Per-user upward-drift CUSUM over event cent values (mu0+k=900,
+    h=5000): segmented cumsum + strictly-separated segmented running
+    min give every S_t without a loop; alarms/first-alarm/max-S per
+    user in pure int64 — hash-exact vs the SQL prefix-min identity."""
+    from ..stages.cusum import cusum_alarms
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "cents": pa.array(
+                    np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow")
+    return cusum_alarms(
+        ds, key_col="user_id", order_cols=["ts_us"], val_col="cents",
+        mu0=800, slack=100, h=5000, id_col="event_id",
+    ).sort("key")
+
+
+def q_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation of event cent values: in-segment
+    shift pairing, int64 sufficient statistics, micro-unit Pearson r
+    via the identical float expression on both sides (moran recipe)."""
+    from ..stages.autocorr import lag_autocorr
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "cents": pa.array(
+                    np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow")
+    return lag_autocorr(
+        ds, key_col="user_id", order_cols=["ts_us"], val_col="cents",
+        lag=1, id_col="event_id",
+    ).sort("key")
+
+
 def q_kcore(sf_dir: str):
     """k-core (k=5) of the chord graph augmented with a planted dense
     subgraph on every 10th key: synchronous Matula-Beck peeling, two
@@ -5108,6 +5165,8 @@ QUERIES = {
     "auc": q_auc,
     "ffill": q_ffill,
     "pivot": q_pivot,
+    "cusum": q_cusum,
+    "autocorr": q_autocorr,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -7999,6 +8058,59 @@ SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(SUM(me - ms) AS BIGINT) AS covered,
        CAST(MAX(me - ms) AS BIGINT) AS max_island
 FROM isl GROUP BY u ORDER BY key
+"""
+
+_ORACLES_BASE["cusum"] = """
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS u, CAST(event_id AS BIGINT) AS id,
+         epoch_us(ts) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) - 900 AS d
+  FROM events),
+w AS (SELECT u, id, t, d,
+        SUM(d) OVER (PARTITION BY u ORDER BY t, id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      FROM ev),
+w2 AS (SELECT u, cs,
+         least(0, MIN(cs) OVER (PARTITION BY u ORDER BY t, id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS m,
+         row_number() OVER (PARTITION BY u ORDER BY t, id) - 1 AS idx
+       FROM w),
+s AS (SELECT u, cs - m AS sv, idx FROM w2)
+SELECT u AS key,
+  CAST(SUM(CASE WHEN sv > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+  CAST(COALESCE(MIN(CASE WHEN sv > 5000 THEN idx END), -1) AS BIGINT)
+    AS first_alarm,
+  CAST(MAX(sv) AS BIGINT) AS max_s
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+_ORACLES_BASE["autocorr"] = """
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS u, CAST(event_id AS BIGINT) AS id,
+         epoch_us(ts) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events),
+p AS (SELECT u, x,
+        LEAD(x) OVER (PARTITION BY u ORDER BY t, id) AS y
+      FROM ev),
+agg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM p WHERE y IS NOT NULL GROUP BY 1),
+allu AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u FROM events)
+SELECT allu.u AS key,
+       COALESCE(a.n, 0) AS n, COALESCE(a.sx, 0) AS sx,
+       COALESCE(a.sy, 0) AS sy, COALESCE(a.sxy, 0) AS sxy,
+       COALESCE(a.sxx, 0) AS sxx, COALESCE(a.syy, 0) AS syy,
+       CASE WHEN a.n > 1 AND a.n * a.sxx - a.sx * a.sx > 0
+                 AND a.n * a.syy - a.sy * a.sy > 0
+            THEN CAST(trunc(CAST(a.n * a.sxy - a.sx * a.sy AS DOUBLE)
+                 / sqrt(CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE)
+                        * CAST(a.n * a.syy - a.sy * a.sy AS DOUBLE))
+                 * 1000000) AS BIGINT) END AS r6
+FROM allu LEFT JOIN agg a ON a.u = allu.u ORDER BY 1
 """
 
 # k-core oracle: one generated CTE level per peel round (12 levels —
