@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "ffill",
     "pivot",
     "kcore",
+    "cusum",
+    "autocorr",
 ]
 
 

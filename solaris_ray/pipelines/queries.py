@@ -3560,6 +3560,19 @@ def q_autocorr(sf_dir: str):
     ).sort("key")
 
 
+def q_nbayes(sf_dir: str):
+    """Multinomial naive-Bayes training over (lang -> tokens): exact
+    class-conditional counts with class totals denormalized — the
+    counts ARE the model (bpe.py's merge-table-exact discipline).
+    One (class, token) exchange; class totals ride as marker rows."""
+    from ..stages.nbayes import nbayes_counts
+
+    import ray
+
+    docs = _read(sf_dir, "documents", ["text", "lang"])
+    return ray.data.from_arrow(nbayes_counts(docs, class_col="lang"))
+
+
 def q_kcore(sf_dir: str):
     """k-core (k=5) of the chord graph augmented with a planted dense
     subgraph on every 10th key: synchronous Matula-Beck peeling, two
@@ -5167,6 +5180,7 @@ QUERIES = {
     "pivot": q_pivot,
     "cusum": q_cusum,
     "autocorr": q_autocorr,
+    "nbayes": q_nbayes,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -8058,6 +8072,23 @@ SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(SUM(me - ms) AS BIGINT) AS covered,
        CAST(MAX(me - ms) AS BIGINT) AS max_island
 FROM isl GROUP BY u ORDER BY key
+"""
+
+_ORACLES_BASE["nbayes"] = """
+WITH toks AS (
+  SELECT lang, t.tok
+  FROM documents,
+       UNNEST(string_split_regex(trim(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''),
+ct AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM toks GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cls_tokens
+        FROM toks GROUP BY 1),
+dc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cls_docs
+       FROM documents GROUP BY 1)
+SELECT ct.lang AS cls, ct.tok, ct.cnt, tot.cls_tokens, dc.cls_docs
+FROM ct JOIN tot ON tot.lang = ct.lang JOIN dc ON dc.lang = ct.lang
+ORDER BY 1, 2
 """
 
 _ORACLES_BASE["cusum"] = """
