@@ -1760,6 +1760,17 @@ def q_contrast_stretch(sf_dir: str):
     return contrast_stretch(images, q_lo=0.02, q_hi=0.98).sort("image_id")
 
 
+def q_hist_equalize(sf_dir: str):
+    """PER-IMAGE histogram equalization (CDF remap, cdf-min
+    convention, pure integer): real PNG decode on the Ray side, the
+    closed-form pixel formula on the SQL side — both reduce to the
+    identical int64 (eq_sum, eq_min, eq_max) per image."""
+    from ..stages.stretch import hist_equalize
+
+    images = _formula_gray_images(sf_dir, limit=200, fixed_size=128)
+    return hist_equalize(images).sort("image_id")
+
+
 def q_image_entropy(sf_dir: str):
     """Per-image Shannon entropy over the 256-bin pixel histogram
     (texture screening): pure map stage, identical division/ln
@@ -5181,6 +5192,7 @@ QUERIES = {
     "cusum": q_cusum,
     "autocorr": q_autocorr,
     "nbayes": q_nbayes,
+    "hist_equalize": q_hist_equalize,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -8072,6 +8084,30 @@ SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(SUM(me - ms) AS BIGINT) AS covered,
        CAST(MAX(me - ms) AS BIGINT) AS max_island
 FROM isl GROUP BY u ORDER BY key
+"""
+
+_ORACLES_BASE["hist_equalize"] = """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 200),
+px AS (SELECT i FROM range(0, 128) r(i)),
+v AS (SELECT p, ((rx.i*7 + ry.i*13 + p*31) % 251) AS val
+      FROM img, px rx, px ry),
+h AS (SELECT p, val, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+w AS (SELECT p, val, c,
+        SUM(c) OVER (PARTITION BY p ORDER BY val
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS cdf
+      FROM h),
+m AS (SELECT p, MIN(cdf) AS cdf_min, CAST(16384 AS BIGINT) AS n FROM w
+      GROUP BY 1),
+o AS (SELECT w.p, w.c,
+        greatest(w.cdf - m.cdf_min, 0) * 255
+          // greatest(m.n - m.cdf_min, 1) AS ov
+      FROM w JOIN m ON m.p = w.p)
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(SUM(c * ov) AS BIGINT) AS eq_sum,
+       CAST(MIN(ov) AS BIGINT) AS eq_min,
+       CAST(MAX(ov) AS BIGINT) AS eq_max
+FROM o GROUP BY 1 ORDER BY image_id
 """
 
 _ORACLES_BASE["nbayes"] = """

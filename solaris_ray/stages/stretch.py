@@ -137,3 +137,61 @@ def contrast_stretch(images, q_lo: float = 0.02, q_hi: float = 0.98,
         ),
         batch_format="pyarrow",
     )
+
+
+class _Equalize:
+    """Actor-pool stage: PER-IMAGE histogram equalization.
+
+    Classic CDF remap with the standard cdf-min convention,
+    integer-exact:  out(v) = (cdf(v) - cdf_min) * 255 // (N - cdf_min)
+    where cdf_min is the smallest nonzero cdf value (so the darkest
+    present level maps to 0 and the brightest to 255); a constant
+    image maps to all-zeros via the max(1, ...) guard."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .multimodal import decode_any
+
+        ids, sums, mins, maxs = [], [], [], []
+        for iid, buf, fmt, w, h in zip(
+            batch["image_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["fmt"].to_pylist(),
+            batch["w"].to_numpy(),
+            batch["h"].to_numpy(),
+        ):
+            img = decode_any(buf, fmt, int(w), int(h), self.strict)
+            flat = np.asarray(img, np.uint8).ravel()
+            hist = np.bincount(flat, minlength=256).astype(np.int64)
+            cdf = np.cumsum(hist)
+            n = int(cdf[-1])
+            nz = np.flatnonzero(hist)
+            cdf_min = int(cdf[nz[0]]) if nz.size else 0
+            lut = (
+                np.maximum(cdf - cdf_min, 0) * 255
+                // max(n - cdf_min, 1)
+            ).astype(np.int64)
+            out = lut[flat]
+            ids.append(iid)
+            sums.append(int(out.sum()))
+            mins.append(int(out.min()) if out.size else 0)
+            maxs.append(int(out.max()) if out.size else 0)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "eq_sum": pa.array(sums, pa.int64()),
+                "eq_min": pa.array(mins, pa.int64()),
+                "eq_max": pa.array(maxs, pa.int64()),
+            }
+        )
+
+
+def hist_equalize(images, strict: bool = False):
+    """-> (image_id, eq_sum, eq_min, eq_max) after per-image histogram
+    equalization — decode-once actor pool, O(256) state per image."""
+    return images.map_batches(
+        _Equalize(strict), batch_format="pyarrow", batch_size=8,
+        concurrency=4,
+    )
