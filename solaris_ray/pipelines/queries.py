@@ -3584,6 +3584,22 @@ def q_nbayes(sf_dir: str):
     return ray.data.from_arrow(nbayes_counts(docs, class_col="lang"))
 
 
+def q_wasserstein(sf_dir: str):
+    """Per-source Wasserstein-1 distance between the source's n_chars
+    distribution and the corpus-global one — the robust (finite-on-
+    disjoint-support) companion to source_kl.  Support-sized exchange;
+    arbitrary-precision driver combine; micro value-units, twin'd by
+    HUGEINT SQL."""
+    from ..stages.wasserstein import w1_to_global
+
+    import ray
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return ray.data.from_arrow(
+        w1_to_global(docs, key_col="source", val_col="n_chars")
+    )
+
+
 def q_kcore(sf_dir: str):
     """k-core (k=5) of the chord graph augmented with a planted dense
     subgraph on every 10th key: synchronous Matula-Beck peeling, two
@@ -5193,6 +5209,7 @@ QUERIES = {
     "autocorr": q_autocorr,
     "nbayes": q_nbayes,
     "hist_equalize": q_hist_equalize,
+    "wasserstein": q_wasserstein,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -8084,6 +8101,40 @@ SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(SUM(me - ms) AS BIGINT) AS covered,
        CAST(MAX(me - ms) AS BIGINT) AS max_island
 FROM isl GROUP BY u ORDER BY key
+"""
+
+_ORACLES_BASE["wasserstein"] = """
+WITH h AS (SELECT source AS k, CAST(n_chars AS BIGINT) AS v,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+sup AS (SELECT DISTINCT v FROM h),
+ks AS (SELECT DISTINCT k FROM h),
+grid AS (SELECT ks.k, sup.v FROM ks, sup),
+cg AS (SELECT grid.k, grid.v, COALESCE(h.c, 0) AS c
+       FROM grid LEFT JOIN h ON h.k = grid.k AND h.v = grid.v),
+cum AS (SELECT k, v,
+          SUM(c) OVER (PARTITION BY k ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cs
+        FROM cg),
+tot AS (SELECT k, CAST(MAX(cs) AS HUGEINT) AS ns FROM cum GROUP BY 1),
+gcum AS (SELECT v, CAST(SUM(cs) AS HUGEINT) AS cgl FROM cum GROUP BY 1),
+ng AS (SELECT CAST(SUM(c) AS HUGEINT) AS ng FROM h),
+gap AS (SELECT v, LEAD(v) OVER (ORDER BY v) - v AS gp FROM sup),
+terms AS (SELECT cum.k,
+            ABS(CAST(cum.cs AS HUGEINT) * ng.ng - gcum.cgl * tot.ns)
+              * CAST(gap.gp AS HUGEINT) AS term
+          FROM cum
+          JOIN gcum ON gcum.v = cum.v
+          JOIN gap ON gap.v = cum.v AND gap.gp IS NOT NULL
+          JOIN tot ON tot.k = cum.k, ng)
+SELECT t.k AS key, CAST(t.ns AS BIGINT) AS n,
+       CAST(COALESCE(s.total, 0) * 1000000 // (t.ns * ng.ng) AS BIGINT)
+         AS w1u
+FROM tot t
+LEFT JOIN (SELECT k, SUM(term) AS total FROM terms GROUP BY 1) s
+  ON s.k = t.k, ng
+ORDER BY key
 """
 
 _ORACLES_BASE["hist_equalize"] = """
