@@ -149,6 +149,10 @@ BENCH_QUERIES = [
     "kcore",
     "cusum",
     "autocorr",
+    "nbayes",
+    "hist_equalize",
+    "wasserstein",
+    "theil_sen",
 ]
 
 

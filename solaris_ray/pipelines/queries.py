@@ -3584,6 +3584,40 @@ def q_nbayes(sf_dir: str):
     return ray.data.from_arrow(nbayes_counts(docs, class_col="lang"))
 
 
+def q_theil_sen(sf_dir: str):
+    """Per-user Theil-Sen robust spend trend (median pairwise
+    micro-slope, lower-median rank): vectorized triangle enumeration
+    per key segment, integer trunc-toward-zero slopes — hash-exact vs
+    the SQL CASE-sign + row_number twin.  Bounded to user_id < 150
+    (the estimator is intrinsically O(n^2) per key; the fixture's
+    full sf0.1 pair count is the documented cap case)."""
+    from ..stages.theilsen import theil_sen
+
+    ev = _read(
+        sf_dir,
+        "events",
+        ["event_id", "user_id", "ts", "value"],
+        filter=pc.field("user_id") < 150,
+    )
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "cents": pa.array(
+                    np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow")
+    return theil_sen(
+        ds, key_col="user_id", t_col="ts_us", v_col="cents"
+    ).sort("key")
+
+
 def q_wasserstein(sf_dir: str):
     """Per-source Wasserstein-1 distance between the source's n_chars
     distribution and the corpus-global one — the robust (finite-on-
@@ -5210,6 +5244,7 @@ QUERIES = {
     "nbayes": q_nbayes,
     "hist_equalize": q_hist_equalize,
     "wasserstein": q_wasserstein,
+    "theil_sen": q_theil_sen,
 }
 
 _PTS = "SELECT event_id AS point_id, CAST((event_id*7919) % 3200 AS DOUBLE) AS x, CAST((event_id*104729) % 3200 AS DOUBLE) AS y FROM events"
@@ -8101,6 +8136,33 @@ SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(SUM(me - ms) AS BIGINT) AS covered,
        CAST(MAX(me - ms) AS BIGINT) AS max_island
 FROM isl GROUP BY u ORDER BY key
+"""
+
+_ORACLES_BASE["theil_sen"] = """
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS u, epoch_us(ts) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events WHERE user_id < 150),
+pr AS (
+  SELECT a.u, b.x - a.x AS dy, b.t - a.t AS dt
+  FROM ev a JOIN ev b ON b.u = a.u AND a.t < b.t),
+ms AS (
+  SELECT u,
+         CASE WHEN dy >= 0 THEN (dy * 1000000) // dt
+              ELSE -(((-dy) * 1000000) // dt) END AS s
+  FROM pr),
+rk AS (SELECT u, s, row_number() OVER (PARTITION BY u ORDER BY s) - 1
+                AS r FROM ms),
+cn AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n FROM ms GROUP BY 1),
+med AS (SELECT rk.u, rk.s FROM rk JOIN cn ON cn.u = rk.u
+        WHERE rk.r = (cn.n - 1) // 2),
+allu AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u FROM events
+         WHERE user_id < 150)
+SELECT allu.u AS key, COALESCE(cn.n, 0) AS n_pairs,
+       med.s AS slope_u
+FROM allu LEFT JOIN cn ON cn.u = allu.u
+          LEFT JOIN med ON med.u = allu.u
+ORDER BY 1
 """
 
 _ORACLES_BASE["wasserstein"] = """
