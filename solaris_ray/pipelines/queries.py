@@ -510,6 +510,164 @@ def q_tpch_q3(sf_dir: str):
     ).limit(10)
 
 
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5-shaped SIX-table join (local-supplier volume): the
+    nation/region dims resolve driver-side (tiny by construction), the
+    supplier->nation map broadcasts once via ``ray.put`` and is probed
+    inside the lineitem scan (no shuffle for the dim legs), revenue is
+    partial-combined per (orderkey, nationkey) BEFORE the single
+    orderkey co-shuffle against the date-filtered orders x customer
+    leg, and the colocated-nation predicate (c_nationkey =
+    s_nationkey) is applied post-join as a vectorized filter.  At 100
+    TB only the orders<->lineitem exchange is wide; every other edge is
+    a broadcast or a driver-side constant."""
+    import ray
+
+    from ..stages._buckets import bucket_of
+    from ..stages.relational import hash_join
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    # driver-side dims: nation x region (25 x 5 rows at any SF)
+    nat = _pq(sf_dir, "nation")
+    reg = _pq(sf_dir, "region")
+    asia = {
+        int(rk): None
+        for rk, nm in zip(
+            reg["r_regionkey"].to_numpy(), reg["r_name"].to_pylist()
+        )
+        if nm == "ASIA"
+    }
+    nation_name = {
+        int(k): str(n)
+        for k, n, rk in zip(
+            nat["n_nationkey"].to_numpy(),
+            nat["n_name"].to_pylist(),
+            nat["n_regionkey"].to_numpy(),
+        )
+        if int(rk) in asia
+    }
+    # supplier -> nationkey (ASIA only), broadcast once
+    sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    sn = sup["s_nationkey"].to_numpy().astype(np.int64)
+    keep = np.isin(sn, np.array(sorted(nation_name), np.int64))
+    sup_ref = ray.put((sk[keep], sn[keep]))
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        skeys, snats = ray.get(sup_ref)
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(skeys, s)
+        pos_c = np.clip(pos, 0, max(skeys.size - 1, 0))
+        ok = skeys.size > 0
+        hit = (skeys[pos_c] == s) if ok else np.zeros(s.size, bool)
+        k, s, pos_c = k[hit], s[hit], pos_c[hit]
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit] * 100.0
+        ).astype(np.int64)
+        disc = np.round(
+            batch["l_discount"].to_numpy(zero_copy_only=False)[hit] * 100.0
+        ).astype(np.int64)
+        rev = cents * (100 - disc)
+        natk = snats[pos_c]
+        # partial combine per (orderkey, nationkey) before the shuffle
+        o = np.lexsort((natk, k))
+        k, natk, rev = k[o], natk[o], rev[o]
+        new = np.r_[True, (k[1:] != k[:-1]) | (natk[1:] != natk[:-1])]
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(rev, starts) if k.size else rev
+        uk, un = k[starts], natk[starts]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "s_nationkey": pa.array(un, pa.int64()),
+                "revenue_e4": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    li_agg = li.map_batches(_li_partial, batch_format="pyarrow", batch_size=16384)
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= pa.scalar(lo.item()))
+        & (pc.field("o_orderdate") < pa.scalar(hi.item())),
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # orders x customer: auto-select (customer broadcasts at test SF;
+    # co-shuffles when it outgrows the broadcast limit)
+    oc = hash_join(
+        orders, cust, "o_custkey", "c_custkey", how="inner", strategy="auto"
+    ).select_columns(["o_orderkey", "c_nationkey"]).materialize()
+
+    joined = hash_join(
+        li_agg, oc, "l_orderkey", "o_orderkey", how="inner", strategy="auto"
+    )
+
+    def _local_nation(batch: pa.Table) -> pa.Table:
+        sn_ = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        rev = batch["revenue_e4"].to_numpy(zero_copy_only=False)
+        m = sn_ == cn
+        sn_, rev = sn_[m], rev[m]
+        # partial per nationkey (<=25 groups)
+        o = np.argsort(sn_, kind="stable")
+        sn_, rev = sn_[o], rev[o]
+        starts = np.flatnonzero(np.r_[True, sn_[1:] != sn_[:-1]])
+        sums = np.add.reduceat(rev, starts) if sn_.size else rev
+        return pa.table(
+            {
+                "nationkey": pa.array(sn_[starts], pa.int64()),
+                "rev": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(_local_nation, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("rev"))
+    )
+    tbl = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_format="pyarrow")]
+    ) if agg.count() else pa.table(
+        {"nationkey": pa.array([], pa.int64()), "sum(rev)": pa.array([], pa.int64())}
+    )
+    nk = tbl["nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rv = tbl["sum(rev)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    names = np.array([nation_name[int(x)] for x in nk], object)
+    o = np.lexsort((names, -rv))
+    return pa.table(
+        {
+            "n_name": pa.array(names[o], pa.string()),
+            "revenue_e4": pa.array(rv[o], pa.int64()),
+        }
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5094,6 +5252,7 @@ QUERIES = {
     "tdigest": q_tdigest,
     "events_window": q_events_window,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
     "retrieval_eval": q_retrieval_eval,
@@ -7175,6 +7334,25 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY 1, 3, 4
 ORDER BY revenue_e4 DESC, o_date_us, l.l_orderkey
 LIMIT 10
+"""
+
+_ORACLES_BASE["tpch_q5"] = """
+SELECT n.n_name,
+       CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY revenue_e4 DESC, n.n_name
 """
 
 _ORACLES_BASE["mad_outliers"] = """

@@ -23,6 +23,7 @@ SUBSET = [
     "cell_hist",
     "f1_rollup",
     "lineitem_agg",
+    "tpch_q5",
     "token_count",
     "dedup_exact",
     "jaccard_adjacent",
