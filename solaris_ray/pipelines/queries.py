@@ -668,6 +668,79 @@ def q_tpch_q5(sf_dir: str):
     )
 
 
+def q_cdc_merge(sf_dir: str):
+    """MERGE/upsert: apply a deterministic change feed (updates with
+    competing sequence numbers, deletes, inserts — all derived from the
+    orders table by arithmetic so the SQL oracle regenerates the exact
+    same feed) onto the orders snapshot via the bucketed last-writer-
+    wins co-shuffle in ``stages.cdc.merge_changes``."""
+    from ..stages.cdc import merge_changes
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+    def _base(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch["o_orderkey"], pa.int64())
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": k,
+                "cents": pa.array(cents, pa.int64()),
+                "status": pc.cast(batch["o_orderstatus"], pa.string()),
+            }
+        )
+
+    base = orders.map_batches(_base, batch_format="pyarrow")
+
+    def _feed(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch["o_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        ks, seqs, ops, vals, sts = [], [], [], [], []
+        m = k % 5 == 0  # first-wave updates
+        ks.append(k[m]); seqs.append(k[m] % 97)
+        ops.append(np.full(m.sum(), "U", object))
+        vals.append(cents[m] + 1111); sts.append(np.full(m.sum(), "U1", object))
+        m = k % 7 == 3  # deletes (seq range beats U1, loses to U2)
+        ks.append(k[m]); seqs.append(100 + (k[m] % 13))
+        ops.append(np.full(m.sum(), "D", object))
+        vals.append(np.zeros(m.sum(), np.int64)); sts.append(np.full(m.sum(), "D", object))
+        m = k % 10 == 0  # second-wave updates (highest seq band)
+        ks.append(k[m]); seqs.append(200 + (k[m] % 97))
+        ops.append(np.full(m.sum(), "U", object))
+        vals.append(cents[m] + 2222); sts.append(np.full(m.sum(), "U2", object))
+        m = k % 11 == 0  # inserts under fresh keys
+        ks.append(k[m] + 10_000_000); seqs.append(np.full(m.sum(), 5, np.int64))
+        ops.append(np.full(m.sum(), "I", object))
+        vals.append(k[m]); sts.append(np.full(m.sum(), "NEW", object))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(np.concatenate(ks), pa.int64()),
+                "seq": pa.array(np.concatenate(seqs).astype(np.int64), pa.int64()),
+                "op": pa.array(np.concatenate(ops), pa.string()),
+                "cents": pa.array(np.concatenate(vals), pa.int64()),
+                "status": pa.array(np.concatenate(sts), pa.string()),
+            }
+        )
+
+    changes = orders.map_batches(_feed, batch_format="pyarrow")
+    return merge_changes(
+        base, changes, "o_orderkey", "seq", "op", ["cents", "status"]
+    )
+
+
+def q_scd2(sf_dir: str):
+    """SCD type-2 history from the event stream: per user, consecutive
+    equal event_types collapse into effective-dated intervals closed by
+    the next status change (open intervals carry to_us = -1)."""
+    from ..stages.cdc import scd2_intervals
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return scd2_intervals(ev)
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5253,6 +5326,8 @@ QUERIES = {
     "events_window": q_events_window,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "cdc_merge": q_cdc_merge,
+    "scd2": q_scd2,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
     "retrieval_eval": q_retrieval_eval,
@@ -7353,6 +7428,55 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY 1
 ORDER BY revenue_e4 DESC, n.n_name
+"""
+
+_ORACLES_BASE["cdc_merge"] = """
+WITH base AS (SELECT o_orderkey AS k,
+                     CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+                     o_orderstatus AS status
+              FROM orders),
+changes AS (
+  SELECT k, k % 97 AS seq, 'U' AS op, cents + 1111 AS cents,
+         'U1' AS status FROM base WHERE k % 5 = 0
+  UNION ALL
+  SELECT k, 100 + (k % 13), 'D', CAST(0 AS BIGINT), 'D'
+  FROM base WHERE k % 7 = 3
+  UNION ALL
+  SELECT k, 200 + (k % 97), 'U', cents + 2222, 'U2'
+  FROM base WHERE k % 10 = 0
+  UNION ALL
+  SELECT k + 10000000, CAST(5 AS BIGINT), 'I', CAST(k AS BIGINT), 'NEW'
+  FROM base WHERE k % 11 = 0
+),
+latest AS (SELECT * FROM (
+             SELECT c.*, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+             FROM changes c) WHERE rn = 1)
+SELECT COALESCE(l.k, b.k) AS o_orderkey,
+       CASE WHEN l.k IS NULL THEN b.cents ELSE l.cents END AS cents,
+       CASE WHEN l.k IS NULL THEN b.status ELSE l.status END AS status
+FROM base b FULL OUTER JOIN latest l ON b.k = l.k
+WHERE l.op IS NULL OR l.op <> 'D'
+"""
+
+_ORACLES_BASE["scd2"] = """
+WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+                  epoch_us(ts) AS us, event_id
+           FROM events),
+o AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY us, event_id) AS rns
+      FROM e),
+runs AS (SELECT user_id, event_type AS status, rn - rns AS grp,
+                CAST(min(us) AS BIGINT) AS from_us,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM o GROUP BY 1, 2, 3)
+SELECT user_id, status, from_us,
+       COALESCE(LEAD(from_us) OVER (PARTITION BY user_id ORDER BY from_us),
+                -1) AS to_us,
+       n_rows
+FROM runs
 """
 
 _ORACLES_BASE["mad_outliers"] = """
