@@ -741,6 +741,16 @@ def q_scd2(sf_dir: str):
     return scd2_intervals(ev)
 
 
+def q_rolling_median(sf_dir: str):
+    """Per-user rolling median (window 5) of event value in exact
+    integer arithmetic: med2 = the two middle order statistics summed,
+    so even-width windows never leave int64."""
+    from ..stages.rolling import rolling_median2
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return rolling_median2(ev, k=5)
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5328,6 +5338,7 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "cdc_merge": q_cdc_merge,
     "scd2": q_scd2,
+    "rolling_median": q_rolling_median,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
     "retrieval_eval": q_retrieval_eval,
@@ -7477,6 +7488,19 @@ SELECT user_id, status, from_us,
                 -1) AS to_us,
        n_rows
 FROM runs
+"""
+
+_ORACLES_BASE["rolling_median"] = """
+WITH e AS (SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+                  epoch_us(ts) AS us,
+                  CAST(round(value*100) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id, user_id, us AS ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_win,
+       CAST(2*median(cents) OVER w AS BIGINT) AS med2
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
 
 _ORACLES_BASE["mad_outliers"] = """
