@@ -751,6 +751,35 @@ def q_rolling_median(sf_dir: str):
     return rolling_median2(ev, k=5)
 
 
+def q_link_pred(sf_dir: str):
+    """Common-neighbor / resource-allocation link prediction on the
+    deterministic chord graph over customer keys (edge i -- (i+d) % N,
+    d = 1..3, kept when (i*d) % 7 < 5 so degrees vary): every
+    distance-2 non-edge pair scored in exact integer arithmetic."""
+    from ..stages.linkpred import link_prediction_scores
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    n_nodes = cust.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        i = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xs, ys = [], []
+        for d in (1, 2, 3):
+            keep = (i * d) % 7 < 5
+            j = (i[keep] + d) % n_nodes
+            xs.append(np.minimum(i[keep], j))
+            ys.append(np.maximum(i[keep], j))
+        a = np.concatenate(xs)
+        b = np.concatenate(ys)
+        ok = a != b
+        return pa.table(
+            {"a": pa.array(a[ok], pa.int64()), "b": pa.array(b[ok], pa.int64())}
+        )
+
+    edges = cust.map_batches(_edges, batch_format="pyarrow")
+    return link_prediction_scores(edges)
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5339,6 +5368,7 @@ QUERIES = {
     "cdc_merge": q_cdc_merge,
     "scd2": q_scd2,
     "rolling_median": q_rolling_median,
+    "link_pred": q_link_pred,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
     "retrieval_eval": q_retrieval_eval,
@@ -7501,6 +7531,28 @@ SELECT event_id, user_id, us AS ts_us,
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+_ORACLES_BASE["link_pred"] = """
+WITH nodes AS (SELECT CAST(c_custkey AS BIGINT) AS i FROM customer),
+n AS (SELECT COUNT(*) AS cnt FROM nodes),
+raw AS (
+  SELECT LEAST(i, (i+d)%cnt) AS a, GREATEST(i, (i+d)%cnt) AS b
+  FROM nodes, n, (VALUES (1),(2),(3)) dd(d)
+  WHERE (i*d)%7 < 5 AND LEAST(i,(i+d)%cnt) <> GREATEST(i,(i+d)%cnt)
+),
+edges AS (SELECT DISTINCT a, b FROM raw),
+sym AS (SELECT a AS z, b AS nb FROM edges
+        UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY z),
+wedge AS (SELECT s1.nb AS u, s2.nb AS w, s1.z AS z
+          FROM sym s1 JOIN sym s2 ON s1.z = s2.z AND s1.nb < s2.nb),
+scored AS (SELECT u, w, CAST(COUNT(*) AS BIGINT) AS cn,
+                  CAST(SUM(1000000000 // dg.d) AS BIGINT) AS ra_e9
+           FROM wedge JOIN deg dg ON dg.z = wedge.z GROUP BY u, w)
+SELECT s.u, s.w, s.cn, s.ra_e9
+FROM scored s LEFT JOIN edges e ON e.a = s.u AND e.b = s.w
+WHERE e.a IS NULL
 """
 
 _ORACLES_BASE["mad_outliers"] = """
