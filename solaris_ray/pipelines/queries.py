@@ -780,6 +780,38 @@ def q_link_pred(sf_dir: str):
     return link_prediction_scores(edges)
 
 
+def q_stump(sf_dir: str):
+    """Decision-stump split table over lineitem: two integer features
+    (rounded quantity, discount cents) against the high-price label,
+    every threshold scored with the exact integer weighted-Gini
+    fraction — block-local partial counts, no wide shuffle."""
+    from ..stages.stump import stump_split_scores
+
+    li = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_discount", "l_extendedprice"])
+
+    def _points(batch: pa.Table) -> pa.Table:
+        qty = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        disc = np.round(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        lab = (cents > 2_000_000).astype(np.int64)
+        k = qty.size
+        return pa.table(
+            {
+                "feature": pa.array(["qty"] * k + ["disc"] * k, pa.string()),
+                "value": pa.array(np.concatenate([qty, disc]), pa.int64()),
+                "label": pa.array(np.concatenate([lab, lab]), pa.int64()),
+            }
+        )
+
+    pts = li.map_batches(_points, batch_format="pyarrow", batch_size=16384)
+    return stump_split_scores(pts)
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5369,6 +5401,7 @@ QUERIES = {
     "scd2": q_scd2,
     "rolling_median": q_rolling_median,
     "link_pred": q_link_pred,
+    "stump": q_stump,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
     "retrieval_eval": q_retrieval_eval,
@@ -7553,6 +7586,41 @@ scored AS (SELECT u, w, CAST(COUNT(*) AS BIGINT) AS cn,
 SELECT s.u, s.w, s.cn, s.ra_e9
 FROM scored s LEFT JOIN edges e ON e.a = s.u AND e.b = s.w
 WHERE e.a IS NULL
+"""
+
+_ORACLES_BASE["stump"] = """
+WITH pts AS (
+  SELECT 'qty' AS feature, CAST(round(l_quantity) AS BIGINT) AS value,
+         CASE WHEN round(l_extendedprice*100) > 2000000
+              THEN 1 ELSE 0 END AS label
+  FROM lineitem
+  UNION ALL
+  SELECT 'disc', CAST(round(l_discount*100) AS BIGINT),
+         CASE WHEN round(l_extendedprice*100) > 2000000
+              THEN 1 ELSE 0 END
+  FROM lineitem),
+cnt AS (SELECT feature, value, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(label) AS BIGINT) AS pos
+        FROM pts GROUP BY 1, 2),
+tot AS (SELECT feature, CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(pos) AS BIGINT) AS post
+        FROM cnt GROUP BY 1),
+cum AS (SELECT feature, value,
+               CAST(SUM(n) OVER (PARTITION BY feature ORDER BY value)
+                    AS BIGINT) AS n_le,
+               CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY value)
+                    AS BIGINT) AS pos_le,
+               MAX(value) OVER (PARTITION BY feature) AS vmax
+        FROM cnt)
+SELECT c.feature, c.value AS threshold, c.n_le, c.pos_le,
+       CAST(t.nt - c.n_le AS BIGINT) AS n_gt,
+       CAST(t.post - c.pos_le AS BIGINT) AS pos_gt,
+       CAST(2*( c.pos_le*(c.n_le-c.pos_le)*(t.nt-c.n_le)
+              + (t.post-c.pos_le)*((t.nt-c.n_le)-(t.post-c.pos_le))*c.n_le )
+            AS BIGINT) AS gini_num,
+       CAST(c.n_le*(t.nt-c.n_le)*t.nt AS BIGINT) AS gini_den
+FROM cum c JOIN tot t USING (feature)
+WHERE c.value < c.vmax
 """
 
 _ORACLES_BASE["mad_outliers"] = """
