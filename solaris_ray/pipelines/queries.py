@@ -812,6 +812,48 @@ def q_stump(sf_dir: str):
     return stump_split_scores(pts)
 
 
+def q_gif_roundtrip(sf_dir: str):
+    """GIF codec gate (pure-struct LZW, raster/gif.py): per part row a
+    deterministic formula-gray image encodes to a real GIF89a stream
+    and decodes back; grayscale GIF is lossless, so the decoded pixel
+    sum is SQL-closed-form and the gate hash fails on any LZW bit
+    slip.  Output (image_id, w, h, ok_exact, px_sum)."""
+    images = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 60)
+
+    def _rt(batch: pa.Table) -> pa.Table:
+        from ..raster.gif import gif_decode, gif_encode
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 60]
+        ids, ws, hs, oks, sums = [], [], [], [], []
+        for k in p.tolist():
+            w = 32 * (1 + k % 2)
+            h = 32 * (1 + k % 3)
+            yy, xx = np.indices((h, w))
+            img = ((xx * 7 + yy * 13 + k * 31) % 251).astype(np.uint8)
+            dec = gif_decode(gif_encode(img))
+            ok = int(
+                dec.shape == (h, w, 3)
+                and all(np.array_equal(dec[:, :, c], img) for c in range(3))
+            )
+            ids.append(f"img_{k}")
+            ws.append(w)
+            hs.append(h)
+            oks.append(ok)
+            sums.append(int(dec[:, :, 0].astype(np.int64).sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "w": pa.array(ws, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "ok_exact": pa.array(oks, pa.int64()),
+                "px_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return images.map_batches(_rt, batch_format="pyarrow", batch_size=16)
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5402,6 +5444,7 @@ QUERIES = {
     "rolling_median": q_rolling_median,
     "link_pred": q_link_pred,
     "stump": q_stump,
+    "gif_roundtrip": q_gif_roundtrip,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
     "retrieval_eval": q_retrieval_eval,
@@ -7621,6 +7664,21 @@ SELECT c.feature, c.value AS threshold, c.n_le, c.pos_le,
        CAST(c.n_le*(t.nt-c.n_le)*t.nt AS BIGINT) AS gini_den
 FROM cum c JOIN tot t USING (feature)
 WHERE c.value < c.vmax
+"""
+
+_ORACLES_BASE["gif_roundtrip"] = """
+WITH img AS (SELECT CAST(p_partkey AS BIGINT) AS p FROM part
+             WHERE p_partkey < 60),
+dims AS (SELECT p, 32*(1 + p % 2) AS w, 32*(1 + p % 3) AS h FROM img),
+v AS (SELECT d.p, d.w, d.h,
+             CAST(SUM((rx.i*7 + ry.i*13 + d.p*31) % 251) AS BIGINT) AS px_sum
+      FROM dims d, range(0, 64) rx(i), range(0, 96) ry(i)
+      WHERE rx.i < d.w AND ry.i < d.h
+      GROUP BY 1, 2, 3)
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       CAST(1 AS BIGINT) AS ok_exact, px_sum
+FROM v
 """
 
 _ORACLES_BASE["mad_outliers"] = """

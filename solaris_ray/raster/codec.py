@@ -176,6 +176,12 @@ def encode(arr: np.ndarray, fmt: str, level: int = 4) -> bytes:
         from .webp import webp_encode
 
         return webp_encode(arr, lossless=True)
+    if fmt == "gif":
+        from .gif import gif_encode
+
+        if arr.ndim == 3 and arr.shape[2] == 1:
+            arr = arr[:, :, 0]
+        return gif_encode(arr)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 
@@ -210,6 +216,10 @@ def decode(buf: bytes, fmt: str) -> np.ndarray:
         from .webp import webp_decode
 
         return webp_decode(bytes(buf))
+    if fmt == "gif":
+        from .gif import gif_decode
+
+        return gif_decode(bytes(buf))
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 
