@@ -153,6 +153,15 @@ BENCH_QUERIES = [
     "hist_equalize",
     "wasserstein",
     "theil_sen",
+    # round-4p: multi-way TPC-H join, CDC/SCD2, rolling stats, link
+    # prediction, stump splits, GIF codec
+    "tpch_q5",
+    "cdc_merge",
+    "scd2",
+    "rolling_median",
+    "link_pred",
+    "stump",
+    "gif_roundtrip",
 ]
 
 

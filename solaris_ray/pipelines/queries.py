@@ -651,9 +651,8 @@ def q_tpch_q5(sf_dir: str):
         .groupby("nationkey")
         .aggregate(Sum("rev"))
     )
-    tbl = pa.concat_tables(
-        [b for b in agg.iter_batches(batch_format="pyarrow")]
-    ) if agg.count() else pa.table(
+    parts = list(agg.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(parts) if parts else pa.table(
         {"nationkey": pa.array([], pa.int64()), "sum(rev)": pa.array([], pa.int64())}
     )
     nk = tbl["nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
