@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "link_pred",
     "stump",
     "gif_roundtrip",
+    "ripley",
 ]
 
 

@@ -853,6 +853,27 @@ def q_gif_roundtrip(sf_dir: str):
     return images.map_batches(_rt, batch_format="pyarrow", batch_size=16)
 
 
+def q_ripley(sf_dir: str):
+    """Ripley's K pair counts at radii {25, 50, 100} over the
+    quadratic-scramble point cloud (same coordinate recipe as the hull
+    gate — real interiors, SQL-exact integer math).  Exactly-once
+    cell-partitioned pair counting; the oracle is an x-band IEJoin."""
+    from ..stages.ripley import ripley_pair_counts
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = ((e * e) % 3200 * 7919 + e * 31) % 3200
+        y = ((e * e) % 3200 * 104729 + e * 57) % 3200
+        return pa.table(
+            {"x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64())}
+        )
+
+    pts = ev.map_batches(_pts, batch_format="pyarrow")
+    return ripley_pair_counts(pts, radii=[25, 50, 100])
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5444,6 +5465,7 @@ QUERIES = {
     "link_pred": q_link_pred,
     "stump": q_stump,
     "gif_roundtrip": q_gif_roundtrip,
+    "ripley": q_ripley,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
     "retrieval_eval": q_retrieval_eval,
@@ -7678,6 +7700,25 @@ SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
        CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
        CAST(1 AS BIGINT) AS ok_exact, px_sum
 FROM v
+"""
+
+_ORACLES_BASE["ripley"] = """
+WITH pts AS (SELECT event_id AS id,
+        ((event_id*event_id) % 3200 * 7919 + event_id*31) % 3200 AS x,
+        ((event_id*event_id) % 3200 * 104729 + event_id*57) % 3200 AS y
+      FROM events),
+d AS (SELECT (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND b.x BETWEEN a.x - 100 AND a.x + 100
+       AND b.y BETWEEN a.y - 100 AND a.y + 100
+      WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 10000)
+SELECT CAST(rr.r AS BIGINT) AS r,
+       CAST(SUM(CASE WHEN d.d2 <= rr.r*rr.r THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs,
+       CAST((SELECT COUNT(*) FROM pts) AS BIGINT) AS n_points
+FROM d, (VALUES (25),(50),(100)) rr(r)
+GROUP BY rr.r
 """
 
 _ORACLES_BASE["mad_outliers"] = """
