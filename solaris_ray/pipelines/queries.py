@@ -5417,45 +5417,35 @@ def q_label_vote(sf_dir: str):
 # operator family (core geospatial + the dedup/CC/relational/sketch/
 # training-layout ladders) rather than listing variants back-to-back.
 QUERIES = {
-    # --- driver correctness window: one gate per family -------------
+    # --- driver correctness window (first ~50): one gate per family;
+    # gates rotated out below were driver-green in earlier rounds and
+    # their families keep an in-window representative -----------------
     "tile_plan": q_tile_plan,
     "pip_count": q_pip_count,
     "clip_join": q_clip_join,
-    "partitioned_join": q_partitioned_join,
     "knn_join": q_knn_join,
     "cell_assign": q_cell_assign,
-    "aoi_tile_plan": q_aoi_tile_plan,
-    "warp_nearest": q_warp_nearest,
-    "cell_hist": q_cell_hist,
     "tiles_pipeline": q_tiles_pipeline,
-    "geotiff_roundtrip": q_geotiff_roundtrip,
     "jpeg_roundtrip": q_jpeg_roundtrip,
     "masks_pipeline": q_masks_pipeline,
-    "road_masks": q_road_masks,
     "eval_scores": q_eval_scores,
-    "map_101": q_map_101,
     "f1_rollup": q_f1_rollup,
     "chip_stitch": q_chip_stitch,
     "graph_build": q_graph_build,
-    "polygonize": q_polygonize,
     "affine_transform": q_affine_transform,
-    "coco_export": q_coco_export,
-    "scot": q_scot,
-    "reproject_utm": q_reproject_utm,
     "fuzzy_dedup": q_fuzzy_dedup,
     "image_dedup": q_image_dedup,
     "outer_join": q_outer_join,
     "dissolve": q_dissolve,
     "dbscan": q_dbscan,
     "moran": q_moran,
-    "getis_ord": q_getis_ord,
     "triangles": q_triangles,
     "hll_distinct": q_hll_distinct,
     "dup_spans": q_dup_spans,
+    "semantic_dedup": q_semantic_dedup,
     "pagerank": q_pagerank,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
-    "tdigest": q_tdigest,
     "events_window": q_events_window,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -5471,8 +5461,6 @@ QUERIES = {
     "retrieval_eval": q_retrieval_eval,
     "rollup": q_rollup,
     "shard_layout": q_shard_layout,
-    # round-4 session families: spatial partitioner, weighted graph,
-    # computational geometry, exact similarity join, graph density
     "zorder": q_zorder,
     "sssp": q_sssp,
     "hull": q_hull,
@@ -5482,6 +5470,23 @@ QUERIES = {
     "media_probe": q_media_probe,
     "audio_dedup": q_audio_dedup,
     "resume_manifest": q_resume_manifest,
+    # rotated out for round 4p (driver-green in r2/r3; family keeps a
+    # window gate): partitioned_join, aoi_tile_plan, warp_nearest,
+    # cell_hist, geotiff_roundtrip, road_masks, map_101, polygonize,
+    # coco_export, scot, reproject_utm, tdigest
+    "partitioned_join": q_partitioned_join,
+    "aoi_tile_plan": q_aoi_tile_plan,
+    "warp_nearest": q_warp_nearest,
+    "cell_hist": q_cell_hist,
+    "geotiff_roundtrip": q_geotiff_roundtrip,
+    "road_masks": q_road_masks,
+    "map_101": q_map_101,
+    "polygonize": q_polygonize,
+    "coco_export": q_coco_export,
+    "scot": q_scot,
+    "reproject_utm": q_reproject_utm,
+    "tdigest": q_tdigest,
+    "getis_ord": q_getis_ord,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -5490,7 +5495,6 @@ QUERIES = {
     "funnel": q_funnel,
     # (rotated out of the window for round 4i — their families keep
     # other in-window gates: dedup 4, audio 2, quantiles 1)
-    "semantic_dedup": q_semantic_dedup,
     "group_quantiles": q_group_quantiles,
     "g711_stats": q_g711_stats,
     "webp_roundtrip": q_webp_roundtrip,
