@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "stump",
     "gif_roundtrip",
     "ripley",
+    "cube",
+    "json_props",
 ]
 
 

@@ -874,6 +874,67 @@ def q_ripley(sf_dir: str):
     return ripley_pair_counts(pts, radii=[25, 50, 100])
 
 
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE over (returnflag, linestatus): all four grouping
+    sets from one wide shuffle — coarser sets re-aggregate the finest
+    level's distinct combos, never the raw rows."""
+    from ..stages.rollup import cube_aggregate
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rf": pc.cast(batch["l_returnflag"], pa.string()),
+                "ls": pc.cast(batch["l_linestatus"], pa.string()),
+                "qty": pa.array(
+                    np.round(
+                        batch["l_quantity"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return cube_aggregate(
+        li.map_batches(_prep, batch_format="pyarrow"), ["rf", "ls"], ["qty"]
+    )
+
+
+def q_json_props(sf_dir: str):
+    """JSON property extraction from the events ``props`` column
+    (vectorized regex, no per-row json.loads) -> per-type integer
+    stats.  The ELT staple: pull a typed field out of a semi-structured
+    payload column and aggregate it."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        return t.filter(pc.is_valid(t["k"]))
+
+    agg = (
+        ev.map_batches(_extract, batch_format="pyarrow", batch_size=16384)
+        .groupby("event_type")
+        .aggregate(Count(), Sum("k"), Max("k"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": pc.cast(b["count()"], pa.int64()),
+                "sum_k": pc.cast(b["sum(k)"], pa.int64()),
+                "max_k": pc.cast(b["max(k)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5487,6 +5548,8 @@ QUERIES = {
     "reproject_utm": q_reproject_utm,
     "tdigest": q_tdigest,
     "getis_ord": q_getis_ord,
+    "cube": q_cube,
+    "json_props": q_json_props,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -7723,6 +7786,30 @@ SELECT CAST(rr.r AS BIGINT) AS r,
        CAST((SELECT COUNT(*) FROM pts) AS BIGINT) AS n_points
 FROM d, (VALUES (25),(50),(100)) rr(r)
 GROUP BY rr.r
+"""
+
+_ORACLES_BASE["cube"] = """
+WITH v AS (SELECT l_returnflag AS rfv, l_linestatus AS lsv,
+                  CAST(round(l_quantity) AS BIGINT) AS qty
+           FROM lineitem)
+SELECT COALESCE(rfv, '*') AS rf, COALESCE(lsv, '*') AS ls,
+       CAST(2 - GROUPING(rfv) - GROUPING(lsv) AS BIGINT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty
+FROM v
+GROUP BY CUBE (rfv, lsv)
+"""
+
+_ORACLES_BASE["json_props"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1
 """
 
 _ORACLES_BASE["mad_outliers"] = """

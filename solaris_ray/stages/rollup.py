@@ -28,6 +28,55 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _recast_agg(batch: pa.Table, cols: list[str], sums: list[str]) -> pa.Table:
+    out = {}
+    for k in cols:
+        out[k] = batch[k]
+    out["n_rows"] = pc.cast(batch["sum(n_rows)"], pa.int64())
+    for s in sums:
+        out[s] = pc.cast(batch[f"sum({s})"], pa.int64())
+    return pa.table(out)
+
+
+def _finest_level(ds, keys: list[str], value_cols: list[str],
+                  sums: list[str], op_name: str):
+    """ONE wide shuffle: per-batch partials at the finest key combo,
+    combined by a single groupby, materialized as the fan-out point
+    every grouping set re-aggregates from."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        for k in keys:
+            if batch[k].null_count:
+                # pandas groupby drops NaN groups and SQL ROLLUP/CUBE
+                # would COALESCE a NULL group into the same spelling as
+                # a subtotal row — both silently wrong; demand clean keys
+                raise ValueError(
+                    f"{op_name}: key column {k!r} contains nulls; "
+                    "fill or filter them before aggregating"
+                )
+        data = {k: batch[k].to_numpy(zero_copy_only=False) for k in keys}
+        for v in value_cols:
+            data[v] = batch[v].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(data)
+        g = df.groupby(keys, sort=False).agg(
+            n_rows=(value_cols[0] if value_cols else keys[0], "size"),
+            **{s: (v, "sum") for s, v in zip(sums, value_cols)},
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(keys)
+        .aggregate(Sum("n_rows"), *[Sum(s) for s in sums])
+        .map_batches(lambda b, c=list(keys): _recast_agg(b, c, sums),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+
+
 def rollup_aggregate(ds, keys: list[str], value_cols: list[str],
                      sentinel: str = "*"):
     """``ds`` (string key columns + int64 value columns) ->
@@ -45,45 +94,7 @@ def rollup_aggregate(ds, keys: list[str], value_cols: list[str],
     out_fields += [(s, pa.int64()) for s in sums]
     out_schema = pa.schema(out_fields)
 
-    def _partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        for k in keys:
-            if batch[k].null_count:
-                # pandas groupby drops NaN groups and SQL ROLLUP would
-                # COALESCE a NULL group into the same spelling as a
-                # subtotal row — both silently wrong; demand clean keys
-                raise ValueError(
-                    f"rollup_aggregate: key column {k!r} contains nulls; "
-                    "fill or filter them before rolling up"
-                )
-        data = {k: batch[k].to_numpy(zero_copy_only=False) for k in keys}
-        for v in value_cols:
-            data[v] = batch[v].to_numpy(zero_copy_only=False).astype(np.int64)
-        df = pd.DataFrame(data)
-        g = df.groupby(keys, sort=False).agg(
-            n_rows=(value_cols[0] if value_cols else keys[0], "size"),
-            **{s: (v, "sum") for s, v in zip(sums, value_cols)},
-        ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
-
-    def _recast(batch: pa.Table, cols: list[str]) -> pa.Table:
-        out = {}
-        for k in cols:
-            out[k] = batch[k]
-        out["n_rows"] = pc.cast(batch["sum(n_rows)"], pa.int64())
-        for s in sums:
-            out[s] = pc.cast(batch[f"sum({s})"], pa.int64())
-        return pa.table(out)
-
-    # ONE wide shuffle: finest level, partials combined per key combo
-    finest = (
-        ds.map_batches(_partial, batch_format="pyarrow", batch_size=16384)
-        .groupby(keys)
-        .aggregate(Sum("n_rows"), *[Sum(s) for s in sums])
-        .map_batches(lambda b, c=list(keys): _recast(b, c), batch_format="pyarrow")
-        .materialize()  # fan-out point: every coarser level reads it
-    )
+    finest = _finest_level(ds, keys, value_cols, sums, "rollup_aggregate")
 
     def _widen(batch: pa.Table, active: list[str]) -> pa.Table:
         n = batch.num_rows
@@ -105,7 +116,7 @@ def rollup_aggregate(ds, keys: list[str], value_cols: list[str],
         cur = (
             prev.groupby(active)
             .aggregate(Sum("n_rows"), *[Sum(s) for s in sums])
-            .map_batches(lambda b, c=list(active): _recast(b, c),
+            .map_batches(lambda b, c=list(active): _recast_agg(b, c, sums),
                          batch_format="pyarrow")
             .materialize()  # tiny (distinct prefix combos); read twice
         )
@@ -135,3 +146,96 @@ def rollup_aggregate(ds, keys: list[str], value_cols: list[str],
         return batch.select(out_schema.names).cast(out_schema)
 
     return out.map_batches(_pin, batch_format="pyarrow")
+
+
+def cube_aggregate(ds, keys: list[str], value_cols: list[str],
+                   sentinel: str = "*"):
+    """``GROUP BY CUBE``: every subset of ``keys`` as a grouping set.
+
+    Same scale shape as ``rollup_aggregate`` — the raw data shuffles
+    ONCE into the finest level; all 2^k - 1 coarser sets re-aggregate
+    from that (distinct-combination-sized, pulled to the driver as
+    aggregated small data) with vectorized numpy segment sums.  ``k``
+    is capped at 4 (16 grouping sets) — a wider cube wants explicit
+    grouping sets, not this operator.
+
+    Output: (keys..., lvl = number of active keys, n_rows, sum_<v>...)
+    with rolled-up key columns carrying ``sentinel``.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if len(keys) > 4:
+        raise ValueError("cube_aggregate caps at 4 keys (16 grouping sets)")
+    import itertools
+
+    import ray
+
+    sums = [f"sum_{v}" for v in value_cols]
+    out_fields = [(k, pa.string()) for k in keys]
+    out_fields += [("lvl", pa.int64()), ("n_rows", pa.int64())]
+    out_fields += [(s, pa.int64()) for s in sums]
+    out_schema = pa.schema(out_fields)
+
+    finest = _finest_level(ds, keys, value_cols, sums, "cube_aggregate")
+    parts = list(finest.iter_batches(batch_format="pyarrow"))
+    base = pa.concat_tables(parts) if parts else None
+
+    out_tables = []
+
+    kvals = (
+        {k: base[k].to_numpy(zero_copy_only=False) for k in keys}
+        if base is not None else {}
+    )
+    vvals = (
+        {c: base[c].to_numpy(zero_copy_only=False).astype(np.int64)
+         for c in ["n_rows"] + sums}
+        if base is not None else {}
+    )
+
+    for r in range(len(keys), -1, -1):
+        for active in itertools.combinations(keys, r):
+            if base is None or base.num_rows == 0:
+                if r == 0:
+                    # SQL's () grouping set emits a zero row on empty input
+                    row = {k: pa.array([sentinel]) for k in keys}
+                    row["lvl"] = pa.array([0], pa.int64())
+                    row["n_rows"] = pa.array([0], pa.int64())
+                    for s in sums:
+                        row[s] = pa.array([0], pa.int64())
+                    out_tables.append(pa.table(row, schema=out_schema))
+                continue
+            if r == 0:
+                row = {k: pa.array([sentinel]) for k in keys}
+                row["lvl"] = pa.array([0], pa.int64())
+                row["n_rows"] = pa.array([int(vvals["n_rows"].sum())], pa.int64())
+                for s in sums:
+                    row[s] = pa.array([int(vvals[s].sum())], pa.int64())
+                out_tables.append(pa.table(row, schema=out_schema))
+                continue
+            # group the finest combos by the active subset (vectorized)
+            codes = np.zeros(base.num_rows, np.int64)
+            uniqs = []
+            for k in active:
+                u, inv = np.unique(kvals[k], return_inverse=True)
+                codes = codes * (u.size + 1) + inv
+                uniqs.append(u)
+            order = np.argsort(codes, kind="stable")
+            cs = codes[order]
+            new = np.r_[True, cs[1:] != cs[:-1]]
+            seg = np.cumsum(new) - 1
+            nseg = int(seg[-1]) + 1
+            first = order[np.flatnonzero(new)]
+            row = {}
+            for k in keys:
+                if k in active:
+                    row[k] = pa.array(kvals[k][first], pa.string())
+                else:
+                    row[k] = pa.array([sentinel] * nseg, pa.string())
+            row["lvl"] = pa.array(np.full(nseg, r, np.int64))
+            for c in ["n_rows"] + sums:
+                acc = np.zeros(nseg, np.int64)
+                np.add.at(acc, seg, vvals[c][order])
+                row[c] = pa.array(acc, pa.int64())
+            out_tables.append(pa.table(row, schema=out_schema))
+
+    return ray.data.from_arrow(pa.concat_tables(out_tables))
