@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "ripley",
     "cube",
     "json_props",
+    "feature_hash",
 ]
 
 

@@ -935,6 +935,20 @@ def q_json_props(sf_dir: str):
     )
 
 
+def q_feature_hash(sf_dir: str):
+    """Hashing-trick document vectorizer (64 buckets, md5-derived so
+    the SQL twin reproduces every bucket id): sparse (doc_id, bucket,
+    cnt) rows over the first 2000 docs."""
+    from ..stages.text import feature_hash_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 filter=pc.field("doc_id") < 2000)
+    return docs.map_batches(
+        lambda b: feature_hash_counts(b, n_buckets=64),
+        batch_format="pyarrow", batch_size=4096,
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5550,6 +5564,7 @@ QUERIES = {
     "getis_ord": q_getis_ord,
     "cube": q_cube,
     "json_props": q_json_props,
+    "feature_hash": q_feature_hash,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -7810,6 +7825,20 @@ SELECT event_type,
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
 GROUP BY 1
+"""
+
+_ORACLES_BASE["feature_hash"] = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok
+           FROM documents WHERE doc_id < 2000),
+h AS (SELECT doc_id, md5(tok) AS hd FROM t),
+b AS (SELECT doc_id,
+        CAST((SELECT SUM(CAST((strpos('0123456789abcdef', substr(hd, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16
+                             + (strpos('0123456789abcdef', substr(hd, CAST(2*j+2 AS INTEGER), 1)) - 1) AS HUGEINT)
+                         * CAST(pow(256, j) AS HUGEINT))
+              FROM range(0, 8) r(j)) % 64 AS BIGINT) AS bucket
+      FROM h)
+SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1, 2
 """
 
 _ORACLES_BASE["mad_outliers"] = """

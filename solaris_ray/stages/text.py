@@ -367,3 +367,47 @@ def split_sentences(batch: pa.Table, sep: str = ". ",
             "n_chars": pc.utf8_length(flat),
         }
     )
+
+
+def feature_hash_counts(batch: pa.Table, n_buckets: int = 64,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Hashing-trick vectorizer: (doc_id, bucket, cnt) sparse rows.
+
+    bucket = little-endian low 8 bytes of md5(token) mod ``n_buckets``
+    — the same md5 idiom as ``hash_split``, so a SQL twin reproduces
+    the buckets exactly.  Hashing runs once per DISTINCT token in the
+    batch (corpora repeat tokens heavily), then a lexsort-segment pass
+    counts (doc, bucket) pairs; no per-row Python in the fan-out.
+    """
+    trimmed = pc.utf8_trim_whitespace(batch[text_col])
+    toks = pc.split_pattern_regex(trimmed, WORD_SPLIT)
+    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    lengths = pc.list_value_length(flat).to_numpy(zero_copy_only=False)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(ids, lengths)
+    words = flat.flatten().to_numpy(zero_copy_only=False)
+    if words.size == 0:
+        return pa.schema(
+            [(id_col, pa.int64()), ("bucket", pa.int64()), ("cnt", pa.int64())]
+        ).empty_table()
+    uniq, inv = np.unique(words, return_inverse=True)
+    ub = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(w).encode()).digest()[:8], "little")
+         % n_buckets for w in uniq),
+        np.int64, count=uniq.size,
+    )
+    bucket = ub[inv]
+    o = np.lexsort((bucket, doc_of))
+    d, b = doc_of[o], bucket[o]
+    new = np.r_[True, (d[1:] != d[:-1]) | (b[1:] != b[:-1])]
+    seg = np.cumsum(new) - 1
+    cnt = np.bincount(seg).astype(np.int64)
+    starts = np.flatnonzero(new)
+    return pa.table(
+        {
+            id_col: pa.array(d[starts], pa.int64()),
+            "bucket": pa.array(b[starts], pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        }
+    )
