@@ -949,6 +949,34 @@ def q_feature_hash(sf_dir: str):
     )
 
 
+def q_geohash(sf_dir: str):
+    """Geohash spatial bucketing: 6-char hashes over the scramble point
+    cloud, count per hash — the string-keyed sibling of the zorder
+    partitioner (morton bit layout IS the geohash layout)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.zorder import geohash_encode
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def _gh(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = ((e * e) % 3200 * 7919 + e * 31) % 3200
+        y = ((e * e) % 3200 * 104729 + e * 57) % 3200
+        gh = geohash_encode(x, y, 3200, 3200, chars=6)
+        return pa.table({"gh": pa.array(gh, pa.string())})
+
+    agg = (
+        ev.map_batches(_gh, batch_format="pyarrow", batch_size=16384)
+        .groupby("gh")
+        .aggregate(Count())
+    )
+    return agg.map_batches(
+        lambda b: pa.table({"gh": b["gh"], "n": pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5565,6 +5593,7 @@ QUERIES = {
     "cube": q_cube,
     "json_props": q_json_props,
     "feature_hash": q_feature_hash,
+    "geohash": q_geohash,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -7839,6 +7868,30 @@ b AS (SELECT doc_id,
       FROM h)
 SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM b GROUP BY 1, 2
+"""
+
+_ORACLES_BASE["geohash"] = """
+WITH pts AS (SELECT
+        ((event_id*event_id) % 3200 * 7919 + event_id*31) % 3200 AS x,
+        ((event_id*event_id) % 3200 * 104729 + event_id*57) % 3200 AS y
+      FROM events),
+b AS (SELECT (x*32768)//3200 AS xb, (y*32768)//3200 AS yb FROM pts),
+c AS (SELECT CAST((SELECT SUM(
+          ((xb // CAST(pow(2, 14-j) AS BIGINT)) % 2)
+            * CAST(pow(2, 29-2*j) AS BIGINT)
+        + ((yb // CAST(pow(2, 14-j) AS BIGINT)) % 2)
+            * CAST(pow(2, 28-2*j) AS BIGINT))
+      FROM range(0, 15) r(j)) AS BIGINT) AS code
+      FROM b),
+g AS (SELECT substr(a, 1 + CAST((code//33554432) % 32 AS INT), 1)
+          || substr(a, 1 + CAST((code//1048576) % 32 AS INT), 1)
+          || substr(a, 1 + CAST((code//32768) % 32 AS INT), 1)
+          || substr(a, 1 + CAST((code//1024) % 32 AS INT), 1)
+          || substr(a, 1 + CAST((code//32) % 32 AS INT), 1)
+          || substr(a, 1 + CAST(code % 32 AS INT), 1) AS gh
+      FROM c, (SELECT '0123456789bcdefghjkmnpqrstuvwxyz' AS a))
+SELECT gh, CAST(COUNT(*) AS BIGINT) AS n
+FROM g GROUP BY 1
 """
 
 _ORACLES_BASE["mad_outliers"] = """

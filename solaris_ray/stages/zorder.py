@@ -132,3 +132,37 @@ def zorder_assign(
         )
 
     return keyed.map_batches(_assign, batch_format="pyarrow")
+
+
+_GH32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", np.uint8)
+
+
+def geohash_encode(x: np.ndarray, y: np.ndarray, x_max: int, y_max: int,
+                   chars: int = 6) -> np.ndarray:
+    """Geohash strings for integer grid coords in [0, x_max) x [0, y_max).
+
+    ``x`` plays longitude (the first / most significant interleaved
+    bit, per the geohash spec), ``y`` latitude.  ``chars`` must be
+    even (2/4/6/8) so both axes carry chars*5/2 bits and the existing
+    ``morton_key`` interleave (x on the high bit of each pair) IS the
+    geohash bit layout.  Fully vectorized: one Morton pass, one
+    alphabet gather, one (n, chars) uint8 view to strings.
+    """
+    if chars not in (2, 4, 6, 8):
+        raise ValueError("geohash_encode: chars must be even (2, 4, 6 or 8)")
+    bits = chars * 5 // 2
+    xi = np.asarray(x, np.int64)
+    yi = np.asarray(y, np.int64)
+    if xi.size and ((xi < 0).any() or (xi >= x_max).any()
+                    or (yi < 0).any() or (yi >= y_max).any()):
+        raise ValueError("geohash_encode: coords outside the stated grid")
+    scale = np.int64(1) << np.int64(bits)
+    lon = xi * scale // np.int64(x_max)
+    lat = yi * scale // np.int64(y_max)
+    code = morton_key(lon, lat, bits)
+    cols = [
+        _GH32[(code >> np.int64(5 * (chars - 1 - j))) & np.int64(31)]
+        for j in range(chars)
+    ]
+    mat = np.ascontiguousarray(np.stack(cols, axis=1))
+    return mat.view(f"S{chars}").ravel().astype(f"U{chars}")
