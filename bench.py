@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "cube",
     "json_props",
     "feature_hash",
+    "geohash",
 ]
 
 
