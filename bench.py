@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "json_props",
     "feature_hash",
     "geohash",
+    "scd2_lookup",
 ]
 
 

@@ -977,6 +977,20 @@ def q_geohash(sf_dir: str):
     )
 
 
+def q_scd2_lookup(sf_dir: str):
+    """Point-in-validity dimension lookup: every event classified by
+    the SCD2 interval (built from the same stream) valid at its
+    timestamp — the composed warehouse pattern (scd2_intervals ->
+    temporal join)."""
+    from ..stages.cdc import scd2_intervals, scd2_lookup
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    iv = scd2_intervals(ev)
+    return scd2_lookup(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"]), iv
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5594,6 +5608,7 @@ QUERIES = {
     "json_props": q_json_props,
     "feature_hash": q_feature_hash,
     "geohash": q_geohash,
+    "scd2_lookup": q_scd2_lookup,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -7892,6 +7907,30 @@ g AS (SELECT substr(a, 1 + CAST((code//33554432) % 32 AS INT), 1)
       FROM c, (SELECT '0123456789bcdefghjkmnpqrstuvwxyz' AS a))
 SELECT gh, CAST(COUNT(*) AS BIGINT) AS n
 FROM g GROUP BY 1
+"""
+
+_ORACLES_BASE["scd2_lookup"] = """
+WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+                  epoch_us(ts) AS us, event_id
+           FROM events),
+o AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY us, event_id) AS rns
+      FROM e),
+runs AS (SELECT user_id, event_type AS status, rn - rns AS grp,
+                CAST(min(us) AS BIGINT) AS from_us
+         FROM o GROUP BY 1, 2, 3),
+scd AS (SELECT user_id, status, from_us,
+               COALESCE(LEAD(from_us) OVER (PARTITION BY user_id
+                                            ORDER BY from_us), -1) AS to_us
+        FROM runs)
+SELECT e.event_id, e.user_id, CAST(e.us AS BIGINT) AS ts_us, s.status
+FROM e JOIN scd s
+  ON s.user_id = e.user_id
+ AND e.us >= s.from_us
+ AND (s.to_us = -1 OR e.us < s.to_us)
 """
 
 _ORACLES_BASE["mad_outliers"] = """

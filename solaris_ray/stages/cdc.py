@@ -171,3 +171,119 @@ def scd2_intervals(events, entity_col: str = "user_id", ts_col: str = "ts",
         .groupby("kb__")
         .map_groups(_runs, batch_format="pyarrow")
     )
+
+
+def scd2_lookup(events, intervals, entity_col: str = "user_id",
+                ts_col: str = "ts", id_col: str = "event_id",
+                n_buckets: int = 64):
+    """Temporal dimension lookup: classify each event by the SCD2
+    interval valid at its timestamp (``from_us <= ts < to_us``, open
+    intervals via ``to_us = -1``) — the warehouse point-in-validity
+    join.
+
+    One entity-bucketed co-shuffle of both sides; per bucket, interval
+    starts are binary-searched per entity segment (searchsorted
+    ``side='right'`` picks the LAST interval starting at or before the
+    event, so boundary events land in the newer interval — the same
+    half-open rule the SQL twin's range predicate encodes; zero-length
+    degenerate intervals sort first and never match).
+
+    Output: id, entity, ts_us, status.  Events before an entity's
+    first interval are dropped (no valid dimension row).
+    """
+
+    def _tag_events(batch: pa.Table) -> pa.Table:
+        ent = pc.cast(batch[entity_col], pa.int64())
+        return pa.table(
+            {
+                "ent__": ent,
+                "t__": pc.cast(batch[ts_col], pa.int64()),
+                "id__": pc.cast(batch[id_col], pa.int64()),
+                "st__": pa.array([""] * len(batch), pa.string()),
+                "kind__": pa.array(np.ones(len(batch), np.int8)),
+                "kb__": pa.array(
+                    bucket_of(ent.to_numpy(zero_copy_only=False), n_buckets)
+                ),
+            }
+        )
+
+    def _tag_intervals(batch: pa.Table) -> pa.Table:
+        ent = pc.cast(batch[entity_col], pa.int64())
+        return pa.table(
+            {
+                "ent__": ent,
+                "t__": pc.cast(batch["from_us"], pa.int64()),
+                # carry to_us in id__: only needed to order degenerate
+                # same-start intervals (open = -1 sorts as +inf)
+                "id__": pc.cast(batch["to_us"], pa.int64()),
+                "st__": pc.cast(batch["status"], pa.string()),
+                "kind__": pa.array(np.zeros(len(batch), np.int8)),
+                "kb__": pa.array(
+                    bucket_of(ent.to_numpy(zero_copy_only=False), n_buckets)
+                ),
+            }
+        )
+
+    tagged = events.map_batches(
+        _tag_events, batch_format="pyarrow", batch_size=16384
+    ).union(intervals.map_batches(_tag_intervals, batch_format="pyarrow"))
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), (entity_col, pa.int64()),
+         ("ts_us", pa.int64()), ("status", pa.string())]
+    )
+
+    def _lookup(group: pa.Table) -> pa.Table:
+        kind = group["kind__"].to_numpy(zero_copy_only=False)
+        ent = group["ent__"].to_numpy(zero_copy_only=False)
+        t = group["t__"].to_numpy(zero_copy_only=False)
+        aux = group["id__"].to_numpy(zero_copy_only=False)
+        st = group["st__"].to_numpy(zero_copy_only=False)
+        ev = kind == 1
+        if not ev.any() or ev.all():
+            return out_schema.empty_table()
+        ee, et, eid = ent[ev], t[ev], aux[ev]
+        ie, it_, ito, ist = ent[~ev], t[~ev], aux[~ev], st[~ev]
+        ito_inf = np.where(ito == -1, np.iinfo(np.int64).max, ito)
+        io = np.lexsort((ito_inf, it_, ie))
+        ie, it_, ito, ist = ie[io], it_[io], ito[io], ist[io]
+        istarts = np.flatnonzero(np.r_[True, ie[1:] != ie[:-1]])
+        iends = np.r_[istarts[1:], ie.size]
+        seg_of = {int(ie[s]): (s, e) for s, e in zip(istarts, iends)}
+        out_id, out_ent, out_ts, out_st = [], [], [], []
+        eo = np.argsort(ee, kind="stable")
+        ee, et, eid = ee[eo], et[eo], eid[eo]
+        estarts = np.flatnonzero(np.r_[True, ee[1:] != ee[:-1]])
+        eends = np.r_[estarts[1:], ee.size]
+        for s, e in zip(estarts.tolist(), eends.tolist()):
+            seg = seg_of.get(int(ee[s]))
+            if seg is None:
+                continue
+            a, b = seg
+            idx = np.searchsorted(it_[a:b], et[s:e], side="right") - 1
+            ok = idx >= 0
+            if not ok.any():
+                continue
+            gi = a + idx[ok]
+            # guard the half-open end for events inside a CLOSED
+            # interval gap (cannot happen for self-derived intervals,
+            # can for externally supplied ones)
+            to = ito[gi]
+            valid = (to == -1) | (et[s:e][ok] < to)
+            gi, sel = gi[valid], np.flatnonzero(ok)[valid]
+            out_id.append(eid[s:e][sel])
+            out_ent.append(ee[s:e][sel])
+            out_ts.append(et[s:e][sel])
+            out_st.append(ist[gi])
+        if not out_id:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                entity_col: pa.array(np.concatenate(out_ent), pa.int64()),
+                "ts_us": pa.array(np.concatenate(out_ts), pa.int64()),
+                "status": pa.array(np.concatenate(out_st), pa.string()),
+            }
+        )
+
+    return tagged.groupby("kb__").map_groups(_lookup, batch_format="pyarrow")

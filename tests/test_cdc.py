@@ -92,3 +92,43 @@ def test_scd2_tie_break_by_event_id(ray_session):
                  key=lambda r: r["event_id"] if "event_id" in r else 0)
     statuses = {r["status"]: r for r in out}
     assert statuses["early"]["to_us"] == 100 and statuses["late"]["to_us"] == -1
+
+
+def test_scd2_lookup_boundaries(ray_session):
+    from solaris_ray.stages.cdc import scd2_lookup
+
+    iv = _ds(pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "status": pa.array(["a", "b", "x"]),
+        "from_us": pa.array([100, 300, 50], pa.int64()),
+        "to_us": pa.array([300, -1, -1], pa.int64()),
+    }))
+    ev = _ds(pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([100, 299, 300, 50, 49, 1000], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+    }))
+    out = {r["event_id"]: r["status"]
+           for r in _collect(scd2_lookup(ev, iv)).to_pylist()}
+    # boundary ts=300 lands in the NEWER interval; ts 49/50 predate
+    # user 1's first interval and drop
+    assert out == {0: "a", 1: "a", 2: "b", 5: "x"}
+
+
+def test_scd2_lookup_closed_gap_drops(ray_session):
+    from solaris_ray.stages.cdc import scd2_lookup
+
+    iv = _ds(pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "status": pa.array(["a"]),
+        "from_us": pa.array([100], pa.int64()),
+        "to_us": pa.array([200], pa.int64()),
+    }))
+    ev = _ds(pa.table({
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts": pa.array([150, 250], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+    }))
+    out = {r["event_id"]: r["status"]
+           for r in _collect(scd2_lookup(ev, iv)).to_pylist()}
+    assert out == {0: "a"}  # 250 falls past the closed interval
