@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "feature_hash",
     "geohash",
     "scd2_lookup",
+    "wow_change",
+    "vocab_growth",
 ]
 
 

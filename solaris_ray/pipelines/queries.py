@@ -991,6 +991,112 @@ def q_scd2_lookup(sf_dir: str):
     )
 
 
+def q_wow_change(sf_dir: str):
+    """Week-over-week volume deltas per event type: one (type, week)
+    count shuffle, then a per-type segment shift for the previous-week
+    column (LAG-exact, integer deltas only — no ratio floats)."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    week_us = 7 * 86400 * 1_000_000
+
+    def _wk(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "week": pa.array(us // week_us, pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(_wk, batch_format="pyarrow", batch_size=16384)
+        .groupby(["event_type", "week"])
+        .aggregate(Count())
+    )
+
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("week", pa.int64()),
+         ("n", pa.int64()), ("prev_n", pa.int64()), ("delta", pa.int64())]
+    )
+
+    def _shift(group: pa.Table) -> pa.Table:
+        wk = group["week"].to_numpy(zero_copy_only=False)
+        n = group["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if wk.size == 0:
+            return out_schema.empty_table()
+        o = np.argsort(wk, kind="stable")
+        wk, n = wk[o], n[o]
+        prev = np.empty_like(n)
+        prev[0] = -1
+        prev[1:] = n[:-1]
+        # LAG is adjacency in week ORDER (gap weeks still shift), which
+        # is exactly SQL LAG over (PARTITION BY type ORDER BY week)
+        et = group["event_type"][0].as_py()
+        return pa.table(
+            {
+                "event_type": pa.array([et] * wk.size, pa.string()),
+                "week": pa.array(wk, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "prev_n": pa.array(prev, pa.int64()),
+                "delta": pa.array(np.where(prev >= 0, n - prev, 0), pa.int64()),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(
+        _shift, batch_format="pyarrow"
+    )
+
+
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary-growth curve (Heaps'-law points): distinct tokens by
+    first-seen document, bucketed per first-seen doc id with a cumulative
+    column — token -> min(doc_id) is the only shuffle; the curve
+    itself is vocabulary-sized."""
+    from ray.data.aggregate import Min
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _toks(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = pc.list_value_length(flat).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        words = flat.flatten().to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(ids, lens)
+        # per-batch partial: min doc per distinct token
+        uw, inv = np.unique(words, return_inverse=True)
+        m = np.full(uw.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(m, inv, doc_of)
+        return pa.table(
+            {"tok": pa.array(uw, pa.string()), "first_doc": pa.array(m, pa.int64())}
+        )
+
+    firsts = (
+        docs.map_batches(_toks, batch_format="pyarrow", batch_size=4096)
+        .groupby("tok")
+        .aggregate(Min("first_doc"))
+    )
+
+    parts = list(firsts.iter_batches(batch_format="pyarrow"))
+    if parts:
+        t = pa.concat_tables(parts)
+        fd = t["min(first_doc)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        fd = np.zeros(0, np.int64)
+    bucket = fd  # width 1: the synthetic vocab is tiny, finer = more curve points
+    ub, cnt = np.unique(bucket, return_counts=True)
+    cum = np.cumsum(cnt)
+    return pa.table(
+        {
+            "bucket": pa.array(ub, pa.int64()),
+            "new_tokens": pa.array(cnt.astype(np.int64), pa.int64()),
+            "cum_tokens": pa.array(cum.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5609,6 +5715,8 @@ QUERIES = {
     "feature_hash": q_feature_hash,
     "geohash": q_geohash,
     "scd2_lookup": q_scd2_lookup,
+    "wow_change": q_wow_change,
+    "vocab_growth": q_vocab_growth,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -7931,6 +8039,32 @@ FROM e JOIN scd s
   ON s.user_id = e.user_id
  AND e.us >= s.from_us
  AND (s.to_us = -1 OR e.us < s.to_us)
+"""
+
+_ORACLES_BASE["wow_change"] = """
+WITH c AS (SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+l AS (SELECT event_type, week, n,
+             COALESCE(LAG(n) OVER (PARTITION BY event_type ORDER BY week),
+                      -1) AS prev_n
+      FROM c)
+SELECT event_type, CAST(week AS BIGINT) AS week, n,
+       CAST(prev_n AS BIGINT) AS prev_n,
+       CAST(CASE WHEN prev_n >= 0 THEN n - prev_n ELSE 0 END AS BIGINT)
+         AS delta
+FROM l
+"""
+
+_ORACLES_BASE["vocab_growth"] = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+f AS (SELECT tok, MIN(doc_id) AS first_doc FROM t GROUP BY 1),
+b AS (SELECT first_doc AS bucket, CAST(COUNT(*) AS BIGINT)
+        AS new_tokens
+      FROM f GROUP BY 1)
+SELECT CAST(bucket AS BIGINT) AS bucket, new_tokens,
+       CAST(SUM(new_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens
+FROM b
 """
 
 _ORACLES_BASE["mad_outliers"] = """
