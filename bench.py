@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "scd2_lookup",
     "wow_change",
     "vocab_growth",
+    "editdist2",
 ]
 
 

@@ -1097,6 +1097,34 @@ def q_vocab_growth(sf_dir: str):
     )
 
 
+def q_editdist2(sf_dir: str):
+    """Edit-distance <= 2 self-join (generalized FastSS, 2-deletion
+    neighborhoods + exact vectorized DP verify) over planted name
+    variants: per 3-customer group a base name, a 1-substitution
+    variant and a 2-deletion variant — plus the cross-group pairs that
+    arise when group numbers differ by small digit edits (the part the
+    oracle keeps honest)."""
+    from ..stages.editdist import editdist_pairs
+
+    cust = _read(sf_dir, "customer", ["c_custkey"],
+                 filter=pc.field("c_custkey") < 600)
+
+    def _names(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = k[k < 600]
+        base = np.array([f"nm{g}xyzq" for g in (k // 3).tolist()], object)
+        r = k % 3
+        s = base.copy()
+        s[r == 1] = np.array([b[:-1] + "a" for b in base[r == 1]], object)
+        s[r == 2] = np.array([b[:-2] for b in base[r == 2]], object)
+        return pa.table(
+            {"doc_id": pa.array(k, pa.int64()), "s": pa.array(s, pa.string())}
+        )
+
+    names = cust.map_batches(_names, batch_format="pyarrow")
+    return editdist_pairs(names, k=2, max_len=16)
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5717,6 +5745,7 @@ QUERIES = {
     "scd2_lookup": q_scd2_lookup,
     "wow_change": q_wow_change,
     "vocab_growth": q_vocab_growth,
+    "editdist2": q_editdist2,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -8065,6 +8094,21 @@ b AS (SELECT first_doc AS bucket, CAST(COUNT(*) AS BIGINT)
 SELECT CAST(bucket AS BIGINT) AS bucket, new_tokens,
        CAST(SUM(new_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens
 FROM b
+"""
+
+_ORACLES_BASE["editdist2"] = """
+WITH n AS (SELECT c_custkey AS id,
+                  CASE c_custkey % 3
+                    WHEN 0 THEN 'nm' || CAST(c_custkey//3 AS VARCHAR) || 'xyzq'
+                    WHEN 1 THEN 'nm' || CAST(c_custkey//3 AS VARCHAR) || 'xyza'
+                    ELSE        'nm' || CAST(c_custkey//3 AS VARCHAR) || 'xy'
+                  END AS s
+           FROM customer WHERE c_custkey < 600)
+SELECT a.id AS id_a, b.id AS id_b
+FROM n a JOIN n b
+  ON a.id < b.id
+ AND abs(length(a.s) - length(b.s)) <= 2
+ AND levenshtein(a.s, b.s) <= 2
 """
 
 _ORACLES_BASE["mad_outliers"] = """
