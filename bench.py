@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "wow_change",
     "vocab_growth",
     "editdist2",
+    "areal_interp",
 ]
 
 

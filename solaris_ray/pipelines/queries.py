@@ -1125,6 +1125,62 @@ def q_editdist2(sf_dir: str):
     return editdist_pairs(names, k=2, max_len=16)
 
 
+def q_areal_interp(sf_dir: str):
+    """Areal interpolation (area-weighted value transfer): each
+    feature's integer value moves into overlapping tiles proportionally
+    to the clipped fraction (the clip join's partialDec), accumulated
+    in truncated micro-units so the per-tile sum is order-free int64.
+    The vector-zone sibling of raster zonal stats."""
+    from ray.data.aggregate import Count, Sum
+
+    p = _read(sf_dir, "part", ["p_partkey"])
+
+    def _tiles(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy()
+        x0 = ((k % GRID) * TILE).astype(np.float64)
+        y0 = ((k // GRID % GRID) * TILE).astype(np.float64)
+        return pa.table(
+            {
+                "tile_id": pa.array([str(int(v)) for v in k], pa.string()),
+                "image_id": pa.array([""] * len(k), pa.string()),
+                "x0": pa.array(x0),
+                "y0": pa.array(y0),
+                "x1": pa.array(x0 + TILE),
+                "y1": pa.array(y0 + TILE),
+            }
+        )
+
+    tiles = p.map_batches(_tiles, batch_format="pyarrow", batch_size=4096)
+    joined = broadcast_spatial_join(tiles, _customer_rects(sf_dir)).map_batches(
+        _join_out, batch_format="pyarrow"
+    )
+
+    def _contrib(batch: pa.Table) -> pa.Table:
+        fid = batch["feature_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        frac = batch["partialDec"].to_numpy(zero_copy_only=False)
+        val = 100 + fid % 57
+        c = np.trunc(frac * 1_000_000.0).astype(np.int64) * val
+        return pa.table(
+            {"tile_id": batch["tile_id"], "c": pa.array(c, pa.int64())}
+        )
+
+    agg = (
+        joined.map_batches(_contrib, batch_format="pyarrow")
+        .groupby("tile_id")
+        .aggregate(Count(), Sum("c"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "tile_id": b["tile_id"],
+                "n_feat": pc.cast(b["count()"], pa.int64()),
+                "value_e6": pc.cast(b["sum(c)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5746,6 +5802,7 @@ QUERIES = {
     "wow_change": q_wow_change,
     "vocab_growth": q_vocab_growth,
     "editdist2": q_editdist2,
+    "areal_interp": q_areal_interp,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -8109,6 +8166,32 @@ FROM n a JOIN n b
   ON a.id < b.id
  AND abs(length(a.s) - length(b.s)) <= 2
  AND levenshtein(a.s, b.s) <= 2
+"""
+
+_ORACLES_BASE["areal_interp"] = """
+WITH tl AS (SELECT p_partkey AS tid,
+              CAST((p_partkey % 50)*64 AS DOUBLE) AS x0,
+              CAST(((p_partkey // 50) % 50)*64 AS DOUBLE) AS y0
+       FROM part),
+f AS (SELECT c_custkey AS feature_id,
+             CAST((c_custkey*97) % 3200 AS DOUBLE) AS fcx,
+             CAST((c_custkey*71) % 3200 AS DOUBLE) AS fcy,
+             CAST(10 + c_custkey % 40 AS DOUBLE) AS hw,
+             CAST(10 + c_custkey % 23 AS DOUBLE) AS hh
+      FROM customer),
+j AS (SELECT CAST(tid AS VARCHAR) AS tile_id, feature_id,
+             (2*hw)*(2*hh) AS origarea,
+             least(fcx+hw, x0+64) - greatest(fcx-hw, x0) AS iw,
+             least(fcy+hh, y0+64) - greatest(fcy-hh, y0) AS ih
+      FROM tl JOIN f ON fcx-hw < x0+64 AND fcx+hw > x0
+                    AND fcy-hh < y0+64 AND fcy+hh > y0),
+c AS (SELECT tile_id,
+             CAST(trunc(((iw*ih)/origarea) * 1000000.0) AS BIGINT)
+               * (100 + feature_id % 57) AS contrib
+      FROM j WHERE iw > 0 AND ih > 0)
+SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+       CAST(SUM(contrib) AS BIGINT) AS value_e6
+FROM c GROUP BY 1
 """
 
 _ORACLES_BASE["mad_outliers"] = """
