@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "vocab_growth",
     "editdist2",
     "areal_interp",
+    "table_profile",
 ]
 
 

@@ -1181,6 +1181,33 @@ def q_areal_interp(sf_dir: str):
     )
 
 
+def q_table_profile(sf_dir: str):
+    """Data-profiling pass over orders: per column the exact row /
+    null / distinct counts plus min/max (value for numerics in cents,
+    byte length for strings) — per-batch np.unique partials, one
+    int-keyed bucket co-shuffle, vocabulary-sized combines
+    (stages/profile.py)."""
+    from ..stages.profile import profile_table
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+    )
+    int_cols = {
+        "o_orderkey": lambda b: b["o_orderkey"]
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+        "o_custkey": lambda b: b["o_custkey"]
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+        "o_totalprice_cents": lambda b: np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64),
+    }
+    return profile_table(
+        orders, int_cols, ["o_orderstatus", "o_orderpriority"]
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5803,6 +5830,7 @@ QUERIES = {
     "vocab_growth": q_vocab_growth,
     "editdist2": q_editdist2,
     "areal_interp": q_areal_interp,
+    "table_profile": q_table_profile,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -8192,6 +8220,38 @@ c AS (SELECT tile_id,
 SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
        CAST(SUM(contrib) AS BIGINT) AS value_e6
 FROM c GROUP BY 1
+"""
+
+_ORACLES_BASE["table_profile"] = """
+SELECT 'o_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS BIGINT) AS vmin,
+       CAST(MAX(o_orderkey) AS BIGINT) AS vmax
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS BIGINT), CAST(MAX(o_custkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice_cents', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT CAST(round(o_totalprice*100) AS BIGINT)),
+       CAST(MIN(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT),
+       CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(length(o_orderstatus)) AS BIGINT),
+       CAST(MAX(length(o_orderstatus)) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       CAST(MIN(length(o_orderpriority)) AS BIGINT),
+       CAST(MAX(length(o_orderpriority)) AS BIGINT)
+FROM orders
 """
 
 _ORACLES_BASE["mad_outliers"] = """
