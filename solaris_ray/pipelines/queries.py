@@ -33,6 +33,15 @@ TILE = 64.0
 MODW = 3200  # world is a 3200x3200 box at cell res 13 (edge 2048)
 
 
+def _scramble_xy(e):
+    """Quadratic-scramble point cloud on the 3200-grid (one definition;
+    the hull/ripley/geohash gates and their SQL twins must stay
+    bit-identical — mod-first keeps the int64 products safe)."""
+    x = ((e * e) % 3200 * 7919 + e * 31) % 3200
+    y = ((e * e) % 3200 * 104729 + e * 57) % 3200
+    return x, y
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None, filter=None):
     """read_parquet with column pruning and optional row-filter pushdown
     (pyarrow expression) so only needed columns / row groups leave
@@ -552,6 +561,8 @@ def q_tpch_q5(sf_dir: str):
     sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     sk = sup["s_suppkey"].to_numpy().astype(np.int64)
     sn = sup["s_nationkey"].to_numpy().astype(np.int64)
+    o = np.argsort(sk, kind="stable")  # searchsorted probe needs sorted keys
+    sk, sn = sk[o], sn[o]
     keep = np.isin(sn, np.array(sorted(nation_name), np.int64))
     sup_ref = ray.put((sk[keep], sn[keep]))
 
@@ -864,8 +875,7 @@ def q_ripley(sf_dir: str):
 
     def _pts(batch: pa.Table) -> pa.Table:
         e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = ((e * e) % 3200 * 7919 + e * 31) % 3200
-        y = ((e * e) % 3200 * 104729 + e * 57) % 3200
+        x, y = _scramble_xy(e)
         return pa.table(
             {"x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64())}
         )
@@ -961,8 +971,7 @@ def q_geohash(sf_dir: str):
 
     def _gh(batch: pa.Table) -> pa.Table:
         e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = ((e * e) % 3200 * 7919 + e * 31) % 3200
-        y = ((e * e) % 3200 * 104729 + e * 57) % 3200
+        x, y = _scramble_xy(e)
         gh = geohash_encode(x, y, 3200, 3200, chars=6)
         return pa.table({"gh": pa.array(gh, pa.string())})
 
@@ -4080,8 +4089,7 @@ def q_hull(sf_dir: str):
         # — a vacuous gate); e^2 mixing gives real interiors while
         # staying exactly SQL-expressible (mod-first keeps int64 safe)
         e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = ((e * e) % 3200 * 7919 + e * 31) % 3200
-        y = ((e * e) % 3200 * 104729 + e * 57) % 3200
+        x, y = _scramble_xy(e)
         cell = (x // 200) * 16 + (y // 200)
         return pa.table(
             {

@@ -204,10 +204,23 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
 
 
 def gif_decode(buf: bytes) -> np.ndarray:
-    """GIF bytes -> first frame as [Y,X,3] uint8 RGB."""
+    """GIF bytes -> first frame as [Y,X,3] uint8 RGB.
+
+    Truncated streams raise ValueError (the codec-registry contract),
+    never IndexError — actor-pool decode loops classify per-row errors.
+    """
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
+    n_buf = len(buf)
+
+    def _at(p: int) -> int:
+        if p >= n_buf:
+            raise ValueError("gif: truncated stream")
+        return buf[p]
+
     pos = 6
+    if n_buf < 13:
+        raise ValueError("gif: truncated stream")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", buf, pos)
     pos += 7
     global_table = None
@@ -215,19 +228,21 @@ def gif_decode(buf: bytes) -> np.ndarray:
         n = 2 << (packed & 0x07)
         global_table = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
-    while pos < len(buf):
+    while pos < n_buf:
         block = buf[pos]
         pos += 1
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension: label + sub-blocks
             pos += 1
-            while buf[pos]:
+            while _at(pos):
                 pos += 1 + buf[pos]
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"gif: unexpected block 0x{block:02x}")
+        if pos + 9 > n_buf:
+            raise ValueError("gif: truncated stream")
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos)
         pos += 9
         table = global_table
@@ -237,11 +252,13 @@ def gif_decode(buf: bytes) -> np.ndarray:
             pos += n * 3
         if table is None:
             raise ValueError("gif: no color table")
-        mcs = buf[pos]
+        mcs = _at(pos)
         pos += 1
         data = bytearray()
-        while buf[pos]:
+        while _at(pos):
             ln = buf[pos]
+            if pos + 1 + ln > n_buf:
+                raise ValueError("gif: truncated stream")
             data.extend(buf[pos + 1:pos + 1 + ln])
             pos += 1 + ln
         pos += 1

@@ -62,6 +62,12 @@ def merge_changes(base, changes, key_col: str, seq_col: str, op_col: str,
         if seq.size and seq.min() < 0:
             raise ValueError("change seq must be >= 0 (seq=-1 is the base sentinel)")
         ops = batch[op_col].to_pylist()
+        bad = sorted({o for o in ops if o not in ("I", "U", "D")})
+        if bad:
+            raise ValueError(
+                f"merge_changes: unknown op(s) {bad}; feed ops must be "
+                "'I', 'U' or 'D'"
+            )
         code = np.array([_OP_CODE[o] for o in ops], np.int8)
         cols = {
             key_col: k,
@@ -239,50 +245,40 @@ def scd2_lookup(events, intervals, entity_col: str = "user_id",
         t = group["t__"].to_numpy(zero_copy_only=False)
         aux = group["id__"].to_numpy(zero_copy_only=False)
         st = group["st__"].to_numpy(zero_copy_only=False)
-        ev = kind == 1
-        if not ev.any() or ev.all():
+        is_ev = kind == 1
+        if not is_ev.any() or is_ev.all():
             return out_schema.empty_table()
-        ee, et, eid = ent[ev], t[ev], aux[ev]
-        ie, it_, ito, ist = ent[~ev], t[~ev], aux[~ev], st[~ev]
-        ito_inf = np.where(ito == -1, np.iinfo(np.int64).max, ito)
-        io = np.lexsort((ito_inf, it_, ie))
-        ie, it_, ito, ist = ie[io], it_[io], ito[io], ist[io]
-        istarts = np.flatnonzero(np.r_[True, ie[1:] != ie[:-1]])
-        iends = np.r_[istarts[1:], ie.size]
-        seg_of = {int(ie[s]): (s, e) for s, e in zip(istarts, iends)}
-        out_id, out_ent, out_ts, out_st = [], [], [], []
-        eo = np.argsort(ee, kind="stable")
-        ee, et, eid = ee[eo], et[eo], eid[eo]
-        estarts = np.flatnonzero(np.r_[True, ee[1:] != ee[:-1]])
-        eends = np.r_[estarts[1:], ee.size]
-        for s, e in zip(estarts.tolist(), eends.tolist()):
-            seg = seg_of.get(int(ee[s]))
-            if seg is None:
-                continue
-            a, b = seg
-            idx = np.searchsorted(it_[a:b], et[s:e], side="right") - 1
-            ok = idx >= 0
-            if not ok.any():
-                continue
-            gi = a + idx[ok]
-            # guard the half-open end for events inside a CLOSED
-            # interval gap (cannot happen for self-derived intervals,
-            # can for externally supplied ones)
-            to = ito[gi]
-            valid = (to == -1) | (et[s:e][ok] < to)
-            gi, sel = gi[valid], np.flatnonzero(ok)[valid]
-            out_id.append(eid[s:e][sel])
-            out_ent.append(ee[s:e][sel])
-            out_ts.append(et[s:e][sel])
-            out_st.append(ist[gi])
-        if not out_id:
-            return out_schema.empty_table()
+        # one merged order, fully vectorized (no per-entity loop):
+        # (entity, t, intervals-before-events, to_inf asc) — the last
+        # interval row seen before an event row IS its covering
+        # candidate; at equal (ent, t), intervals sort first (>= start
+        # semantics) and the widest same-start interval sorts last
+        ito_inf = np.where(
+            is_ev, 0, np.where(aux == -1, np.iinfo(np.int64).max, aux)
+        )
+        order = np.lexsort((ito_inf, is_ev, t, ent))
+        ent, t, aux, st = ent[order], t[order], aux[order], st[order]
+        is_ev = is_ev[order]
+        last_iv = np.cumsum(~is_ev) - 1          # ordinal of last interval seen
+        ipos = np.flatnonzero(~is_ev)            # sorted interval row positions
+        erows = np.flatnonzero(is_ev)
+        match = last_iv[erows]
+        ok = match >= 0
+        erows, match = erows[ok], match[ok]
+        gi = ipos[match]
+        same = ent[gi] == ent[erows]             # interval of ANOTHER entity = no coverage
+        erows, gi = erows[same], gi[same]
+        to = aux[gi]
+        # half-open end guard: events in a CLOSED interval's gap drop
+        # (cannot happen for self-derived intervals, can for external)
+        valid = (to == -1) | (t[erows] < to)
+        erows, gi = erows[valid], gi[valid]
         return pa.table(
             {
-                id_col: pa.array(np.concatenate(out_id), pa.int64()),
-                entity_col: pa.array(np.concatenate(out_ent), pa.int64()),
-                "ts_us": pa.array(np.concatenate(out_ts), pa.int64()),
-                "status": pa.array(np.concatenate(out_st), pa.string()),
+                id_col: pa.array(aux[erows], pa.int64()),
+                entity_col: pa.array(ent[erows], pa.int64()),
+                "ts_us": pa.array(t[erows], pa.int64()),
+                "status": pa.array(st[gi], pa.string()),
             }
         )
 

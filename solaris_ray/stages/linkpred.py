@@ -133,8 +133,7 @@ def link_prediction_scores(edges, a_col: str = "a", b_col: str = "b",
         new = np.r_[True, (u[1:] != u[:-1]) | (w[1:] != w[:-1])]
         seg = np.cumsum(new) - 1
         nseg = int(seg[-1]) + 1
-        has_edge = np.zeros(nseg, bool)
-        np.logical_or.at(has_edge, seg, is_e.astype(bool))
+        has_edge = np.bincount(seg, weights=is_e, minlength=nseg) > 0
         cn = np.bincount(seg, weights=(is_e == 0), minlength=nseg).astype(np.int64)
         ra = np.zeros(nseg, np.int64)
         np.add.at(ra, seg, contrib)

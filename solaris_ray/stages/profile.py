@@ -120,13 +120,17 @@ def profile_table(ds, int_cols: dict, str_cols: list[str],
                 continue
             rows[name] = (int(n[m].sum()), 0, int(d[m].sum()),
                           int(mn[m].min()), int(mx[m].max()))
+    # empty input still profiles every column (n=0, NULL range — the
+    # SQL twin's COUNT/MIN semantics), not zero rows
+    for name in names:
+        rows.setdefault(name, (0, 0, 0, None, None))
 
     # string columns: per-batch distinct partials, tiny final combine
     def _str_partial(batch: pa.Table) -> pa.Table:
         codes, svs, cnts, nulls = [], [], [], []
         for ci, name in enumerate(str_cols):
             arr = np.asarray(batch[name].to_pylist(), dtype=object)
-            isnull = np.array([x is None for x in arr])
+            isnull = np.array([x is None for x in arr], dtype=bool)
             vals = arr[~isnull]
             uv, cnt = np.unique(vals.astype(str), return_counts=True)
             codes.append(np.full(uv.size, ci, np.int64))
@@ -177,6 +181,22 @@ def profile_table(ds, int_cols: dict, str_cols: list[str],
         )
         sparts = list(sds.iter_batches(batch_format="pyarrow"))
         stab = pa.concat_tables(sparts) if sparts else _SCHEMA.empty_table()
+        present = set(stab["col"].to_pylist())
+        missing = [s for s in str_cols if s not in present]
+        if missing:
+            stab = pa.concat_tables([
+                stab.select(_SCHEMA.names),
+                pa.table(
+                    {
+                        "col": pa.array(missing, pa.string()),
+                        "n": pa.array([0] * len(missing), pa.int64()),
+                        "n_null": pa.array([0] * len(missing), pa.int64()),
+                        "n_distinct": pa.array([0] * len(missing), pa.int64()),
+                        "vmin": pa.array([None] * len(missing), pa.int64()),
+                        "vmax": pa.array([None] * len(missing), pa.int64()),
+                    }
+                ),
+            ])
     else:
         stab = _SCHEMA.empty_table()
 
