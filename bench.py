@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "editdist2",
     "areal_interp",
     "table_profile",
+    "tiles_gif",
 ]
 
 

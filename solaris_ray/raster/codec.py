@@ -181,6 +181,17 @@ def encode(arr: np.ndarray, fmt: str, level: int = 4) -> bytes:
 
         if arr.ndim == 3 and arr.shape[2] == 1:
             arr = arr[:, :, 0]
+        elif arr.ndim == 3 and arr.shape[2] == 3:
+            # gray stored as identical RGB channels (the gif_decode
+            # output shape) collapses losslessly; true color would need
+            # palette quantization — refuse rather than quietly degrade
+            if not (np.array_equal(arr[:, :, 0], arr[:, :, 1])
+                    and np.array_equal(arr[:, :, 0], arr[:, :, 2])):
+                raise ValueError(
+                    "gif encode: true-color input needs a palette; "
+                    "only grayscale (equal channels) is lossless"
+                )
+            arr = arr[:, :, 0]
         return gif_encode(arr)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
