@@ -132,3 +132,16 @@ def test_scd2_lookup_closed_gap_drops(ray_session):
     out = {r["event_id"]: r["status"]
            for r in _collect(scd2_lookup(ev, iv)).to_pylist()}
     assert out == {0: "a"}  # 250 falls past the closed interval
+
+
+def test_merge_unknown_op_raises(ray_session):
+    base = _ds(pa.table({"k": pa.array([1], pa.int64()),
+                         "v": pa.array([1], pa.int64())}))
+    changes = _ds(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "seq": pa.array([2], pa.int64()),
+        "op": pa.array(["B"]),  # the internal base sentinel is not a feed op
+        "v": pa.array([5], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="unknown op"):
+        _collect(merge_changes(base, changes, "k", "seq", "op", ["v"]))

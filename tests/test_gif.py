@@ -116,3 +116,24 @@ def test_codec_dispatch():
     buf = codec.encode(img, "gif")
     dec = codec.decode(buf, "gif")
     assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_truncated_streams_raise_valueerror():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    buf = gif_encode(img)
+    for cut in (4, 12, 14, len(buf) // 2, len(buf) - 2):
+        with pytest.raises(ValueError):
+            gif_decode(buf[:cut])
+
+
+def test_codec_encode_gray_as_rgb_and_color_refused():
+    from solaris_ray.raster import codec
+
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4) * 10
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    dec = codec.decode(codec.encode(rgb, "gif"), "gif")
+    assert np.array_equal(dec[:, :, 0], g)
+    color = rgb.copy()
+    color[0, 0, 1] += 1
+    with pytest.raises(ValueError, match="palette"):
+        codec.encode(color, "gif")
