@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "areal_interp",
     "table_profile",
     "tiles_gif",
+    "diameter",
 ]
 
 

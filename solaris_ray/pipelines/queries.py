@@ -1217,6 +1217,93 @@ def q_table_profile(sf_dir: str):
     )
 
 
+def q_diameter(sf_dir: str):
+    """Double-sweep diameter lower bound: BFS from node 0, re-seed at
+    the farthest node u (max hops, min-id tie-break), BFS again —
+    ecc(u) bounds the diameter from below.  The graph is an
+    exponential-chord ring (i -- (i+2^d) % N, kept when (i*d) % 5 < 4)
+    so eccentricities are O(log N) and both the engine rounds and the
+    depth-capped recursive-CTE oracle stay shallow."""
+    import ray
+
+    from ..stages.bfs import bfs_hops
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    n_nodes = cust.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        i = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        d = 0
+        while (1 << d) < n_nodes:
+            s = i[(i * d) % 5 < 4]
+            j = (s + (1 << d)) % n_nodes
+            ok = s != j
+            srcs.append(s[ok])
+            dsts.append(j[ok])
+            srcs.append(j[ok])  # undirected: both directions
+            dsts.append(s[ok])
+            d += 1
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs), pa.int64()),
+                "dst": pa.array(np.concatenate(dsts), pa.int64()),
+            }
+        )
+
+    edges = cust.map_batches(_edges, batch_format="pyarrow")
+
+    def _argmax(hops) -> tuple[int, int, int]:
+        # distributed partial argmax: each block reduces to one row,
+        # the driver folds the block-count-sized remainder
+        def _part(batch: pa.Table) -> pa.Table:
+            h = batch["hops"].to_numpy(zero_copy_only=False)
+            nd = batch["node"].to_numpy(zero_copy_only=False)
+            if h.size == 0:
+                return pa.schema(
+                    [("h", pa.int64()), ("node", pa.int64()),
+                     ("n", pa.int64())]
+                ).empty_table()
+            hm = h.max()
+            at = nd[h == hm].min()
+            return pa.table(
+                {
+                    "h": pa.array([int(hm)], pa.int64()),
+                    "node": pa.array([int(at)], pa.int64()),
+                    "n": pa.array([h.size], pa.int64()),
+                }
+            )
+
+        parts = list(
+            hops.map_batches(_part, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+        t = pa.concat_tables(parts)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        nd = t["node"].to_numpy(zero_copy_only=False)
+        n = int(t["n"].to_numpy(zero_copy_only=False).sum())
+        hm = int(h.max())
+        return int(nd[h == hm].min()), hm, n
+
+    seed0 = ray.data.from_arrow(
+        pa.table({"node": pa.array([0], pa.int64())})
+    )
+    u, ecc_start, _ = _argmax(bfs_hops(edges, seed0))
+    seed_u = ray.data.from_arrow(
+        pa.table({"node": pa.array([u], pa.int64())})
+    )
+    v, ecc_u, n_reach = _argmax(bfs_hops(edges, seed_u))
+    return pa.table(
+        {
+            "u": pa.array([u], pa.int64()),
+            "ecc_start": pa.array([ecc_start], pa.int64()),
+            "v": pa.array([v], pa.int64()),
+            "ecc_u": pa.array([ecc_u], pa.int64()),
+            "n_reach": pa.array([n_reach], pa.int64()),
+        }
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
     """Pricing-summary style partial+final aggregate over lineitem."""
     from ray.data.aggregate import Sum
@@ -5918,6 +6005,7 @@ QUERIES = {
     "areal_interp": q_areal_interp,
     "table_profile": q_table_profile,
     "tiles_gif": q_tiles_gif,
+    "diameter": q_diameter,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -8355,6 +8443,40 @@ SELECT 'img_' || CAST(k AS VARCHAR) AS image_id,
             AS BIGINT) AS px_sum
 FROM t, range(0, 32) x(i), range(0, 32) y(i)
 GROUP BY 1, 2, 3
+"""
+
+_ORACLES_BASE["diameter"] = """
+WITH RECURSIVE
+nodes AS (SELECT CAST(c_custkey AS BIGINT) AS i FROM customer),
+n AS (SELECT COUNT(*) AS cnt FROM nodes),
+e0 AS (SELECT i AS src,
+              (i + CAST(pow(2, d.d) AS BIGINT)) % cnt AS dst
+       FROM nodes, n, range(0, 31) d(d)
+       WHERE CAST(pow(2, d.d) AS BIGINT) < cnt
+         AND (i * d.d) % 5 < 4
+         AND i <> (i + CAST(pow(2, d.d) AS BIGINT)) % cnt),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+walk1(node, h) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, w.h + 1 FROM walk1 w JOIN edges e ON e.src = w.node
+  WHERE w.h < 64
+),
+h1 AS (SELECT node, CAST(MIN(h) AS BIGINT) AS h FROM walk1 GROUP BY node),
+pick_u AS (SELECT node AS u, h AS ecc_start FROM h1
+           ORDER BY h DESC, node LIMIT 1),
+walk2(node, h) AS (
+  SELECT u, CAST(0 AS BIGINT) FROM pick_u
+  UNION
+  SELECT e.dst, w.h + 1 FROM walk2 w JOIN edges e ON e.src = w.node
+  WHERE w.h < 64
+),
+h2 AS (SELECT node, CAST(MIN(h) AS BIGINT) AS h FROM walk2 GROUP BY node),
+pick_v AS (SELECT node AS v, h AS ecc_u FROM h2
+           ORDER BY h DESC, node LIMIT 1)
+SELECT pu.u, pu.ecc_start, pv.v, pv.ecc_u,
+       CAST((SELECT COUNT(*) FROM h2) AS BIGINT) AS n_reach
+FROM pick_u pu, pick_v pv
 """
 
 _ORACLES_BASE["mad_outliers"] = """
