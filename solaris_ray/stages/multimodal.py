@@ -44,7 +44,7 @@ import pyarrow as pa
 
 from ..raster import codec
 
-NATIVE_FMTS = {"png", "qnt", "jpeg", "jpg", "tiff", "tif", "gtif"}
+NATIVE_FMTS = {"png", "qnt", "jpeg", "jpg", "tiff", "tif", "gtif", "gif"}
 STUB_FMTS: set = set()
 
 # webp self-upgrades through the system libwebp (raster/webp.py) — on
