@@ -5923,6 +5923,169 @@ def q_label_vote(sf_dir: str):
 # FIRST ~50 entries, so the window below interleaves one gate per
 # operator family (core geospatial + the dedup/CC/relational/sketch/
 # training-layout ladders) rather than listing variants back-to-back.
+# --- alternate source formats (CSV / JSONL / Arrow IPC / ORC) -------------
+# Each gate derives a sidecar twin of a parquet fixture table, reads it
+# back through the format's Ray path (sources/formats.py), and
+# aggregates to exact integers; the oracle reads the ORIGINAL parquet —
+# a hash match proves the whole read path (writer included) lossless.
+
+def _sidecar_ds(sf_dir: str, table: str, fmt: str, columns: list[str]):
+    from ..sources.formats import read_any, sidecar_path
+
+    return read_any(sidecar_path(sf_dir, table, fmt), fmt, columns=columns)
+
+
+def q_csv_source(sf_dir: str):
+    """CSV source: customer → CSV sidecar → ray.data.read_csv with
+    parser-level column pruning (ConvertOptions.include_columns) →
+    per-segment exact aggregates."""
+    from ray.data.aggregate import Sum
+
+    ds = _sidecar_ds(sf_dir, "customer", "csv",
+                     ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        seg = batch["c_mktsegment"].to_numpy(zero_copy_only=False)
+        key = batch["c_custkey"].to_numpy().astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100.0)),
+                        pa.int64()).to_numpy()
+        uniq, inv = np.unique(seg, return_inverse=True)
+        return pa.table({
+            "segment": pa.array(uniq.tolist(), pa.string()),
+            "n": np.bincount(inv).astype(np.int64),
+            "key_sum": np.bincount(inv, weights=key).astype(np.int64),
+            "bal_cents": np.bincount(inv, weights=cents).astype(np.int64),
+        })
+
+    agg = (ds.map_batches(_partial, batch_format="pyarrow", batch_size=8192)
+             .groupby("segment")
+             .aggregate(Sum("n"), Sum("key_sum"), Sum("bal_cents")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "segment": b["segment"],
+            "n": pc.cast(b["sum(n)"], pa.int64()),
+            "key_sum": pc.cast(b["sum(key_sum)"], pa.int64()),
+            "bal_cents": pc.cast(b["sum(bal_cents)"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_jsonl_source(sf_dir: str):
+    """JSONL source: events → newline-JSON sidecar (timestamps as
+    epoch µs) → ray.data.read_json → per-type exact aggregates."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _sidecar_ds(sf_dir, "events", "jsonl",
+                     ["event_id", "event_type", "ts_us", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy().astype(np.int64)
+        ts = batch["ts_us"].to_numpy().astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                        pa.int64()).to_numpy()
+        uniq, inv = np.unique(et, return_inverse=True)
+        mx = np.full(uniq.size, np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, ts)
+        return pa.table({
+            "event_type": pa.array(uniq.tolist(), pa.string()),
+            "n": np.bincount(inv).astype(np.int64),
+            "id_sum": np.bincount(inv, weights=eid).astype(np.int64),
+            "max_ts_us": mx,
+            "val_cents": np.bincount(inv, weights=cents).astype(np.int64),
+        })
+
+    agg = (ds.map_batches(_partial, batch_format="pyarrow", batch_size=8192)
+             .groupby("event_type")
+             .aggregate(Sum("n"), Sum("id_sum"), Max("max_ts_us"),
+                        Sum("val_cents")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": pc.cast(b["sum(n)"], pa.int64()),
+            "id_sum": pc.cast(b["sum(id_sum)"], pa.int64()),
+            "max_ts_us": pc.cast(b["max(max_ts_us)"], pa.int64()),
+            "val_cents": pc.cast(b["sum(val_cents)"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_orc_source(sf_dir: str):
+    """ORC source: lineitem → multi-stripe ORC sidecar → stripe-
+    parallel OrcDatasource with column pruning → Q1-style exact
+    aggregates per return flag."""
+    from ray.data.aggregate import Sum
+
+    ds = _sidecar_ds(sf_dir, "lineitem", "orc",
+                     ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rf = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy().astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)),
+                        pa.int64()).to_numpy()
+        uniq, inv = np.unique(rf, return_inverse=True)
+        return pa.table({
+            "l_returnflag": pa.array(uniq.tolist(), pa.string()),
+            "n": np.bincount(inv).astype(np.int64),
+            "sum_qty": np.bincount(inv, weights=qty).astype(np.int64),
+            "price_cents": np.bincount(inv, weights=cents).astype(np.int64),
+        })
+
+    agg = (ds.map_batches(_partial, batch_format="pyarrow", batch_size=8192)
+             .groupby("l_returnflag")
+             .aggregate(Sum("n"), Sum("sum_qty"), Sum("price_cents")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": pc.cast(b["sum(n)"], pa.int64()),
+            "sum_qty": pc.cast(b["sum(sum_qty)"], pa.int64()),
+            "price_cents": pc.cast(b["sum(price_cents)"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_ipc_source(sf_dir: str):
+    """Arrow IPC source: orders → Feather-v2 sidecar (512-row record
+    batches) → batch-streaming IpcDatasource with column pruning →
+    per-priority exact aggregates."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _sidecar_ds(sf_dir, "orders", "ipc",
+                     ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pri = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        key = batch["o_orderkey"].to_numpy().astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)),
+                        pa.int64()).to_numpy()
+        uniq, inv = np.unique(pri, return_inverse=True)
+        mx = np.full(uniq.size, np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, key)
+        return pa.table({
+            "priority": pa.array(uniq.tolist(), pa.string()),
+            "n": np.bincount(inv).astype(np.int64),
+            "max_key": mx,
+            "price_cents": np.bincount(inv, weights=cents).astype(np.int64),
+        })
+
+    agg = (ds.map_batches(_partial, batch_format="pyarrow", batch_size=8192)
+             .groupby("priority")
+             .aggregate(Sum("n"), Max("max_key"), Sum("price_cents")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "priority": b["priority"],
+            "n": pc.cast(b["sum(n)"], pa.int64()),
+            "max_key": pc.cast(b["max(max_key)"], pa.int64()),
+            "price_cents": pc.cast(b["sum(price_cents)"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     # --- driver correctness window (first ~50): one gate per family;
     # gates rotated out below were driver-green in earlier rounds and
@@ -6006,6 +6169,10 @@ QUERIES = {
     "table_profile": q_table_profile,
     "tiles_gif": q_tiles_gif,
     "diameter": q_diameter,
+    "csv_source": q_csv_source,
+    "jsonl_source": q_jsonl_source,
+    "orc_source": q_orc_source,
+    "ipc_source": q_ipc_source,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -9779,6 +9946,37 @@ p AS (SELECT z.point_id, z.zkey,
 SELECT CAST(point_id AS BIGINT) AS point_id, zkey,
        CAST(part AS BIGINT) AS part
 FROM p ORDER BY point_id
+"""
+
+_ORACLES_BASE["csv_source"] = """
+SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer GROUP BY 1
+"""
+
+_ORACLES_BASE["jsonl_source"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS val_cents
+FROM events GROUP BY 1
+"""
+
+_ORACLES_BASE["orc_source"] = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem GROUP BY 1
+"""
+
+_ORACLES_BASE["ipc_source"] = """
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders GROUP BY 1
 """
 
 ORACLES.update(_ORACLES_BASE)
