@@ -5923,6 +5923,27 @@ def q_label_vote(sf_dir: str):
 # FIRST ~50 entries, so the window below interleaves one gate per
 # operator family (core geospatial + the dedup/CC/relational/sketch/
 # training-layout ladders) rather than listing variants back-to-back.
+def q_sobel_edges(sf_dir: str):
+    """Per-image Sobel gradient stats (texture screen): real PNG
+    decode on the Ray side, closed-form 3x3 convolution over the pixel
+    formula on the SQL side — exact integer gradient mass / max /
+    edge-pixel count."""
+    from ..stages.edges import sobel_stats
+
+    images = _formula_gray_images(sf_dir, limit=200, fixed_size=64)
+    return sobel_stats(images).sort("image_id")
+
+
+def q_otsu(sf_dir: str):
+    """Per-image Otsu threshold, exact: between-class variance ranked
+    as the micro-unit integer fraction num^2*1e6//den (arbitrary-
+    precision engine-side, HUGEINT SQL-side), smallest-t tie-break."""
+    from ..stages.edges import otsu_threshold
+
+    images = _formula_gray_images(sf_dir, limit=200, fixed_size=128)
+    return otsu_threshold(images).sort("image_id")
+
+
 # --- alternate source formats (CSV / JSONL / Arrow IPC / ORC) -------------
 # Each gate derives a sidecar twin of a parquet fixture table, reads it
 # back through the format's Ray path (sources/formats.py), and
@@ -6173,6 +6194,8 @@ QUERIES = {
     "jsonl_source": q_jsonl_source,
     "orc_source": q_orc_source,
     "ipc_source": q_ipc_source,
+    "sobel_edges": q_sobel_edges,
+    "otsu": q_otsu,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -9946,6 +9969,63 @@ p AS (SELECT z.point_id, z.zkey,
 SELECT CAST(point_id AS BIGINT) AS point_id, zkey,
        CAST(part AS BIGINT) AS part
 FROM p ORDER BY point_id
+"""
+
+_ORACLES_BASE["sobel_edges"] = """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 200),
+c AS (SELECT i FROM range(1, 63) r(i)),
+g AS (SELECT p,
+        ((((cx.i+1)*7 + (cy.i-1)*13 + p*31) % 251)
+         + 2*(((cx.i+1)*7 + cy.i*13 + p*31) % 251)
+         + (((cx.i+1)*7 + (cy.i+1)*13 + p*31) % 251)
+         - (((cx.i-1)*7 + (cy.i-1)*13 + p*31) % 251)
+         - 2*(((cx.i-1)*7 + cy.i*13 + p*31) % 251)
+         - (((cx.i-1)*7 + (cy.i+1)*13 + p*31) % 251)) AS gx,
+        ((((cx.i-1)*7 + (cy.i+1)*13 + p*31) % 251)
+         + 2*((cx.i*7 + (cy.i+1)*13 + p*31) % 251)
+         + (((cx.i+1)*7 + (cy.i+1)*13 + p*31) % 251)
+         - (((cx.i-1)*7 + (cy.i-1)*13 + p*31) % 251)
+         - 2*((cx.i*7 + (cy.i-1)*13 + p*31) % 251)
+         - (((cx.i+1)*7 + (cy.i-1)*13 + p*31) % 251)) AS gy
+      FROM img, c cx, c cy)
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(SUM(abs(gx) + abs(gy)) AS BIGINT) AS g_sum,
+       CAST(MAX(abs(gx) + abs(gy)) AS BIGINT) AS g_max,
+       CAST(SUM(CASE WHEN abs(gx) + abs(gy) >= 128 THEN 1 ELSE 0 END)
+            AS BIGINT) AS edge_px
+FROM g GROUP BY 1 ORDER BY image_id
+"""
+
+_ORACLES_BASE["otsu"] = """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 200),
+px AS (SELECT i FROM range(0, 128) r(i)),
+v AS (SELECT p, ((rx.i*7 + ry.i*13 + p*31) % 251) AS val
+      FROM img, px rx, px ry),
+h AS (SELECT p, val, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+w AS (SELECT p, val,
+        SUM(c) OVER (PARTITION BY p ORDER BY val
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n0,
+        SUM(c * val) OVER (PARTITION BY p ORDER BY val
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0
+      FROM h),
+stot AS (SELECT p, CAST(SUM(c * val) AS BIGINT) AS s FROM h GROUP BY 1),
+sc2 AS (SELECT w.p, w.val AS t, w.n0, w.s0,
+          (CAST(w.s0 AS HUGEINT)*16384 - CAST(stot.s AS HUGEINT)*w.n0)
+            AS num
+        FROM w JOIN stot ON stot.p = w.p
+        WHERE w.n0 > 0 AND w.n0 < 16384),
+scored AS (SELECT p, t, n0, s0,
+             num*num*1000000 // (CAST(n0 AS HUGEINT)*(16384 - n0)) AS score
+           FROM sc2),
+best AS (SELECT p, MIN(t) AS t FROM scored s1
+         WHERE score = (SELECT MAX(score) FROM scored s2 WHERE s2.p = s1.p)
+         GROUP BY 1)
+SELECT 'img_' || CAST(b.p AS VARCHAR) AS image_id,
+       CAST(b.t AS BIGINT) AS otsu_t,
+       CAST(s.n0 AS BIGINT) AS n_below,
+       CAST(s.s0 AS BIGINT) AS sum_below
+FROM best b JOIN scored s ON s.p = b.p AND s.t = b.t
+ORDER BY image_id
 """
 
 _ORACLES_BASE["csv_source"] = """
