@@ -5923,6 +5923,46 @@ def q_label_vote(sf_dir: str):
 # FIRST ~50 entries, so the window below interleaves one gate per
 # operator family (core geospatial + the dedup/CC/relational/sketch/
 # training-layout ladders) rather than listing variants back-to-back.
+def q_target_encode(sf_dir: str):
+    """Smoothed mean-target encoding of event_type (m=20): exact
+    integer (cnt, pos) per category; the only float is the final
+    smoothing expression, identical on both sides, 6-dp round."""
+    from ..stages.encode import target_encode
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _bin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hit": pc.cast(pc.greater_equal(batch["value"], 50.0), pa.int64()),
+        })
+
+    return target_encode(
+        ev.map_batches(_bin, batch_format="pyarrow", batch_size=8192),
+        "event_type", "hit", m=20.0,
+    )
+
+
+def q_calibration(sf_dir: str):
+    """Reliability-diagram counts for the deterministic md5 micro-unit
+    scorer vs the click label — exact integer (n, pos, score_sum) per
+    decile bin."""
+    from ..stages.encode import reliability_bins
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def _lab(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "label": pc.cast(pc.equal(batch["event_type"], "click"), pa.int64()),
+        })
+
+    return reliability_bins(
+        ev.map_batches(_lab, batch_format="pyarrow", batch_size=8192),
+        "event_id", "label", n_bins=10, salt="cal",
+    )
+
+
 def q_sobel_edges(sf_dir: str):
     """Per-image Sobel gradient stats (texture screen): real PNG
     decode on the Ray side, closed-form 3x3 convolution over the pixel
@@ -6196,6 +6236,8 @@ QUERIES = {
     "ipc_source": q_ipc_source,
     "sobel_edges": q_sobel_edges,
     "otsu": q_otsu,
+    "target_encode": q_target_encode,
+    "calibration": q_calibration,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -9969,6 +10011,36 @@ p AS (SELECT z.point_id, z.zkey,
 SELECT CAST(point_id AS BIGINT) AS point_id, zkey,
        CAST(part AS BIGINT) AS part
 FROM p ORDER BY point_id
+"""
+
+_ORACLES_BASE["target_encode"] = """
+WITH s AS (SELECT event_type AS cat, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(SUM(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS pos
+           FROM events GROUP BY 1),
+g AS (SELECT SUM(cnt) AS gc, SUM(pos) AS gp FROM s)
+SELECT cat, cnt, pos,
+       round((pos + 20.0 * (gp / CAST(gc AS DOUBLE))) / (cnt + 20.0), 6)
+         AS enc6
+FROM s, g
+"""
+
+_ORACLES_BASE["calibration"] = """
+WITH h AS (SELECT event_id, event_type,
+                  md5('cal' || CAST(event_id AS VARCHAR)) AS hd
+           FROM events),
+s AS (SELECT event_type,
+        CAST((SELECT SUM(CAST((strpos('0123456789abcdef', substr(hd, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16
+                             + (strpos('0123456789abcdef', substr(hd, CAST(2*j+2 AS INTEGER), 1)) - 1) AS HUGEINT)
+                         * CAST(pow(256, j) AS HUGEINT))
+              FROM range(0, 8) r(j)) % 1000000 AS BIGINT) AS sc
+      FROM h)
+SELECT CAST(sc*10//1000000 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS pos,
+       CAST(SUM(sc) AS BIGINT) AS score_sum
+FROM s GROUP BY 1
 """
 
 _ORACLES_BASE["sobel_edges"] = """
