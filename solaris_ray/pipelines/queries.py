@@ -5923,6 +5923,32 @@ def q_label_vote(sf_dir: str):
 # FIRST ~50 entries, so the window below interleaves one gate per
 # operator family (core geospatial + the dedup/CC/relational/sketch/
 # training-layout ladders) rather than listing variants back-to-back.
+def q_dominance(sf_dir: str):
+    """Per-event dominance count (#earlier events with strictly higher
+    value) — the IEJoin-class two-inequality self-join as a per-row
+    aggregate, exact via P×Q bucket matrix + two co-shuffled kernels.
+    Gated on a bounded slice (the pair relation is intrinsically
+    quadratic for the SQL twin); the operator itself streams."""
+    from ..stages.dominance import dominance_counts
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"],
+               filter=pc.field("event_id") < 5000)
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "t_us": pc.cast(batch["ts"], pa.int64()),
+            "cents": pc.cast(
+                pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
+                pa.int64()),
+        })
+
+    return dominance_counts(
+        ev.map_batches(_derive, batch_format="pyarrow", batch_size=8192),
+        "event_id", "t_us", "cents",
+    )
+
+
 def q_target_encode(sf_dir: str):
     """Smoothed mean-target encoding of event_type (m=20): exact
     integer (cnt, pos) per category; the only float is the final
@@ -6238,6 +6264,7 @@ QUERIES = {
     "otsu": q_otsu,
     "target_encode": q_target_encode,
     "calibration": q_calibration,
+    "dominance": q_dominance,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10011,6 +10038,15 @@ p AS (SELECT z.point_id, z.zkey,
 SELECT CAST(point_id AS BIGINT) AS point_id, zkey,
        CAST(part AS BIGINT) AS part
 FROM p ORDER BY point_id
+"""
+
+_ORACLES_BASE["dominance"] = """
+WITH e AS (SELECT event_id, epoch_us(ts) AS t,
+                  CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+           FROM events WHERE event_id < 5000)
+SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
+FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
+GROUP BY 1
 """
 
 _ORACLES_BASE["target_encode"] = """
