@@ -5949,6 +5949,30 @@ def q_dominance(sf_dir: str):
     )
 
 
+def q_kendall(sf_dir: str):
+    """Exact Kendall tau-b between event time and value on the bounded
+    slice: discordant mass from the dominance machinery, tie masses
+    from three tiny groupbys, concordant by complement."""
+    from ..stages.dominance import kendall_tau
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"],
+               filter=pc.field("event_id") < 5000)
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "t_us": pc.cast(batch["ts"], pa.int64()),
+            "cents": pc.cast(
+                pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
+                pa.int64()),
+        })
+
+    return kendall_tau(
+        ev.map_batches(_derive, batch_format="pyarrow", batch_size=8192),
+        "event_id", "t_us", "cents",
+    )
+
+
 def q_target_encode(sf_dir: str):
     """Smoothed mean-target encoding of event_type (m=20): exact
     integer (cnt, pos) per category; the only float is the final
@@ -6265,6 +6289,7 @@ QUERIES = {
     "target_encode": q_target_encode,
     "calibration": q_calibration,
     "dominance": q_dominance,
+    "kendall": q_kendall,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10047,6 +10072,30 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["kendall"] = """
+WITH e AS MATERIALIZED (
+  SELECT event_id, epoch_us(ts) AS t,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_id < 5000),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d
+       FROM e a JOIN e b ON b.t < a.t AND b.v > a.v),
+tt AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT) AS tt
+       FROM (SELECT COUNT(*) AS c FROM e GROUP BY t)),
+tv AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT) AS tv
+       FROM (SELECT COUNT(*) AS c FROM e GROUP BY v)),
+ttv AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT) AS ttv
+        FROM (SELECT COUNT(*) AS c FROM e GROUP BY t, v)),
+agg AS (SELECT n, n*(n-1)//2 AS pairs, d, tt, tv, ttv,
+               n*(n-1)//2 - tt - tv + ttv - d AS c
+        FROM nn, dd, tt, tv, ttv)
+SELECT n, CAST(c AS BIGINT) AS concordant, d AS discordant,
+       tt AS ties_t, tv AS ties_v, ttv AS ties_tv,
+       round((c - d) / sqrt(CAST(pairs - tt AS DOUBLE)
+                            * CAST(pairs - tv AS DOUBLE)), 6) AS tau6
+FROM agg
 """
 
 _ORACLES_BASE["target_encode"] = """

@@ -101,6 +101,62 @@ def _cross_bucket_counts(p: np.ndarray, ids: np.ndarray, v: np.ndarray):
     return out
 
 
+def kendall_tau(ds, id_col: str, t_col: str, v_col: str,
+                n_tbuckets: int = 16, n_vbuckets: int = 16):
+    """Exact Kendall tau-b between two integer columns, distributed.
+
+    Discordant pairs come from ``dominance_counts`` (each discordant
+    pair — strict t difference, opposite-strict v — is counted exactly
+    once from its later-t endpoint); tie masses are three tiny
+    groupby-count aggregates; concordant pairs fall out by pair-space
+    complement.  The only float is the final tau expression, 6-dp
+    rounded — SQL-twin-identical on identical int64 operands.
+
+    -> one row: (n, concordant, discordant, ties_t, ties_v, ties_tv,
+    tau6).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def _c2(counts: np.ndarray) -> int:
+        c = counts.astype(np.int64)
+        return int((c * (c - 1) // 2).sum())
+
+    def _tie_mass(keyed, cols):
+        grp = keyed.groupby(cols).aggregate(Count())
+        t = grp.to_pandas()
+        return _c2(t["count()"].to_numpy())
+
+    base = ds.map_batches(
+        lambda b: pa.table({
+            "id": pc.cast(b[id_col], pa.int64()),
+            "t": pc.cast(b[t_col], pa.int64()),
+            "v": pc.cast(b[v_col], pa.int64()),
+        }),
+        batch_format="pyarrow", batch_size=65536,
+    ).materialize()
+
+    n = base.count()
+    pairs = n * (n - 1) // 2
+    tt = _tie_mass(base, "t")
+    tv = _tie_mass(base, "v")
+    ttv = _tie_mass(base, ["t", "v"])
+    dom = dominance_counts(base, "id", "t", "v",
+                           n_tbuckets=n_tbuckets, n_vbuckets=n_vbuckets)
+    d = int(dom.aggregate(Sum("dom"))["sum(dom)"])
+    c = pairs - tt - tv + ttv - d
+    denom = float(pairs - tt) * float(pairs - tv)
+    tau = round((c - d) / np.sqrt(denom), 6) if denom > 0 else 0.0
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "concordant": pa.array([c], pa.int64()),
+        "discordant": pa.array([d], pa.int64()),
+        "ties_t": pa.array([tt], pa.int64()),
+        "ties_v": pa.array([tv], pa.int64()),
+        "ties_tv": pa.array([ttv], pa.int64()),
+        "tau6": pa.array([tau], pa.float64()),
+    })
+
+
 def dominance_counts(ds, id_col: str, t_col: str, v_col: str,
                      n_tbuckets: int = 16, n_vbuckets: int = 16):
     """-> (id, dom) — for every row, the exact count of rows strictly

@@ -70,3 +70,30 @@ def test_dominance_reverse_sorted_is_index(ray_session):
     )
     out = dominance_counts(ds, "id", "t", "v").to_pandas().sort_values("id")
     assert (out["dom"].to_numpy() == np.arange(n)).all()
+
+
+def test_kendall_tau_matches_bruteforce(ray_session):
+    from solaris_ray.stages.dominance import kendall_tau
+
+    rng = np.random.default_rng(11)
+    n = 400
+    t = rng.integers(0, 80, n)
+    v = (t * 3 + rng.integers(0, 60, n)).astype(np.int64)  # positive trend
+    ds = __import__("ray").data.from_arrow(
+        pa.table({"id": np.arange(n), "t": t, "v": v})
+    )
+    out = kendall_tau(ds, "id", "t", "v").to_pandas().iloc[0]
+    # quadratic reference
+    dt = t[:, None] - t[None, :]
+    dv = v[:, None] - v[None, :]
+    iu = np.triu_indices(n, 1)
+    s = np.sign(dt[iu]) * np.sign(dv[iu])
+    c, d = int((s > 0).sum()), int((s < 0).sum())
+    tt = int((dt[iu] == 0).sum())
+    tv_ = int((dv[iu] == 0).sum())
+    pairs = n * (n - 1) // 2
+    tau = round((c - d) / np.sqrt(float(pairs - tt) * float(pairs - tv_)), 6)
+    assert out["concordant"] == c and out["discordant"] == d
+    assert out["ties_t"] == tt and out["ties_v"] == tv_
+    assert out["tau6"] == tau
+    assert out["tau6"] > 0.5  # the planted trend is visible
