@@ -5949,6 +5949,30 @@ def q_dominance(sf_dir: str):
     )
 
 
+def q_ema(sf_dir: str):
+    """Per-user exponential moving average (α=1/4) over event values in
+    exact integer cents — time-major vectorized recurrence, one user
+    co-shuffle; the recursive-CTE oracle replays it bit-for-bit."""
+    from ..stages.ema import ema_final
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "t_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "cents": pc.cast(
+                pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
+                pa.int64()),
+        })
+
+    return ema_final(
+        ev.map_batches(_derive, batch_format="pyarrow", batch_size=8192),
+        "user_id", "t_us", "event_id", "cents", shift=2,
+    ).sort("key")
+
+
 def q_kendall(sf_dir: str):
     """Exact Kendall tau-b between event time and value on the bounded
     slice: discordant mass from the dominance machinery, tie masses
@@ -6290,6 +6314,7 @@ QUERIES = {
     "calibration": q_calibration,
     "dominance": q_dominance,
     "kendall": q_kendall,
+    "ema": q_ema,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10072,6 +10097,23 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["ema"] = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS key,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events),
+s(key, rn, v) AS (
+  SELECT key, CAST(1 AS BIGINT) AS rn, x AS v FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.key, CAST(e.rn AS BIGINT), (3*s.v + e.x) // 4
+  FROM s JOIN e ON e.key = s.key AND e.rn = s.rn + 1)
+SELECT key, CAST(MAX(rn) AS BIGINT) AS n,
+       CAST(arg_max(v, rn) AS BIGINT) AS ema
+FROM s GROUP BY key ORDER BY key
 """
 
 _ORACLES_BASE["kendall"] = """
