@@ -5949,6 +5949,39 @@ def q_dominance(sf_dir: str):
     )
 
 
+def q_harmonic(sf_dir: str):
+    """Sampled-source harmonic centrality over the exponential-chord
+    ring (the diameter gate's O(log N)-eccentricity graph): exact
+    micro-unit 1e6//d mass per (source, node), sources at every key
+    divisible by 97."""
+    from ..stages.harmonic import harmonic_centrality
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    n_nodes = cust.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        i = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        d = 0
+        while (1 << d) < n_nodes:
+            s = i[(i * d) % 5 < 4]
+            j = (s + (1 << d)) % n_nodes
+            ok = s != j
+            srcs.append(s[ok])
+            dsts.append(j[ok])
+            srcs.append(j[ok])  # undirected
+            dsts.append(s[ok])
+            d += 1
+        return pa.table({
+            "src": pa.array(np.concatenate(srcs), pa.int64()),
+            "dst": pa.array(np.concatenate(dsts), pa.int64()),
+        })
+
+    edges = cust.map_batches(_edges, batch_format="pyarrow")
+    sources = list(range(0, n_nodes, 97))
+    return harmonic_centrality(edges, sources).sort("node")
+
+
 def q_ema(sf_dir: str):
     """Per-user exponential moving average (α=1/4) over event values in
     exact integer cents — time-major vectorized recurrence, one user
@@ -6315,6 +6348,7 @@ QUERIES = {
     "dominance": q_dominance,
     "kendall": q_kendall,
     "ema": q_ema,
+    "harmonic": q_harmonic,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10097,6 +10131,29 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["harmonic"] = """
+WITH RECURSIVE
+nodes AS (SELECT CAST(c_custkey AS BIGINT) AS i FROM customer),
+n AS (SELECT COUNT(*) AS cnt FROM nodes),
+e0 AS (SELECT i AS src,
+              (i + CAST(pow(2, d.d) AS BIGINT)) % cnt AS dst
+       FROM nodes, n, range(0, 31) d(d)
+       WHERE CAST(pow(2, d.d) AS BIGINT) < cnt
+         AND (i * d.d) % 5 < 4
+         AND i <> (i + CAST(pow(2, d.d) AS BIGINT)) % cnt),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+seeds AS (SELECT i AS s FROM nodes WHERE i % 97 = 0),
+sp(s, node, d) AS (
+  SELECT s, s, CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM sp w JOIN edges e ON e.src = w.node
+  WHERE w.d < 64),
+m AS (SELECT s, node, MIN(d) AS d FROM sp GROUP BY 1, 2)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(1000000 // d) AS BIGINT) AS h_micro
+FROM m WHERE d > 0 GROUP BY 1 ORDER BY node
 """
 
 _ORACLES_BASE["ema"] = """
