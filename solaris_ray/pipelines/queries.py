@@ -5949,6 +5949,133 @@ def q_dominance(sf_dir: str):
     )
 
 
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume customers): lineitem pre-aggregated per
+    orderkey inside map_batches, HAVING-filtered to the hot set, then
+    two engine hash joins (orders, customer).  All money exact cents."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_orderkey"].to_numpy().astype(np.int64)
+        q = batch["l_quantity"].to_numpy().astype(np.int64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        return pa.table({
+            "okey": pa.array(uniq, pa.int64()),
+            "qty": np.bincount(inv, weights=q).astype(np.int64),
+        })
+
+    hot = (
+        li.map_batches(_partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("okey").aggregate(Sum("qty"))
+        .map_batches(
+            lambda b: pa.table({
+                "okey": b["okey"],
+                "sum_qty": pc.cast(b["sum(qty)"], pa.int64()),
+            }),
+            batch_format="pyarrow")
+        .filter(expr="sum_qty > 300")
+    )
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "date_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "price_cents": pc.cast(
+                pc.round(pc.multiply(batch["o_totalprice"], 100.0)),
+                pa.int64()),
+        })
+
+    j1 = hash_join(hot, orders.map_batches(_ord, batch_format="pyarrow"),
+                   "okey", "o_orderkey", how="inner")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j2 = hash_join(j1, cust, "o_custkey", "c_custkey", how="inner")
+    return j2.map_batches(
+        lambda b: b.select(["c_name", "c_custkey", "o_orderkey", "date_us",
+                            "price_cents", "sum_qty"]),
+        batch_format="pyarrow",
+    ).sort(key=["price_cents", "o_orderkey"], descending=[True, False])
+
+
+def q_clustering_coef(sf_dir: str):
+    """Per-node local clustering coefficient on the triangles gate's
+    ring-with-chords graph: 2·tri / (deg·(deg−1)) — triangle counts
+    from the degree-ordered node-iterator, distinct-neighbor degrees
+    from one co-shuffle, hash-joined; exact ints plus the 6-dp float
+    both sides evaluate identically."""
+    from ray.data.aggregate import Count
+
+    from ..stages.relational import hash_join
+    from ..stages.triangles import triangle_counts
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    n_nodes = cust.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        i = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xs, ys = [], []
+        for d in (1, 2, 3):
+            j = (i + d) % n_nodes
+            ok = i != j
+            xs.append(i[ok])
+            ys.append(j[ok])
+        return pa.table({
+            "a": pa.array(np.concatenate(xs), pa.int64()),
+            "b": pa.array(np.concatenate(ys), pa.int64()),
+        })
+
+    edges = cust.map_batches(_edges, batch_format="pyarrow")
+    tri = triangle_counts(edges)
+
+    # distinct-neighbor degree: emit both directions, count per node
+    def _dual(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    deg = (
+        edges.map_batches(_dual, batch_format="pyarrow")
+        .groupby(["node", "nbr"]).aggregate(Count())
+        .groupby("node").aggregate(Count())
+        .map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "deg": pc.cast(t["count()"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    joined = hash_join(
+        tri.map_batches(
+            lambda t: pa.table({"tnode": t["node"], "tri": t["tri_cnt"]}),
+            batch_format="pyarrow"),
+        deg, "tnode", "node", how="inner",
+    )
+
+    def _coef(b: pa.Table) -> pa.Table:
+        tri_n = b["tri"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        coef = np.where(d >= 2, np.round(2.0 * tri_n / (d * (d - 1.0)), 6), 0.0)
+        return pa.table({
+            "node": pc.cast(b["node"], pa.int64()),
+            "tri": pa.array(tri_n, pa.int64()),
+            "deg": pa.array(d, pa.int64()),
+            "coef6": pa.array(coef, pa.float64()),
+        })
+
+    return joined.map_batches(_coef, batch_format="pyarrow").sort("node")
+
+
 def q_harmonic(sf_dir: str):
     """Sampled-source harmonic centrality over the exponential-chord
     ring (the diameter gate's O(log N)-eccentricity graph): exact
@@ -6349,6 +6476,8 @@ QUERIES = {
     "kendall": q_kendall,
     "ema": q_ema,
     "harmonic": q_harmonic,
+    "clustering_coef": q_clustering_coef,
+    "tpch_q18": q_tpch_q18,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10131,6 +10260,42 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["tpch_q18"] = """
+WITH hot AS (SELECT l_orderkey AS okey,
+                    CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+             FROM lineitem GROUP BY 1
+             HAVING SUM(l_quantity) > 300)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS date_us,
+       CAST(round(o.o_totalprice*100) AS BIGINT) AS price_cents,
+       hot.sum_qty
+FROM hot
+JOIN orders o ON o.o_orderkey = hot.okey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+_ORACLES_BASE["clustering_coef"] = """
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+v AS (SELECT CAST(c_custkey AS BIGINT) AS i FROM customer),
+raw AS (SELECT i AS x, (i + d) % nn.n AS y FROM v, nn, range(1, 4) r(d)),
+e AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+      FROM raw WHERE x <> y),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+t3 AS (SELECT x AS node FROM tri
+       UNION ALL SELECT y FROM tri
+       UNION ALL SELECT z FROM tri),
+tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM t3 GROUP BY 1),
+nb AS (SELECT a AS node, b AS nbr FROM e UNION SELECT b, a FROM e),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM nb GROUP BY 1)
+SELECT tc.node, tc.tri, deg.deg,
+       round(2.0*tc.tri / (deg.deg*(deg.deg - 1.0)), 6) AS coef6
+FROM tc JOIN deg ON deg.node = tc.node
+ORDER BY tc.node
 """
 
 _ORACLES_BASE["harmonic"] = """
