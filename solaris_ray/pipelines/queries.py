@@ -5949,6 +5949,36 @@ def q_dominance(sf_dir: str):
     )
 
 
+def q_segment_join(sf_dir: str):
+    """Segment-intersection join (proper crossings, line×line): two
+    deterministic road families over the scramble cloud, cell-
+    partitioned with rational-point owner-cell exactly-once emission;
+    the SQL twin states the four integer orientation signs verbatim
+    over the bounded slice."""
+    from ..stages.segjoin import segment_intersections
+
+    ev = _read(sf_dir, "events", ["event_id"],
+               filter=pc.field("event_id") < 1000)
+
+    def _segs(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy().astype(np.int64)
+        x0, y0 = _scramble_xy(e)
+        x1 = np.clip(x0 + (e * 37) % 1001 - 500, 0, 3200)
+        y1 = np.clip(y0 + (e * 53) % 1001 - 500, 0, 3200)
+        return pa.table({
+            "seg_id": pa.array(e, pa.int64()),
+            "x0": pa.array(x0, pa.int64()),
+            "y0": pa.array(y0, pa.int64()),
+            "x1": pa.array(x1, pa.int64()),
+            "y1": pa.array(y1, pa.int64()),
+        })
+
+    segs = ev.map_batches(_segs, batch_format="pyarrow", batch_size=8192)
+    a = segs.filter(expr="seg_id < 500")
+    b = segs.filter(expr="seg_id >= 500")
+    return segment_intersections(a, b).sort(["a_id", "b_id"])
+
+
 def q_tpch_q18(sf_dir: str):
     """TPC-H Q18 (large-volume customers): lineitem pre-aggregated per
     orderkey inside map_batches, HAVING-filtered to the hot set, then
@@ -6478,6 +6508,7 @@ QUERIES = {
     "harmonic": q_harmonic,
     "clustering_coef": q_clustering_coef,
     "tpch_q18": q_tpch_q18,
+    "segment_join": q_segment_join,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10260,6 +10291,27 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["segment_join"] = """
+WITH pts AS (SELECT event_id AS e,
+        ((event_id*event_id) % 3200 * 7919 + event_id*31) % 3200 AS x0,
+        ((event_id*event_id) % 3200 * 104729 + event_id*57) % 3200 AS y0
+      FROM events WHERE event_id < 1000),
+seg AS (SELECT e, x0, y0,
+        GREATEST(0, LEAST(3200, x0 + (e*37) % 1001 - 500)) AS x1,
+        GREATEST(0, LEAST(3200, y0 + (e*53) % 1001 - 500)) AS y1
+      FROM pts),
+o AS (SELECT a.e AS a_id, b.e AS b_id,
+        (a.x1-a.x0)*(b.y0-a.y0) - (a.y1-a.y0)*(b.x0-a.x0) AS o1,
+        (a.x1-a.x0)*(b.y1-a.y0) - (a.y1-a.y0)*(b.x1-a.x0) AS o2,
+        (b.x1-b.x0)*(a.y0-b.y0) - (b.y1-b.y0)*(a.x0-b.x0) AS o3,
+        (b.x1-b.x0)*(a.y1-b.y0) - (b.y1-b.y0)*(a.x1-b.x0) AS o4
+      FROM seg a, seg b WHERE a.e < 500 AND b.e >= 500)
+SELECT a_id, b_id FROM o
+WHERE o1 <> 0 AND o2 <> 0 AND o3 <> 0 AND o4 <> 0
+  AND ((o1 > 0) <> (o2 > 0)) AND ((o3 > 0) <> (o4 > 0))
+ORDER BY 1, 2
 """
 
 _ORACLES_BASE["tpch_q18"] = """
