@@ -5949,6 +5949,109 @@ def q_dominance(sf_dir: str):
     )
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Table-version diff (the ingestion audit op): two deterministic
+    snapshots of orders — V1 drops keys %7==0, V2 drops %11==0 and
+    bumps prices on %5==0 — full-outer joined and classified
+    added / removed / changed; unchanged rows never leave the join."""
+    from ..stages.relational import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def _v(batch: pa.Table, version: int) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)),
+                        pa.int64()).to_numpy()
+        if version == 1:
+            m = k % 7 != 0
+            return pa.table({"k1": pa.array(k[m]),
+                             "old_cents": pa.array(cents[m])})
+        m = k % 11 != 0
+        bump = np.where(k[m] % 5 == 0, 1000, 0)
+        return pa.table({"k2": pa.array(k[m]),
+                         "new_cents": pa.array(cents[m] + bump)})
+
+    v1 = orders.map_batches(lambda b: _v(b, 1), batch_format="pyarrow")
+    v2 = orders.map_batches(lambda b: _v(b, 2), batch_format="pyarrow")
+    j = hash_join(v1, v2, "k1", "k2", how="outer")
+
+    def _classify(b: pa.Table) -> pa.Table:
+        k1 = b["k1"].to_numpy(zero_copy_only=False)
+        k2 = b["k2"].to_numpy(zero_copy_only=False)
+        oldc = b["old_cents"].to_numpy(zero_copy_only=False)
+        newc = b["new_cents"].to_numpy(zero_copy_only=False)
+        k1n = np.isnan(k1.astype(np.float64))
+        k2n = np.isnan(k2.astype(np.float64))
+        status = np.where(k1n, "added",
+                          np.where(k2n, "removed",
+                                   np.where(oldc != newc, "changed", "same")))
+        keep = status != "same"
+        key = np.where(k1n, k2, k1).astype(np.float64)[keep].astype(np.int64)
+        return pa.table({
+            "okey": pa.array(key, pa.int64()),
+            "status": pa.array(status[keep].tolist(), pa.string()),
+            "old_cents": pa.array(
+                np.where(k1n, -1, np.nan_to_num(oldc.astype(np.float64),
+                                                nan=-1))[keep].astype(np.int64)),
+            "new_cents": pa.array(
+                np.where(k2n, -1, np.nan_to_num(newc.astype(np.float64),
+                                                nan=-1))[keep].astype(np.int64)),
+        })
+
+    return j.map_batches(_classify, batch_format="pyarrow").sort("okey")
+
+
+def q_winsorize(sf_dir: str):
+    """Global-percentile winsorization of event values (the tabular
+    sibling of contrast_stretch): exact rank [p02, p98] clamp window
+    from one O(1)-per-batch histogram pass, then per-type exact sums
+    of the clamped cents."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.quantiles import exact_rank_select
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "cents": pc.cast(
+                pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
+                pa.int64()),
+        })
+
+    cds = ev.map_batches(_cents, batch_format="pyarrow",
+                         batch_size=16384).materialize()
+    n = cds.count()
+    # quantile_disc rank semantics: index ceil(q*N) - 1
+    lo_r = max(0, -(-2 * n // 100) - 1)
+    hi_r = max(0, -(-98 * n // 100) - 1)
+    lo, hi = (int(v) for v in exact_rank_select(cds, "cents", [lo_r, hi_r]))
+
+    def _clamp(batch: pa.Table) -> pa.Table:
+        c = np.clip(batch["cents"].to_numpy(), lo, hi)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(et, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(uniq.tolist(), pa.string()),
+            "n": np.bincount(inv).astype(np.int64),
+            "wsum": np.bincount(inv, weights=c).astype(np.int64),
+        })
+
+    agg = (cds.map_batches(_clamp, batch_format="pyarrow", batch_size=16384)
+              .groupby("event_type").aggregate(Sum("n"), Sum("wsum")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": pc.cast(b["sum(n)"], pa.int64()),
+            "wsum": pc.cast(b["sum(wsum)"], pa.int64()),
+            "lo": pa.array(np.full(b.num_rows, lo, np.int64)),
+            "hi": pa.array(np.full(b.num_rows, hi, np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_segment_join(sf_dir: str):
     """Segment-intersection join (proper crossings, line×line): two
     deterministic road families over the scramble cloud, cell-
@@ -6509,6 +6612,8 @@ QUERIES = {
     "clustering_coef": q_clustering_coef,
     "tpch_q18": q_tpch_q18,
     "segment_join": q_segment_join,
+    "snapshot_diff": q_snapshot_diff,
+    "winsorize": q_winsorize,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10291,6 +10396,38 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["snapshot_diff"] = """
+WITH o AS (SELECT o_orderkey AS k,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS cents
+           FROM orders),
+v1 AS (SELECT k, cents AS old_cents FROM o WHERE k % 7 <> 0),
+v2 AS (SELECT k, cents + CASE WHEN k % 5 = 0 THEN 1000 ELSE 0 END AS new_cents
+       FROM o WHERE k % 11 <> 0),
+j AS (SELECT COALESCE(v1.k, v2.k) AS okey,
+        CASE WHEN v1.k IS NULL THEN 'added'
+             WHEN v2.k IS NULL THEN 'removed'
+             WHEN old_cents <> new_cents THEN 'changed'
+             ELSE 'same' END AS status,
+        COALESCE(old_cents, -1) AS old_cents,
+        COALESCE(new_cents, -1) AS new_cents
+      FROM v1 FULL OUTER JOIN v2 ON v2.k = v1.k)
+SELECT okey, status, CAST(old_cents AS BIGINT) AS old_cents,
+       CAST(new_cents AS BIGINT) AS new_cents
+FROM j WHERE status <> 'same' ORDER BY okey
+"""
+
+_ORACLES_BASE["winsorize"] = """
+WITH e AS (SELECT event_type,
+                  CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+q AS (SELECT CAST(quantile_disc(cents, 0.02) AS BIGINT) AS lo,
+             CAST(quantile_disc(cents, 0.98) AS BIGINT) AS hi FROM e)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(LEAST(GREATEST(cents, q.lo), q.hi)) AS BIGINT) AS wsum,
+       q.lo, q.hi
+FROM e, q GROUP BY 1, 4, 5
 """
 
 _ORACLES_BASE["segment_join"] = """
