@@ -5949,6 +5949,84 @@ def q_dominance(sf_dir: str):
     )
 
 
+def _schema_drift_shards(sf_dir: str) -> list[str]:
+    """Two parquet shards with DRIFTED schemas derived from events:
+    even event_ids carry (event_id, user_id), odd ones (event_id,
+    value) — the schema-evolution ingestion fixture, built once."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = os.path.join(tempfile.gettempdir(), "srx_sidecars", base)
+    os.makedirs(out_dir, exist_ok=True)
+    p1 = os.path.join(out_dir, "events_drift1.parquet")
+    p2 = os.path.join(out_dir, "events_drift2.parquet")
+    if not (os.path.exists(p1) and os.path.exists(p2)):
+        t = pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "user_id", "value"])
+        e = t["event_id"].to_numpy()
+        even, odd = t.filter(pa.array(e % 2 == 0)), t.filter(pa.array(e % 2 == 1))
+        for path, shard in ((p1, even.select(["event_id", "user_id"])),
+                            (p2, odd.select(["event_id", "value"]))):
+            fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet")
+            os.close(fd)
+            pq.write_table(shard.replace_schema_metadata(None), tmp)
+            os.replace(tmp, path)
+    return [p1, p2]
+
+
+def q_schema_union(sf_dir: str):
+    """Schema-evolution read: two drifted parquet shards unified over
+    the union schema with null-fill (sources.formats.read_parquet_union),
+    reduced to one exact-integer audit row."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.formats import read_parquet_union
+
+    ds = read_parquet_union(_schema_drift_shards(sf_dir))
+
+    def _audit(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.float64)
+        val = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(np.nan_to_num(val, nan=0.0) * 100.0 + 0.5)
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "n_rows": pa.array([batch.num_rows], pa.int64()),
+            "n_user": pa.array([int((~np.isnan(uid)).sum())], pa.int64()),
+            "n_val": pa.array([int((~np.isnan(val)).sum())], pa.int64()),
+            "user_sum": pa.array(
+                [int(np.nan_to_num(uid, nan=0.0).sum())], pa.int64()),
+            "cents_sum": pa.array([int(cents.sum())], pa.int64()),
+        })
+
+    agg = (ds.map_batches(_audit, batch_format="pyarrow", batch_size=16384)
+             .groupby("g")
+             .aggregate(Sum("n_rows"), Sum("n_user"), Sum("n_val"),
+                        Sum("user_sum"), Sum("cents_sum")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_rows": pc.cast(b["sum(n_rows)"], pa.int64()),
+            "n_user": pc.cast(b["sum(n_user)"], pa.int64()),
+            "n_val": pc.cast(b["sum(n_val)"], pa.int64()),
+            "user_sum": pc.cast(b["sum(user_sum)"], pa.int64()),
+            "cents_sum": pc.cast(b["sum(cents_sum)"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_hll_groups(sf_dir: str):
+    """Per-group approximate distinct users (grouped HLL, sparse
+    register rows) with the exact-twin pass bit — the tdigest gating
+    precedent: the oracle predicts the exact distinct and hll_ok=1."""
+    from ..stages.sketch import hll_group_check
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_group_check(ev, "event_type", "user_id", rel_tol=0.15)
+
+
 def q_snapshot_diff(sf_dir: str):
     """Table-version diff (the ingestion audit op): two deterministic
     snapshots of orders — V1 drops keys %7==0, V2 drops %11==0 and
@@ -6614,6 +6692,8 @@ QUERIES = {
     "segment_join": q_segment_join,
     "snapshot_diff": q_snapshot_diff,
     "winsorize": q_winsorize,
+    "hll_groups": q_hll_groups,
+    "schema_union": q_schema_union,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10396,6 +10476,27 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["schema_union"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user,
+       CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_val,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN user_id ELSE 0 END)
+            AS BIGINT) AS user_sum,
+       CAST(SUM(CASE WHEN event_id % 2 = 1
+                     THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS cents_sum
+FROM events
+"""
+
+_ORACLES_BASE["hll_groups"] = """
+SELECT event_type AS grp,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       CAST(1 AS BIGINT) AS hll_ok
+FROM events GROUP BY 1
 """
 
 _ORACLES_BASE["snapshot_diff"] = """

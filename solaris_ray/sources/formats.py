@@ -244,3 +244,37 @@ def _write_jsonl(tbl: pa.Table, path: str) -> None:
         for row in zip(*(tbl.column(c).to_pylist() for c in cols)):
             fh.write(json.dumps(dict(zip(cols, row)), ensure_ascii=False))
             fh.write("\n")
+
+
+def read_parquet_union(paths: list[str], **kwargs):
+    """Read heterogeneous parquet shards (drifted schemas: columns
+    added/dropped across shards) as ONE dataset over the UNION schema,
+    null-filling columns a shard lacks — the schema-evolution
+    ingestion seam.  Numeric widths are promoted via Arrow's
+    unify_schemas; each shard is read separately (its own pruned
+    read) and aligned by a per-batch map, so no shard pays for
+    columns it doesn't store."""
+    import ray
+    import pyarrow.parquet as pq
+
+    schemas = [pq.read_schema(p).remove_metadata() for p in paths]
+    unified = pa.unify_schemas(schemas, promote_options="permissive")
+
+    def _align(batch: pa.Table) -> pa.Table:
+        cols = []
+        for field in unified:
+            if field.name in batch.column_names:
+                cols.append(batch[field.name].cast(field.type))
+            else:
+                cols.append(pa.nulls(batch.num_rows, field.type))
+        return pa.table(dict(zip(unified.names, cols)))
+
+    parts = [
+        ray.data.read_parquet(p, schema=s, **kwargs).map_batches(
+            _align, batch_format="pyarrow")
+        for p, s in zip(paths, schemas)
+    ]
+    ds = parts[0]
+    for d in parts[1:]:
+        ds = ds.union(d)
+    return ds

@@ -249,3 +249,77 @@ def hll_check(ds, col: str, exact_ds=None, rel_tol: float = 0.10):
             }
         )
     )
+
+
+def hll_group_check(ds, group_col: str, val_col: str, rel_tol: float = 0.15):
+    """Per-group approximate distinct (grouped HLL) with the exact-twin
+    gate (the tdigest precedent): -> (group, exact_distinct, hll_ok).
+
+    Scale plan: register partials are SPARSE rows (g, idx, rho) — only
+    touched registers shuffle, max-combined by ``groupby(g, idx)``;
+    the dense 4096-register grid is reconstituted per group only in
+    the final O(groups) reduce.  The exact twin is a (g, val) distinct
+    co-shuffle; a production caller drops it and keeps the sketch.
+    """
+    from ray.data.aggregate import Count, Max
+
+    part_schema = pa.schema(
+        [("g", pa.string()), ("idx", pa.int64()), ("rho", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        gs = batch[group_col].to_numpy(zero_copy_only=False)
+        vs = pc.cast(batch[val_col], pa.string()).to_numpy(zero_copy_only=False)
+        out_g, out_i, out_r = [], [], []
+        for g in np.unique(gs):
+            regs = _hll_partial(np.unique(vs[gs == g]))
+            nz = np.flatnonzero(regs)
+            out_g.extend([str(g)] * nz.size)
+            out_i.append(nz)
+            out_r.append(regs[nz])
+        if not out_g:
+            return part_schema.empty_table()
+        return pa.table({
+            "g": pa.array(out_g, pa.string()),
+            "idx": pa.array(np.concatenate(out_i), pa.int64()),
+            "rho": pa.array(np.concatenate(out_r), pa.int64()),
+        })
+
+    sparse = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["g", "idx"]).aggregate(Max("rho"))
+    )
+
+    def _finish(group: pa.Table) -> pa.Table:
+        regs = np.zeros(HLL_M, np.int64)
+        idx = group["idx"].to_numpy(zero_copy_only=False)
+        rho = group["max(rho)"].to_numpy(zero_copy_only=False)
+        regs[idx] = rho
+        return pa.table({
+            "g": pa.array([group["g"][0].as_py()], pa.string()),
+            "est": pa.array([hll_estimate(regs)], pa.float64()),
+        })
+
+    ests = sparse.groupby("g").map_groups(_finish, batch_format="pyarrow")
+
+    exact = (
+        ds.map_batches(
+            lambda b: pa.table({
+                "g": pc.cast(b[group_col], pa.string()),
+                "v": pc.cast(b[val_col], pa.string()),
+            }),
+            batch_format="pyarrow", batch_size=8192)
+        .groupby(["g", "v"]).aggregate(Count())
+        .groupby("g").aggregate(Count())
+    )
+
+    # both sides are groups-sized (one row per group): driver merge
+    e = exact.to_pandas()
+    s = ests.to_pandas()
+    m = e.merge(s, on="g")  # groups-sized tables only
+    ok = (np.abs(m["est"].to_numpy() / m["count()"].to_numpy() - 1.0)
+          <= rel_tol).astype(np.int64)
+    return pa.table({
+        "grp": pa.array(m["g"].tolist(), pa.string()),
+        "exact_distinct": pa.array(m["count()"].to_numpy().astype(np.int64)),
+        "hll_ok": pa.array(ok, pa.int64()),
+    })
