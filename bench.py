@@ -175,6 +175,28 @@ BENCH_QUERIES = [
     "table_profile",
     "tiles_gif",
     "diameter",
+    # round-4q: alternate source formats, image kernels, ML prep,
+    # dominance/Kendall, EMA, harmonic centrality, segment join,
+    # version diff, grouped HLL, schema-evolution read
+    "csv_source",
+    "jsonl_source",
+    "orc_source",
+    "ipc_source",
+    "sobel_edges",
+    "otsu",
+    "target_encode",
+    "calibration",
+    "dominance",
+    "kendall",
+    "ema",
+    "harmonic",
+    "clustering_coef",
+    "tpch_q18",
+    "segment_join",
+    "snapshot_diff",
+    "winsorize",
+    "hll_groups",
+    "schema_union",
 ]
 
 

@@ -6600,52 +6600,78 @@ QUERIES = {
     "pip_count": q_pip_count,
     "clip_join": q_clip_join,
     "knn_join": q_knn_join,
-    "cell_assign": q_cell_assign,
     "tiles_pipeline": q_tiles_pipeline,
-    "jpeg_roundtrip": q_jpeg_roundtrip,
     "masks_pipeline": q_masks_pipeline,
     "eval_scores": q_eval_scores,
     "f1_rollup": q_f1_rollup,
     "chip_stitch": q_chip_stitch,
     "graph_build": q_graph_build,
-    "affine_transform": q_affine_transform,
     "fuzzy_dedup": q_fuzzy_dedup,
     "image_dedup": q_image_dedup,
     "outer_join": q_outer_join,
     "dissolve": q_dissolve,
     "dbscan": q_dbscan,
-    "moran": q_moran,
     "triangles": q_triangles,
-    "hll_distinct": q_hll_distinct,
     "dup_spans": q_dup_spans,
     "semantic_dedup": q_semantic_dedup,
-    "pagerank": q_pagerank,
-    "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "events_window": q_events_window,
-    "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "cdc_merge": q_cdc_merge,
+    "gif_roundtrip": q_gif_roundtrip,
+    "ripley": q_ripley,
+    "sssp": q_sssp,
+    "hull": q_hull,
+    "setjoin": q_setjoin,
+    "kcore": q_kcore,
+    "media_probe": q_media_probe,
+    "audio_dedup": q_audio_dedup,
+    "resume_manifest": q_resume_manifest,
+    # round-4q families (this rotation's window entrants)
+    "csv_source": q_csv_source,
+    "jsonl_source": q_jsonl_source,
+    "orc_source": q_orc_source,
+    "ipc_source": q_ipc_source,
+    "sobel_edges": q_sobel_edges,
+    "otsu": q_otsu,
+    "target_encode": q_target_encode,
+    "calibration": q_calibration,
+    "dominance": q_dominance,
+    "kendall": q_kendall,
+    "ema": q_ema,
+    "harmonic": q_harmonic,
+    "clustering_coef": q_clustering_coef,
+    "tpch_q18": q_tpch_q18,
+    "segment_join": q_segment_join,
+    "snapshot_diff": q_snapshot_diff,
+    "winsorize": q_winsorize,
+    "hll_groups": q_hll_groups,
+    "schema_union": q_schema_union,
+    # rotated out for round 4q (driver-green in earlier rounds; every
+    # family keeps a window gate): cell_assign, jpeg_roundtrip,
+    # affine_transform, moran, hll_distinct, pagerank, dedup_exact,
+    # tpch_q3, scd2, rolling_median, link_pred, stump, range_join,
+    # asof_join, retrieval_eval, rollup, shard_layout, zorder,
+    # image_phash — plus the round-4p rotation block below.
+    "cell_assign": q_cell_assign,
+    "jpeg_roundtrip": q_jpeg_roundtrip,
+    "affine_transform": q_affine_transform,
+    "moran": q_moran,
+    "hll_distinct": q_hll_distinct,
+    "pagerank": q_pagerank,
+    "dedup_exact": q_dedup_exact,
+    "tpch_q3": q_tpch_q3,
     "scd2": q_scd2,
     "rolling_median": q_rolling_median,
     "link_pred": q_link_pred,
     "stump": q_stump,
-    "gif_roundtrip": q_gif_roundtrip,
-    "ripley": q_ripley,
     "range_join": q_range_join,
     "asof_join": q_asof_join,
     "retrieval_eval": q_retrieval_eval,
     "rollup": q_rollup,
     "shard_layout": q_shard_layout,
     "zorder": q_zorder,
-    "sssp": q_sssp,
-    "hull": q_hull,
-    "setjoin": q_setjoin,
-    "kcore": q_kcore,
     "image_phash": q_image_phash,
-    "media_probe": q_media_probe,
-    "audio_dedup": q_audio_dedup,
-    "resume_manifest": q_resume_manifest,
     # rotated out for round 4p (driver-green in r2/r3; family keeps a
     # window gate): partitioned_join, aoi_tile_plan, warp_nearest,
     # cell_hist, geotiff_roundtrip, road_masks, map_101, polygonize,
@@ -6675,25 +6701,6 @@ QUERIES = {
     "table_profile": q_table_profile,
     "tiles_gif": q_tiles_gif,
     "diameter": q_diameter,
-    "csv_source": q_csv_source,
-    "jsonl_source": q_jsonl_source,
-    "orc_source": q_orc_source,
-    "ipc_source": q_ipc_source,
-    "sobel_edges": q_sobel_edges,
-    "otsu": q_otsu,
-    "target_encode": q_target_encode,
-    "calibration": q_calibration,
-    "dominance": q_dominance,
-    "kendall": q_kendall,
-    "ema": q_ema,
-    "harmonic": q_harmonic,
-    "clustering_coef": q_clustering_coef,
-    "tpch_q18": q_tpch_q18,
-    "segment_join": q_segment_join,
-    "snapshot_diff": q_snapshot_diff,
-    "winsorize": q_winsorize,
-    "hll_groups": q_hll_groups,
-    "schema_union": q_schema_union,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
