@@ -5949,6 +5949,53 @@ def q_dominance(sf_dir: str):
     )
 
 
+def q_chi2(sf_dir: str):
+    """Chi-square independence test on the (event_type × user-decade)
+    contingency table: exact integer observed counts and marginals
+    from one partial-agg pass; expected counts and the χ² / Cramér's V
+    floats are the identical final expression both sides, 6-dp."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        ub = (batch["user_id"].to_numpy() % 10).astype(np.int64)
+        key = np.char.add(np.char.add(et.astype(str), "\x01"),
+                          ub.astype(str))
+        uniq, inv = np.unique(key, return_inverse=True)
+        first = np.full(uniq.size, -1, np.int64)
+        np.maximum.at(first, inv, np.arange(inv.size))
+        return pa.table({
+            "event_type": pa.array(et[first].tolist(), pa.string()),
+            "ub": pa.array(ub[first], pa.int64()),
+            "n": np.bincount(inv).astype(np.int64),
+        })
+
+    cells = (
+        ev.map_batches(_partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(["event_type", "ub"]).aggregate(Sum("n"))
+        .to_pandas()  # contingency cells only: rows × cols
+    )
+    obs = cells.pivot_table(index="event_type", columns="ub",
+                            values="sum(n)", fill_value=0).sort_index()
+    o = obs.to_numpy().astype(np.int64)
+    row = o.sum(axis=1)
+    col = o.sum(axis=0)
+    tot = int(o.sum())
+    e = row[:, None].astype(np.float64) * col[None, :] / float(tot)
+    chi2 = float(((o - e) ** 2 / e).sum())
+    r, c = o.shape
+    v = float(np.sqrt(chi2 / (tot * (min(r, c) - 1))))
+    return pa.table({
+        "n": pa.array([tot], pa.int64()),
+        "rows": pa.array([r], pa.int64()),
+        "cols": pa.array([c], pa.int64()),
+        "chi2_6": pa.array([round(chi2, 6)], pa.float64()),
+        "cramers_v6": pa.array([round(v, 6)], pa.float64()),
+    })
+
+
 def _schema_drift_shards(sf_dir: str) -> list[str]:
     """Two parquet shards with DRIFTED schemas derived from events:
     even event_ids carry (event_id, user_id), odd ones (event_id,
@@ -6164,8 +6211,7 @@ def q_tpch_q18(sf_dir: str):
     """TPC-H Q18 (large-volume customers): lineitem pre-aggregated per
     orderkey inside map_batches, HAVING-filtered to the hot set, then
     two engine hash joins (orders, customer).  All money exact cents."""
-    from ray.data.aggregate import Sum
-
+    from ..stages._buckets import bucket_of
     from ..stages.relational import hash_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
@@ -6177,18 +6223,26 @@ def q_tpch_q18(sf_dir: str):
         return pa.table({
             "okey": pa.array(uniq, pa.int64()),
             "qty": np.bincount(inv, weights=q).astype(np.int64),
+            "kb": pa.array(bucket_of(uniq, 16), pa.int64()),
+        })
+
+    # int-bucket co-shuffle + segment-sum combine with the HAVING
+    # fused in (Ray's sort-based groupby over 150k keys costs ~3 s of
+    # barrier floor; this emits only the ~0.3% survivors)
+    def _combine(group: pa.Table) -> pa.Table:
+        k = group["okey"].to_numpy()
+        q = group["qty"].to_numpy()
+        uniq, inv = np.unique(k, return_inverse=True)
+        s = np.bincount(inv, weights=q).astype(np.int64)
+        keep = s > 300
+        return pa.table({
+            "okey": pa.array(uniq[keep], pa.int64()),
+            "sum_qty": pa.array(s[keep], pa.int64()),
         })
 
     hot = (
         li.map_batches(_partial, batch_format="pyarrow", batch_size=16384)
-        .groupby("okey").aggregate(Sum("qty"))
-        .map_batches(
-            lambda b: pa.table({
-                "okey": b["okey"],
-                "sum_qty": pc.cast(b["sum(qty)"], pa.int64()),
-            }),
-            batch_format="pyarrow")
-        .filter(expr="sum_qty > 300")
+        .groupby("kb").map_groups(_combine, batch_format="pyarrow")
     )
 
     orders = _read(sf_dir, "orders",
@@ -6204,10 +6258,14 @@ def q_tpch_q18(sf_dir: str):
                 pa.int64()),
         })
 
-    j1 = hash_join(hot, orders.map_batches(_ord, batch_format="pyarrow"),
-                   "okey", "o_orderkey", how="inner")
+    # the HAVING survivors are tiny: broadcast them against the
+    # streaming orders read, then broadcast the (still tiny) result
+    # against customer — no shuffle anywhere in the join tree
+    j1 = hash_join(orders.map_batches(_ord, batch_format="pyarrow"), hot,
+                   "o_orderkey", "okey", how="inner", strategy="broadcast")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    j2 = hash_join(j1, cust, "o_custkey", "c_custkey", how="inner")
+    j2 = hash_join(cust, j1, "c_custkey", "o_custkey", how="inner",
+                   strategy="broadcast")
     return j2.map_batches(
         lambda b: b.select(["c_name", "c_custkey", "o_orderkey", "date_us",
                             "price_cents", "sum_qty"]),
@@ -6221,8 +6279,6 @@ def q_clustering_coef(sf_dir: str):
     from the degree-ordered node-iterator, distinct-neighbor degrees
     from one co-shuffle, hash-joined; exact ints plus the 6-dp float
     both sides evaluate identically."""
-    from ray.data.aggregate import Count
-
     from ..stages.relational import hash_join
     from ..stages.triangles import triangle_counts
 
@@ -6245,32 +6301,40 @@ def q_clustering_coef(sf_dir: str):
     edges = cust.map_batches(_edges, batch_format="pyarrow")
     tri = triangle_counts(edges)
 
-    # distinct-neighbor degree: emit both directions, count per node
+    # distinct-neighbor degree: ONE bucketed co-shuffle, per-bucket
+    # unique-(node, nbr) + segment counts (the bucket-vectorized idiom)
+    from ..stages._buckets import bucket_of
+
     def _dual(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy()
         b = batch["b"].to_numpy()
+        node = np.concatenate([a, b])
         return pa.table({
-            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "node": pa.array(node, pa.int64()),
             "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            "kb": pa.array(bucket_of(node, 64), pa.int64()),
         })
+
+    def _deg(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy()
+        nbr = group["nbr"].to_numpy()
+        pairs = np.unique(np.stack([node, nbr], axis=1), axis=0)
+        uniq, cnt = np.unique(pairs[:, 0], return_counts=True)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "deg": pa.array(cnt.astype(np.int64), pa.int64())})
 
     deg = (
         edges.map_batches(_dual, batch_format="pyarrow")
-        .groupby(["node", "nbr"]).aggregate(Count())
-        .groupby("node").aggregate(Count())
-        .map_batches(
-            lambda t: pa.table({
-                "node": t["node"],
-                "deg": pc.cast(t["count()"], pa.int64()),
-            }),
-            batch_format="pyarrow",
-        )
+        .groupby("kb").map_groups(_deg, batch_format="pyarrow")
     )
+    # triangle-node rows are a small id-table: broadcast them against
+    # the degree stream instead of a bucketed exchange
     joined = hash_join(
+        deg,
         tri.map_batches(
             lambda t: pa.table({"tnode": t["node"], "tri": t["tri_cnt"]}),
             batch_format="pyarrow"),
-        deg, "tnode", "node", how="inner",
+        "node", "tnode", how="inner", strategy="broadcast",
     )
 
     def _coef(b: pa.Table) -> pa.Table:
@@ -6284,7 +6348,7 @@ def q_clustering_coef(sf_dir: str):
             "coef6": pa.array(coef, pa.float64()),
         })
 
-    return joined.map_batches(_coef, batch_format="pyarrow").sort("node")
+    return joined.map_batches(_coef, batch_format="pyarrow")
 
 
 def q_harmonic(sf_dir: str):

@@ -174,7 +174,11 @@ def _broadcast_join(left, right, left_key: str, right_key: str, how: str):
 
     rs = right.schema()
     r_names, r_types = list(rs.names), list(rs.types)
-    r_tbl = pa.concat_tables(ray.get(right.to_arrow_refs()))
+    r_schema = pa.schema(list(zip(r_names, r_types)))
+    # Ray's sort path can emit EMPTY partitions as zero-column blocks
+    # (documented engine-external quirk); drop them before the concat
+    blocks = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows]
+    r_tbl = pa.concat_tables(blocks) if blocks else r_schema.empty_table()
     rk = pc.cast(r_tbl[right_key], pa.int64()).to_numpy(zero_copy_only=False)
     order = np.argsort(rk, kind="stable")
     r_sorted = r_tbl.take(pa.array(order))
