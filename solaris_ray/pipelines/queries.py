@@ -6765,6 +6765,7 @@ QUERIES = {
     "table_profile": q_table_profile,
     "tiles_gif": q_tiles_gif,
     "diameter": q_diameter,
+    "chi2": q_chi2,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10547,6 +10548,34 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["chi2"] = """
+WITH c AS (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS ub,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT DISTINCT event_type FROM events),
+u AS (SELECT DISTINCT CAST(user_id % 10 AS BIGINT) AS ub FROM events),
+grid AS (SELECT r.event_type, u.ub, COALESCE(c.n, 0) AS n
+         FROM r CROSS JOIN u
+         LEFT JOIN c ON c.event_type = r.event_type AND c.ub = u.ub),
+rm AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS rn FROM grid GROUP BY 1),
+cm AS (SELECT ub, CAST(SUM(n) AS BIGINT) AS cn FROM grid GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT ub) AS BIGINT) AS nc
+        FROM grid),
+x AS (SELECT SUM(pow(g.n - rm.rn*cm.cn/CAST(tot.t AS DOUBLE), 2)
+                 / (rm.rn*cm.cn/CAST(tot.t AS DOUBLE))) AS chi2
+      FROM grid g
+      JOIN rm ON rm.event_type = g.event_type
+      JOIN cm ON cm.ub = g.ub
+      CROSS JOIN tot)
+SELECT tot.t AS n, tot.nr AS rows, tot.nc AS cols,
+       round(x.chi2, 6) AS chi2_6,
+       round(sqrt(x.chi2 / (tot.t * (LEAST(tot.nr, tot.nc) - 1))), 6)
+         AS cramers_v6
+FROM x, tot
 """
 
 _ORACLES_BASE["schema_union"] = """
