@@ -5949,6 +5949,28 @@ def q_dominance(sf_dir: str):
     )
 
 
+def q_mannwhitney(sf_dir: str):
+    """Mann–Whitney U between click and view event values (exact 2×
+    ranks, tie-corrected z): the sample compresses to its cent-value
+    histogram via one bucket co-shuffle."""
+    from ..stages.ranktest import mann_whitney
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "cents": pc.cast(
+                pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
+                pa.int64()),
+        })
+
+    return mann_whitney(
+        ev.map_batches(_cents, batch_format="pyarrow", batch_size=16384),
+        "event_type", "cents", "click", "view",
+    )
+
+
 def q_chi2(sf_dir: str):
     """Chi-square independence test on the (event_type × user-decade)
     contingency table: exact integer observed counts and marginals
@@ -6766,6 +6788,7 @@ QUERIES = {
     "tiles_gif": q_tiles_gif,
     "diameter": q_diameter,
     "chi2": q_chi2,
+    "mannwhitney": q_mannwhitney,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10548,6 +10571,29 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["mannwhitney"] = """
+WITH e AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+           FROM events WHERE event_type IN ('click', 'view')),
+pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+              CAST(SUM(g1) AS BIGINT) AS c1
+       FROM e GROUP BY 1),
+s AS (SELECT v, c, c1,
+        COALESCE(SUM(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sv
+      FROM pv),
+a AS (SELECT CAST(SUM(c1*(2*sv + c + 1)) AS BIGINT) AS r2_1,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c - c1) AS BIGINT) AS n2,
+             CAST(SUM(c*c*c - c) AS BIGINT) AS t3t,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM s)
+SELECT n1, n2, r2_1 - n1*(n1+1) AS u2, t3t,
+       round((r2_1 - n1*(n1+1) - n1*n2)
+             / (2.0*sqrt(n1*n2/12.0*((n+1) - t3t/(n*(n-1.0))))), 6) AS z6
+FROM a
 """
 
 _ORACLES_BASE["chi2"] = """
