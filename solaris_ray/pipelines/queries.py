@@ -5949,6 +5949,30 @@ def q_dominance(sf_dir: str):
     )
 
 
+def q_bootstrap(sf_dir: str):
+    """Deterministic Poisson bootstrap of the mean event value (16
+    replicates, md5-derived Poisson(1) weights through exact integer
+    inverse-CDF thresholds) on the bounded slice — per-replicate exact
+    (n_eff, wsum) plus the replicate mean."""
+    from ..stages.bootstrap import poisson_bootstrap
+
+    ev = _read(sf_dir, "events", ["event_id", "value"],
+               filter=pc.field("event_id") < 20000)
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "cents": pc.cast(
+                pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
+                pa.int64()),
+        })
+
+    return poisson_bootstrap(
+        ev.map_batches(_cents, batch_format="pyarrow", batch_size=16384),
+        "event_id", "cents", n_reps=16, salt="boot",
+    ).sort("rep")
+
+
 def q_mannwhitney(sf_dir: str):
     """Mann–Whitney U between click and view event values (exact 2×
     ranks, tie-corrected z): the sample compresses to its cent-value
@@ -6789,6 +6813,7 @@ QUERIES = {
     "diameter": q_diameter,
     "chi2": q_chi2,
     "mannwhitney": q_mannwhitney,
+    "bootstrap": q_bootstrap,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10571,6 +10596,33 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["bootstrap"] = """
+WITH e AS (SELECT event_id,
+                  CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+           FROM events WHERE event_id < 20000),
+th AS (SELECT CAST(t AS BIGINT) AS t FROM (VALUES (367879),(735758),
+        (919698),(981011),(996340),(999405),(999916),(999989),(999998))
+        tt(t)),
+h AS (SELECT e.v, r.b,
+        md5('boot' || CAST(e.event_id AS VARCHAR) || '_'
+            || CAST(r.b AS VARCHAR)) AS hd
+      FROM e, range(0, 16) r(b)),
+m AS (SELECT b, v,
+        CAST((SELECT SUM(CAST((strpos('0123456789abcdef', substr(hd, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16
+                             + (strpos('0123456789abcdef', substr(hd, CAST(2*j+2 AS INTEGER), 1)) - 1) AS HUGEINT)
+                         * CAST(pow(256, j) AS HUGEINT))
+              FROM range(0, 8) r(j)) % 1000000 AS BIGINT) AS hm
+      FROM h),
+w AS (SELECT b, v,
+        (SELECT COUNT(*) FROM th WHERE m.hm >= th.t) AS w
+      FROM m)
+SELECT CAST(b AS BIGINT) AS rep,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       CAST(SUM(w*v) AS BIGINT) AS wsum,
+       round(SUM(w*v) / CAST(SUM(w) AS DOUBLE), 6) AS mean6
+FROM w GROUP BY 1 ORDER BY 1
 """
 
 _ORACLES_BASE["mannwhitney"] = """
