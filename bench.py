@@ -197,6 +197,9 @@ BENCH_QUERIES = [
     "winsorize",
     "hll_groups",
     "schema_union",
+    "chi2",
+    "mannwhitney",
+    "bootstrap",
 ]
 
 
