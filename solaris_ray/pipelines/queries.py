@@ -5949,6 +5949,40 @@ def q_dominance(sf_dir: str):
     )
 
 
+def q_spearman(sf_dir: str):
+    """Exact Spearman rank correlation between event value cents and
+    second-of-day (both bounded domains): tie-averaged 2×-integer
+    ranks from broadcast per-value tables, arbitrary-precision
+    moments, one 6-dp float at the end."""
+    from ..stages.ranktest import spearman
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        return pa.table({
+            "cents": pc.cast(
+                pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
+                pa.int64()),
+            "sod": pa.array((us // 1_000_000) % 86400, pa.int64()),
+        })
+
+    return spearman(
+        ev.map_batches(_derive, batch_format="pyarrow", batch_size=16384),
+        "cents", "sod",
+    )
+
+
+def q_glcm(sf_dir: str):
+    """Haralick GLCM texture features (horizontal co-occurrence):
+    exact integer contrast and histogram energy per image; the SQL
+    twin enumerates the neighbor pairs from the pixel formula."""
+    from ..stages.edges import glcm_stats
+
+    images = _formula_gray_images(sf_dir, limit=200, fixed_size=64)
+    return glcm_stats(images).sort("image_id")
+
+
 def q_bootstrap(sf_dir: str):
     """Deterministic Poisson bootstrap of the mean event value (16
     replicates, md5-derived Poisson(1) weights through exact integer
@@ -6814,6 +6848,8 @@ QUERIES = {
     "chi2": q_chi2,
     "mannwhitney": q_mannwhitney,
     "bootstrap": q_bootstrap,
+    "glcm": q_glcm,
+    "spearman": q_spearman,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10596,6 +10632,55 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["spearman"] = """
+WITH e AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS x,
+                  CAST((epoch_us(ts) // 1000000) % 86400 AS BIGINT) AS y
+           FROM events),
+hx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1),
+rx AS (SELECT x,
+        2*COALESCE(SUM(c) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+          AS r2
+       FROM hx),
+hy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1),
+ry AS (SELECT y,
+        2*COALESCE(SUM(c) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+          AS r2
+       FROM hy),
+j AS (SELECT rx.r2 AS a, ry.r2 AS b
+      FROM e JOIN rx ON rx.x = e.x JOIN ry ON ry.y = e.y),
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(a) AS HUGEINT) AS sx,
+             CAST(SUM(b) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(a AS HUGEINT)*a) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(b AS HUGEINT)*b) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(a AS HUGEINT)*b) AS HUGEINT) AS sxy
+      FROM j)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CAST(n*sxy - sx*sy AS DOUBLE)
+             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                    * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS rho6
+FROM m
+"""
+
+_ORACLES_BASE["glcm"] = """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 200),
+cx AS (SELECT i FROM range(0, 63) r(i)),
+cy AS (SELECT i FROM range(0, 64) r(i)),
+pr AS (SELECT p,
+        ((cx.i*7 + cy.i*13 + p*31) % 251) AS vl,
+        (((cx.i+1)*7 + cy.i*13 + p*31) % 251) AS vr
+      FROM img, cx, cy),
+co AS (SELECT p, vl, vr, CAST(COUNT(*) AS BIGINT) AS n
+       FROM pr GROUP BY 1, 2, 3)
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(SUM(n * (vl - vr) * (vl - vr)) AS BIGINT) AS contrast,
+       CAST(SUM(n * n) AS BIGINT) AS energy,
+       CAST(SUM(n) AS BIGINT) AS n_pairs
+FROM co GROUP BY 1 ORDER BY image_id
 """
 
 _ORACLES_BASE["bootstrap"] = """

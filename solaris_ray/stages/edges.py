@@ -128,6 +128,60 @@ class OtsuThreshold:
         )
 
 
+class GlcmStats:
+    """Actor-pool stage: gray-level co-occurrence texture features.
+
+    Horizontal offset-(1,0) co-occurrence (the classic Haralick
+    setup): per image, over all horizontal neighbor pairs, emits the
+    exact integer contrast ``Σ (v_l − v_r)²``, the energy
+    ``Σ_{(a,b)} n_ab²`` of the co-occurrence histogram, and the pair
+    count — the texture screen that separates speckle from structure
+    in SAR/EO corpora.
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .multimodal import decode_any
+
+        ids, con, en, npair = [], [], [], []
+        for iid, buf, fmt, w, h in zip(
+            batch["image_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["fmt"].to_pylist(),
+            batch["w"].to_numpy(),
+            batch["h"].to_numpy(),
+        ):
+            v = np.asarray(
+                decode_any(buf, fmt, int(w), int(h), self.strict), np.int64
+            )
+            if v.ndim == 3:
+                v = v[..., 0]
+            left, right = v[:, :-1], v[:, 1:]
+            d = left - right
+            pair_codes = left * 256 + right
+            counts = np.bincount(pair_codes.ravel())
+            ids.append(iid)
+            con.append(int((d * d).sum()))
+            en.append(int((counts.astype(np.int64) ** 2).sum()))
+            npair.append(int(d.size))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "contrast": pa.array(con, pa.int64()),
+            "energy": pa.array(en, pa.int64()),
+            "n_pairs": pa.array(npair, pa.int64()),
+        })
+
+
+def glcm_stats(images, strict: bool = False):
+    """-> (image_id, contrast, energy, n_pairs) per image."""
+    return images.map_batches(
+        GlcmStats(strict), batch_format="pyarrow", batch_size=8,
+        concurrency=4,
+    )
+
+
 def sobel_stats(images, thresh: int = _SOBEL_EDGE_THRESH, strict: bool = False):
     """-> (image_id, g_sum, g_max, edge_px) per image."""
     return images.map_batches(

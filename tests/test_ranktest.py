@@ -61,3 +61,46 @@ def test_other_groups_excluded(ray_session):
     out = _run(g, v)
     assert out["n1"] == 2 and out["n2"] == 1
     assert out["u2"] == _brute_u2(["a", "b", "a"], [5, 3, 7])[0]
+
+
+def test_spearman_matches_quadratic_reference(ray_session):
+    import ray.data
+
+    from solaris_ray.stages.ranktest import spearman
+
+    rng = np.random.default_rng(21)
+    n = 600
+    x = rng.integers(0, 40, n)               # heavy ties
+    y = (2 * x + rng.integers(0, 30, n)).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y}))
+    out = spearman(ds, "x", "y").to_pandas().iloc[0]
+
+    def avg_ranks2(v):
+        order = np.argsort(v, kind="stable")
+        r2 = np.empty(v.size, np.int64)
+        sv = 0
+        for val in np.unique(v):
+            c = int((v == val).sum())
+            r2[v == val] = 2 * sv + c + 1
+            sv += c
+        return r2
+
+    rx, ry = avg_ranks2(x), avg_ranks2(y)
+    num = n * int((rx * ry).sum()) - int(rx.sum()) * int(ry.sum())
+    dx = n * int((rx * rx).sum()) - int(rx.sum()) ** 2
+    dy = n * int((ry * ry).sum()) - int(ry.sum()) ** 2
+    want = round(num / np.sqrt(float(dx) * float(dy)), 6)
+    assert out["n"] == n and out["rho6"] == want
+    assert out["rho6"] > 0.7  # planted monotone trend
+
+
+def test_spearman_perfect_monotone(ray_session):
+    import ray.data
+
+    from solaris_ray.stages.ranktest import spearman
+
+    n = 200
+    x = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": x * x}))
+    out = spearman(ds, "x", "y").to_pandas().iloc[0]
+    assert out["rho6"] == 1.0
