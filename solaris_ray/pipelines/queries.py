@@ -5949,6 +5949,40 @@ def q_dominance(sf_dir: str):
     )
 
 
+def q_dedup_stats(sf_dir: str):
+    """Dedup audit surface: the component-SIZE histogram of the fuzzy
+    resolve (how much mass sits in how-large duplicate clusters) —
+    (comp_size, n_components, n_docs), the number every dedup run
+    reports before anyone trusts it."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.components import fuzzy_dedup
+
+    resolved = fuzzy_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    sizes = resolved.groupby("component").aggregate(Count())
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        sz = pc.cast(batch["count()"], pa.int64()).to_numpy()
+        uniq, cnt = np.unique(sz, return_counts=True)
+        return pa.table({
+            "comp_size": pa.array(uniq, pa.int64()),
+            "n_components": pa.array(cnt.astype(np.int64), pa.int64()),
+            "n_docs": pa.array((uniq * cnt).astype(np.int64), pa.int64()),
+        })
+
+    agg = (sizes.map_batches(_hist, batch_format="pyarrow")
+                .groupby("comp_size")
+                .aggregate(Sum("n_components"), Sum("n_docs")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "comp_size": pc.cast(b["comp_size"], pa.int64()),
+            "n_components": pc.cast(b["sum(n_components)"], pa.int64()),
+            "n_docs": pc.cast(b["sum(n_docs)"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_spearman(sf_dir: str):
     """Exact Spearman rank correlation between event value cents and
     second-of-day (both bounded domains): tie-averaged 2×-integer
@@ -6850,6 +6884,7 @@ QUERIES = {
     "bootstrap": q_bootstrap,
     "glcm": q_glcm,
     "spearman": q_spearman,
+    "dedup_stats": q_dedup_stats,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -8402,8 +8437,32 @@ FROM comp ORDER BY doc_id
     )
 
 
+def _dedup_stats_oracle_sql(n_perm: int = 64, bands: int = 16, seed: int = 42,
+                            est_threshold: float = 0.5) -> str:
+    """Component-size histogram over the fuzzy_dedup resolve."""
+    return (
+        "WITH RECURSIVE " + _minhash_ctes(n_perm, bands, seed)
+        + f""",
+pairs AS (SELECT doc_a, doc_b FROM est WHERE e >= {est_threshold}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node AND r.lbl < e.b),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM comp GROUP BY 1)
+SELECT sz AS comp_size, CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
 _ORACLES_BASE["minhash_pairs"] = _minhash_oracle_sql()
 _ORACLES_BASE["fuzzy_dedup"] = _fuzzy_dedup_oracle_sql()
+_ORACLES_BASE["dedup_stats"] = _dedup_stats_oracle_sql()
 
 
 def _ingest_dedup_oracle_sql(n_perm: int = 64, bands: int = 16, seed: int = 42,
