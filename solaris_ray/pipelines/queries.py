@@ -5949,6 +5949,76 @@ def q_dominance(sf_dir: str):
     )
 
 
+def _geojsonl_sidecar(sf_dir: str) -> str:
+    """Newline-delimited GeoJSON (GeoJSONSeq) twin of the customer
+    rectangles (the dissolve fixture's formula) — the splittable
+    GeoJSON flavor real geo pipelines ship, built once."""
+    import json
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = os.path.join(tempfile.gettempdir(), "srx_sidecars", base)
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "features.geojsonl")
+    if os.path.exists(out):
+        return out
+    keys = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey"])["c_custkey"].to_numpy()
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".geojsonl")
+    os.close(fd)
+    with open(tmp, "w") as fh:
+        for c in sorted(int(k) for k in keys):
+            cx, cy = (c * 97) % MODW, (c * 71) % MODW
+            hx, hy = 10 + c % 40, 10 + c % 23
+            ring = [[cx - hx, cy - hy], [cx + hx, cy - hy],
+                    [cx + hx, cy + hy], [cx - hx, cy + hy],
+                    [cx - hx, cy - hy]]
+            fh.write(json.dumps({
+                "type": "Feature",
+                "properties": {"fid": c},
+                "geometry": {"type": "Polygon", "coordinates": [ring]},
+            }))
+            fh.write("\n")
+    os.replace(tmp, out)
+    return out
+
+
+def q_geojsonl_source(sf_dir: str):
+    """GeoJSONSeq source: rectangles round-trip through a
+    newline-delimited GeoJSON sidecar, are parsed back from the nested
+    coordinate arrays, and reduce to exact integer ring metrics
+    (2×shoelace area, L1 perimeter) the oracle states in closed form
+    from the generator formula."""
+    import ray
+
+    path = _geojsonl_sidecar(sf_dir)
+    ds = ray.data.read_json(path, file_extensions=["geojsonl"])
+
+    def _metrics(batch: pa.Table) -> pa.Table:
+        props = batch["properties"].to_pylist()
+        geoms = batch["geometry"].to_pylist()
+        fids, a2s, per = [], [], []
+        for p, g in zip(props, geoms):
+            ring = np.asarray(g["coordinates"][0], np.int64)
+            x, y = ring[:-1, 0], ring[:-1, 1]
+            xn, yn = np.roll(x, -1), np.roll(y, -1)
+            a2 = abs(int((x * yn - xn * y).sum()))
+            fids.append(int(p["fid"]))
+            a2s.append(a2)
+            per.append(int((np.abs(xn - x) + np.abs(yn - y)).sum()))
+        return pa.table({
+            "fid": pa.array(fids, pa.int64()),
+            "area2": pa.array(a2s, pa.int64()),
+            "perim": pa.array(per, pa.int64()),
+        })
+
+    return ds.map_batches(_metrics, batch_format="pyarrow",
+                          batch_size=4096).sort("fid")
+
+
 def q_dedup_stats(sf_dir: str):
     """Dedup audit surface: the component-SIZE histogram of the fuzzy
     resolve (how much mass sits in how-large duplicate clusters) —
@@ -6885,6 +6955,7 @@ QUERIES = {
     "glcm": q_glcm,
     "spearman": q_spearman,
     "dedup_stats": q_dedup_stats,
+    "geojsonl_source": q_geojsonl_source,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10691,6 +10762,15 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["geojsonl_source"] = """
+SELECT CAST(c_custkey AS BIGINT) AS fid,
+       CAST(2 * (2*(10 + c_custkey % 40)) * (2*(10 + c_custkey % 23))
+            AS BIGINT) AS area2,
+       CAST(4*(10 + c_custkey % 40) + 4*(10 + c_custkey % 23)
+            AS BIGINT) AS perim
+FROM customer ORDER BY fid
 """
 
 _ORACLES_BASE["spearman"] = """
