@@ -200,6 +200,10 @@ BENCH_QUERIES = [
     "chi2",
     "mannwhitney",
     "bootstrap",
+    "glcm",
+    "spearman",
+    "dedup_stats",
+    "geojsonl_source",
 ]
 
 
