@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "spearman",
     "dedup_stats",
     "geojsonl_source",
+    "xcorr",
 ]
 
 

@@ -6019,6 +6019,59 @@ def q_geojsonl_source(sf_dir: str):
                           batch_size=4096).sort("fid")
 
 
+def q_xcorr(sf_dir: str):
+    """Lagged cross-correlation (lags 0–3 h) between the click and
+    view hourly count series: the sample compresses to its hour
+    histogram (one tiny groupby), zero-filled over the complete hour
+    range; Pearson r per lag from exact integer moments, 6-dp."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                       pa.int64()).to_numpy() // 3_600_000_000
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(hour, return_inverse=True)
+        return pa.table({
+            "hi": pa.array(uniq, pa.int64()),
+            "a": np.bincount(inv, weights=(et == "click")).astype(np.int64),
+            "b": np.bincount(inv, weights=(et == "view")).astype(np.int64),
+        })
+
+    hb = (
+        ev.map_batches(_partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("hi").aggregate(Sum("a"), Sum("b"))
+        .to_pandas().sort_values("hi")  # O(hours) rows
+    )
+    hi = hb["hi"].to_numpy().astype(np.int64)
+    lo, hi_max = int(hi.min()), int(hi.max())
+    a = np.zeros(hi_max - lo + 1, np.int64)
+    b = np.zeros_like(a)
+    a[hi - lo] = hb["sum(a)"].to_numpy()
+    b[hi - lo] = hb["sum(b)"].to_numpy()
+    lags, ns, r6 = [], [], []
+    for lag in range(4):
+        aa = a[: a.size - lag] if lag else a
+        bb = b[lag:]
+        n = int(aa.size)
+        sa, sb = int(aa.sum()), int(bb.sum())
+        saa = int((aa * aa).sum())
+        sbb = int((bb * bb).sum())
+        sab = int((aa * bb).sum())
+        dx, dy = n * saa - sa * sa, n * sbb - sb * sb
+        r = (n * sab - sa * sb) / np.sqrt(float(dx) * float(dy)) \
+            if dx > 0 and dy > 0 else 0.0
+        lags.append(lag)
+        ns.append(n)
+        r6.append(round(float(r), 6))
+    return pa.table({
+        "lag": pa.array(lags, pa.int64()),
+        "n": pa.array(ns, pa.int64()),
+        "r6": pa.array(r6, pa.float64()),
+    })
+
+
 def q_dedup_stats(sf_dir: str):
     """Dedup audit surface: the component-SIZE histogram of the fuzzy
     resolve (how much mass sits in how-large duplicate clusters) —
@@ -6956,6 +7009,7 @@ QUERIES = {
     "spearman": q_spearman,
     "dedup_stats": q_dedup_stats,
     "geojsonl_source": q_geojsonl_source,
+    "xcorr": q_xcorr,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10762,6 +10816,40 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["xcorr"] = """
+WITH e AS (SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+                  event_type
+           FROM events),
+hb AS (SELECT hi,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a,
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b
+       FROM e GROUP BY 1),
+bnd AS (SELECT MIN(hi) AS lo, MAX(hi) AS hi2 FROM hb),
+f AS (SELECT bnd.lo + r.r AS hi, COALESCE(hb.a, 0) AS a,
+             COALESCE(hb.b, 0) AS b
+      FROM bnd
+      JOIN range(0, 100000) r(r)
+        ON r.r <= bnd.hi2 - bnd.lo
+      LEFT JOIN hb ON hb.hi = bnd.lo + r.r),
+l AS (SELECT lg.l, f1.a, f2.b
+      FROM range(0, 4) lg(l)
+      JOIN f f1 ON TRUE
+      JOIN f f2 ON f2.hi = f1.hi + lg.l),
+m AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+             CAST(SUM(a*b) AS BIGINT) AS sab,
+             CAST(SUM(a*a) AS BIGINT) AS saa,
+             CAST(SUM(b*b) AS BIGINT) AS sbb
+      FROM l GROUP BY 1)
+SELECT CAST(l AS BIGINT) AS lag, n,
+       round((n*sab - sa*sb)
+             / sqrt(CAST(n*saa - sa*sa AS DOUBLE)
+                    * CAST(n*sbb - sb*sb AS DOUBLE)), 6) AS r6
+FROM m ORDER BY 1
 """
 
 _ORACLES_BASE["geojsonl_source"] = """
