@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "dedup_stats",
     "geojsonl_source",
     "xcorr",
+    "gap_hist",
 ]
 
 

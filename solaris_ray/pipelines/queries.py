@@ -6019,6 +6019,58 @@ def q_geojsonl_source(sf_dir: str):
                           batch_size=4096).sort("fid")
 
 
+def q_gap_hist(sf_dir: str):
+    """Inter-arrival gap histogram: per-user consecutive event gaps
+    (seconds), bucketed by power-of-2 thresholds (exact integer
+    searchsorted — no float log), with exact gap-second mass per
+    bucket.  One user-bucketed co-shuffle, lexsort-segment diffs."""
+    from ray.data.aggregate import Sum
+
+    from ..stages._buckets import bucket_of
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    pows = np.asarray([1 << j for j in range(21)], np.int64)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(u, pa.int64()),
+            "t": pc.cast(batch["ts"], pa.int64()),
+            "i": batch["event_id"],
+            "kb": pa.array(bucket_of(u, 64), pa.int64()),
+        })
+
+    def _gaps(group: pa.Table) -> pa.Table:
+        u = group["u"].to_numpy()
+        t = group["t"].to_numpy()
+        i = group["i"].to_numpy()
+        order = np.lexsort((i, t, u))
+        us, ts = u[order], t[order]
+        same = us[1:] == us[:-1]
+        gap_s = ((ts[1:] - ts[:-1]) // 1_000_000)[same]
+        b = np.searchsorted(pows, gap_s, side="right")
+        uniq, inv = np.unique(b, return_inverse=True)
+        return pa.table({
+            "bucket": pa.array(uniq, pa.int64()),
+            "n": np.bincount(inv).astype(np.int64),
+            "gap_s_sum": np.bincount(inv, weights=gap_s).astype(np.int64),
+        })
+
+    agg = (
+        ev.map_batches(_tag, batch_format="pyarrow", batch_size=16384)
+        .groupby("kb").map_groups(_gaps, batch_format="pyarrow")
+        .groupby("bucket").aggregate(Sum("n"), Sum("gap_s_sum"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "bucket": pc.cast(b["bucket"], pa.int64()),
+            "n": pc.cast(b["sum(n)"], pa.int64()),
+            "gap_s_sum": pc.cast(b["sum(gap_s_sum)"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_xcorr(sf_dir: str):
     """Lagged cross-correlation (lags 0–3 h) between the click and
     view hourly count series: the sample compresses to its hour
@@ -7010,6 +7062,7 @@ QUERIES = {
     "dedup_stats": q_dedup_stats,
     "geojsonl_source": q_geojsonl_source,
     "xcorr": q_xcorr,
+    "gap_hist": q_gap_hist,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10816,6 +10869,22 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["gap_hist"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+g AS (SELECT (t - LAG(t) OVER (PARTITION BY user_id
+                               ORDER BY t, event_id)) // 1000000 AS gap_s
+      FROM e),
+gg AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL),
+th AS (SELECT CAST(pow(2, j) AS BIGINT) AS t FROM range(0, 21) r(j)),
+b AS (SELECT gap_s,
+        (SELECT COUNT(*) FROM th WHERE gg.gap_s >= th.t) AS bucket
+      FROM gg)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(gap_s) AS BIGINT) AS gap_s_sum
+FROM b GROUP BY 1
 """
 
 _ORACLES_BASE["xcorr"] = """
