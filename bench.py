@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "geojsonl_source",
     "xcorr",
     "gap_hist",
+    "benford",
 ]
 
 

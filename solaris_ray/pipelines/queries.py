@@ -6019,6 +6019,52 @@ def q_geojsonl_source(sf_dir: str):
                           batch_size=4096).sort("fid")
 
 
+_BENFORD_MICRO = np.asarray(
+    [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757],
+    np.int64,
+)  # round(1e6·log10(1+1/d)) — a LITERAL both sides share, no libm
+
+
+def q_benford(sf_dir: str):
+    """Benford first-significant-digit screen over event cents (the
+    bookkeeping-fraud / synthetic-data QA classic): exact integer digit
+    counts; the chi-square against Benford expectation uses the shared
+    micro-unit literal table, so no log evaluates anywhere."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["value"])
+
+    def _digits(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
+            pa.int64()).to_numpy()
+        d = cents[cents > 0].copy()
+        for _ in range(18):  # first significant digit, vectorized
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        cnt = np.bincount(d, minlength=10)[1:10]
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    agg = (ev.map_batches(_digits, batch_format="pyarrow", batch_size=16384)
+             .groupby("digit").aggregate(Sum("n")).to_pandas()
+             .sort_values("digit"))
+    n = agg["sum(n)"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    exp = total * (_BENFORD_MICRO / 1_000_000.0)
+    chi2 = float((((n - exp) ** 2) / exp).sum())
+    return pa.table({
+        "digit": pa.array(np.arange(1, 10), pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "total": pa.array(np.full(9, total, np.int64)),
+        "chi2_6": pa.array(np.full(9, round(chi2, 6)), pa.float64()),
+    })
+
+
 def q_gap_hist(sf_dir: str):
     """Inter-arrival gap histogram: per-user consecutive event gaps
     (seconds), bucketed by power-of-2 thresholds (exact integer
@@ -7063,6 +7109,7 @@ QUERIES = {
     "geojsonl_source": q_geojsonl_source,
     "xcorr": q_xcorr,
     "gap_hist": q_gap_hist,
+    "benford": q_benford,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10869,6 +10916,27 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["benford"] = """
+WITH c AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM c WHERE cents > 0),
+cnt AS (SELECT dd.d AS digit,
+               CAST(COALESCE(COUNT(o.digit), 0) AS BIGINT) AS n
+        FROM range(1, 10) dd(d)
+        LEFT JOIN d o ON o.digit = dd.d
+        GROUP BY 1),
+bf AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        (9, 45757)) t(digit, micro)),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+x AS (SELECT SUM(pow(cnt.n - tot.total*(bf.micro/1000000.0), 2)
+                 / (tot.total*(bf.micro/1000000.0))) AS chi2
+      FROM cnt JOIN bf ON bf.digit = cnt.digit CROSS JOIN tot)
+SELECT cnt.digit, cnt.n, tot.total, round(x.chi2, 6) AS chi2_6
+FROM cnt, tot, x
 """
 
 _ORACLES_BASE["gap_hist"] = """
