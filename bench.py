@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "xcorr",
     "gap_hist",
     "benford",
+    "grouped_mad",
 ]
 
 

@@ -6019,6 +6019,28 @@ def q_geojsonl_source(sf_dir: str):
                           batch_size=4096).sort("fid")
 
 
+def q_grouped_mad(sf_dir: str):
+    """Per-event-type robust outlier screen (median / MAD / count
+    beyond 5·MAD) — one group-bucketed co-shuffle, exact integer order
+    statistics in quantile_disc rank semantics."""
+    from ..stages.quantiles import grouped_mad
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "cents": pc.cast(
+                pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
+                pa.int64()),
+        })
+
+    return grouped_mad(
+        ev.map_batches(_cents, batch_format="pyarrow", batch_size=16384),
+        "event_type", "cents", k=5,
+    )
+
+
 _BENFORD_MICRO = np.asarray(
     [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757],
     np.int64,
@@ -7110,6 +7132,7 @@ QUERIES = {
     "xcorr": q_xcorr,
     "gap_hist": q_gap_hist,
     "benford": q_benford,
+    "grouped_mad": q_grouped_mad,
     # --- end of driver window; variants + remaining gates ------------
     "lineitem_agg": q_lineitem_agg,
     "token_count": q_token_count,
@@ -10916,6 +10939,22 @@ WITH e AS (SELECT event_id, epoch_us(ts) AS t,
 SELECT a.event_id AS id, CAST(COUNT(b.event_id) AS BIGINT) AS dom
 FROM e a LEFT JOIN e b ON b.t < a.t AND b.v > a.v
 GROUP BY 1
+"""
+
+_ORACLES_BASE["grouped_mad"] = """
+WITH e AS (SELECT event_type AS g,
+                  CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+           FROM events),
+m AS (SELECT g, CAST(quantile_disc(v, 0.5) AS BIGINT) AS med
+      FROM e GROUP BY 1),
+d AS (SELECT e.g, m.med, abs(e.v - m.med) AS ad
+      FROM e JOIN m ON m.g = e.g),
+md AS (SELECT g, med, CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad
+       FROM d GROUP BY 1, 2)
+SELECT md.g AS grp, CAST(COUNT(*) AS BIGINT) AS n, md.med, md.mad,
+       CAST(SUM(CASE WHEN d.ad > 5*md.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_out
+FROM d JOIN md ON md.g = d.g GROUP BY 1, 3, 4
 """
 
 _ORACLES_BASE["benford"] = """

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def exact_quantiles(ds, col: str, qs: list[float], n_buckets: int = 1024) -> pa.Table:
@@ -306,4 +307,75 @@ def group_quantiles(ds, group_col: str, value_col: str, qs: list[float],
         ds.map_batches(_tag, batch_format="pyarrow")
         .groupby("gb")
         .map_groups(_stats, batch_format="pyarrow")
+    )
+
+
+def grouped_mad(ds, group_col: str, value_col: str, k: int = 5,
+                n_buckets: int = 64):
+    """Per-group robust outlier screen: median, MAD (both
+    ``quantile_disc`` rank semantics — exact integers), and the count
+    of rows with ``|v − med| > k·MAD``.  One group-bucketed
+    co-shuffle; both order statistics come from two lexsorts inside
+    the kernel, vectorized across every group in the bucket (the
+    ``group_quantiles`` contract: one group fits one worker).
+
+    -> (grp, n, med, mad, n_out) per group.
+    """
+    import zlib
+
+    sch = ds.schema()
+    vt = dict(zip(sch.names, sch.types)).get(value_col)
+    if vt is not None and not pa.types.is_integer(vt):
+        raise TypeError(
+            f"grouped_mad: value column {value_col!r} must be integer-typed"
+        )
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        gb = np.array(
+            [zlib.crc32(str(x).encode("utf-8")) % n_buckets for x in g],
+            np.int64,
+        )
+        return pa.table({
+            "g": pc.cast(batch[group_col], pa.string()),
+            "v": pa.array(
+                batch[value_col].to_numpy(zero_copy_only=False)
+                .astype(np.int64), pa.int64()),
+            "gb": pa.array(gb, pa.int64()),
+        })
+
+    out_schema = pa.schema([
+        ("grp", pa.string()), ("n", pa.int64()), ("med", pa.int64()),
+        ("mad", pa.int64()), ("n_out", pa.int64()),
+    ])
+
+    def _kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        g = group["g"].to_numpy(zero_copy_only=False).astype(object)
+        v = group["v"].to_numpy()
+        uniq, seg = np.unique(g, return_inverse=True)
+        order = np.lexsort((v, seg))
+        sv, ss = v[order], seg[order]
+        starts = np.flatnonzero(np.concatenate(([True], ss[1:] != ss[:-1])))
+        counts = np.diff(np.concatenate((starts, [ss.size])))
+        # quantile_disc(0.5): 0-based index ceil(n/2) - 1
+        med = sv[starts + (counts + 1) // 2 - 1]
+        ad = np.abs(v - med[seg])
+        order2 = np.lexsort((ad, seg))
+        sad = ad[order2]
+        mad = sad[starts + (counts + 1) // 2 - 1]
+        n_out = np.zeros(uniq.size, np.int64)
+        np.add.at(n_out, seg, (ad > k * mad[seg]).astype(np.int64))
+        return pa.table({
+            "grp": pa.array(uniq.tolist(), pa.string()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+            "med": pa.array(med, pa.int64()),
+            "mad": pa.array(mad, pa.int64()),
+            "n_out": pa.array(n_out, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(_tag, batch_format="pyarrow", batch_size=16384)
+        .groupby("gb").map_groups(_kernel, batch_format="pyarrow")
     )
