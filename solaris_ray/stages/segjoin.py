@@ -17,9 +17,13 @@ only that owner cell reports the pair — the point is rational
 (num/den), so ownership is four cross-multiplied int64 comparisons,
 no floats anywhere.
 
-Coordinate budget: |x|,|y| ≤ 2^20 keeps every determinant and the
-ownership cross-products inside int64 (den ≤ 2^42, point numerators
-≤ 2^63); inputs are validated against it.
+Coordinate budget: |x|,|y| ≤ 2^20 keeps every orientation determinant
+inside int64 (|o| ≤ 2^43).  The ownership cross-products can exceed
+int64 at this budget (den ≤ 2^43, so db·s_num ≤ 2^64), so they are
+evaluated in exact Python-int (object-dtype) arithmetic — only the few
+candidates that already passed the bbox + orientation filters reach
+that path, so the cost is negligible.  Cell keys are packed with a
+positive bias so the pack/decode round-trips for negative cells too.
 """
 
 from __future__ import annotations
@@ -28,8 +32,17 @@ import numpy as np
 import pyarrow as pa
 
 _COORD_LIMIT = 1 << 20
+_KEY_SHIFT = 1 << 22  # packed-key stride; biased cells stay well below it
 
 _SEG_COLS = ("seg_id", "x0", "y0", "x1", "y1")
+
+
+def _cell_bias(cell: int) -> int:
+    """Bias making every cell index non-negative before packing, so the
+    floor-div/mod decode is a true inverse for signed cells (negative
+    coordinates previously decoded to a far-away box and dropped proper
+    crossings at y<0)."""
+    return _COORD_LIMIT // cell + 2
 
 
 def _check(arr: np.ndarray) -> np.ndarray:
@@ -58,8 +71,9 @@ def _cells_for(batch: pa.Table, side: int, cell: int, max_span: int) -> pa.Table
     w = (xhi - xlo + 1)[idx]
     cx = xlo[idx] + local % w
     cy = ylo[idx] + local // w
+    off = _cell_bias(cell)
     out = {
-        "cell": pa.array(cx * (1 << 21) + cy, pa.int64()),
+        "cell": pa.array((cx + off) * _KEY_SHIFT + (cy + off), pa.int64()),
         "side": pa.array(np.full(idx.size, side, np.int64), pa.int64()),
     }
     for c in _SEG_COLS:
@@ -111,22 +125,27 @@ def _cross_pairs(group: pa.Table, cell: int) -> pa.Table:
     bx0, by0 = bx0[keep], by0[keep]
     dbx, dby = dbx[keep], dby[keep]
     # crossing point p = b0 + s·db: cross(da, b0−a0) + s·cross(da, db)
-    # = 0 ⇒ s = −o1/den with den = cross(da, db)
-    den = dax * dby - day * dbx
-    s_num = -o1
+    # = 0 ⇒ s = −o1/den with den = cross(da, db).  Evaluated in exact
+    # Python-int arithmetic: db·s_num can reach ~2^64 at the ±2^20
+    # coordinate budget, past int64; only the few filtered survivors
+    # pay the object-dtype cost.
+    den = dax.astype(object) * dby - day.astype(object) * dbx
+    s_num = -o1.astype(object)
     flip = den < 0
     den = np.where(flip, -den, den)
     s_num = np.where(flip, -s_num, s_num)
     px_num = bx0 * den + dbx * s_num  # point x = px_num / den
     py_num = by0 * den + dby * s_num
-    # owner cell: cx = floor(px / cell) etc., via half-open bounds
+    # owner cell: cx = floor(px / cell) etc., via half-open bounds;
+    # decode subtracts the pack bias so negative cells round-trip
     cells = group["cell"].to_numpy()[side == 0][ai]
-    cx = cells // (1 << 21)
-    cy = cells % (1 << 21)
+    off = _cell_bias(cell)
+    cx = (cells // _KEY_SHIFT - off).astype(object)
+    cy = (cells % _KEY_SHIFT - off).astype(object)
     own = (
         (px_num >= cx * cell * den) & (px_num < (cx + 1) * cell * den)
         & (py_num >= cy * cell * den) & (py_num < (cy + 1) * cell * den)
-    )
+    ).astype(bool)
     return pa.table({
         "a_id": pa.array(A["seg_id"][ai[own]], pa.int64()),
         "b_id": pa.array(B["seg_id"][bi[own]], pa.int64()),
