@@ -3196,7 +3196,7 @@ def q_fill_nodata(sf_dir: str):
             }
         ),
         batch_format="pyarrow",
-    ).materialize()
+    )  # single-pass mean fill: no second consumption, no materialize
     filled = fill_stage.fill_nodata_mean(pre, nodata=0.0)
     post = filled.map_batches(_px_sum_cols(), batch_format="pyarrow", batch_size=16)
     return post.map_batches(
