@@ -16,16 +16,28 @@ it last.  Ordering affects PRUNING only, never the answer: candidates
 are verified with exact integer intersection counts
 (``100 * inter >= tau100 * union`` — no float compare anywhere).
 
-Shape: (1) one token-frequency groupby (partial counts per batch
-first); the (token-hash, df) vocabulary is broadcast via ``ray.put``
-— captions/titles have bounded vocabularies; for an unbounded-vocab
-corpus swap the broadcast for a rank co-shuffle, the pairs stay exact
-under ANY total order.  (2) one bucketed co-shuffle of prefix rows
-(rank, doc_id, full rank-set as a list column); per-bucket pair
-emission is capped + logged per token (dedup.py discipline) and
-verified IN the bucket — sets never ride a second exchange (the
-editdist.py lesson); (3) an id-only distinct collapses pairs that met
-under several prefix tokens.
+Shape — fully distributed, NO driver-side vocabulary (the round-4
+version materialized the global token-DF table on the driver and
+broadcast two vocab-sized arrays; a 100 TB corpus has billions of
+distinct tokens, so that pull was a north-rule violation):
+
+1. docs explode once to (doc_id, tok) distinct rows, bucketed by
+   token hash;
+2. ``groupby(token-bucket)`` — every occurrence of a token lands in
+   one bucket, so its global document frequency is simply the row
+   count per token inside the group; rows leave as (doc_id, tok, df);
+3. ``groupby(doc-bucket)`` reassembles each doc's token set, orders
+   it by (df, tok) — the same total order dense DF-ranks induced, no
+   rank table needed anywhere — and emits prefix rows
+   (tok, doc_id, full token set as a list column);
+4. ``groupby(prefix-token-bucket)`` verifies candidates in-bucket
+   with a boolean-membership matmul, capped + logged per token
+   (dedup.py discipline); sets never ride a second exchange;
+5. an id-pair distinct collapses pairs that met under several prefix
+   tokens.
+
+Every exchange moves O(doc-token pairs) fixed-width rows; tokenization
+runs once; driver memory is O(1).
 
 Token identity is a 64-bit siphash (pandas ``hash_array``): two
 distinct tokens colliding would merge their df counts and could
@@ -89,74 +101,75 @@ def jaccard_set_join(
     (id_a < id_b; docs with empty token sets never pair)."""
     if not 0 < tau100 <= 100:
         raise ValueError("jaccard_set_join: tau100 must be in (0, 100]")
-    import ray
 
-    # ---- pass 1: global token document frequencies -------------------
-    def _tok_partial(batch: pa.Table) -> pa.Table:
-        _, sets = _doc_token_hashes(batch, text_col, id_col)
-        if not sets:
-            return pa.table(
-                {"tok": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
-            )
-        allh = np.concatenate(sets) if sets else np.empty(0, np.int64)
-        uniq, cnt = np.unique(allh, return_counts=True)
-        return pa.table(
-            {"tok": pa.array(uniq, pa.int64()), "n": pa.array(cnt, pa.int64())}
-        )
-
-    df = (
-        ds.map_batches(_tok_partial, batch_format="pyarrow")
-        .groupby("tok")
-        .sum("n")
-        .to_pandas()
-    )
-    toks = df["tok"].to_numpy().astype(np.int64)
-    dfs = df["sum(n)"].to_numpy().astype(np.int64)
-    # rank 0 = rarest; ties broken by token hash for determinism
-    order = np.lexsort((toks, dfs))
-    rank_of = np.empty(toks.size, np.int64)
-    rank_of[order] = np.arange(toks.size)
-    sorted_toks = np.sort(toks)
-    # rank lookup aligned to sorted token hashes
-    rank_sorted = rank_of[np.argsort(toks, kind="stable")]
-    vocab_ref = ray.put((sorted_toks, rank_sorted))
-    logger.info("jaccard_set_join: vocabulary %d tokens", toks.size)
-
-    # ---- pass 2: prefix emission with the full rank-set --------------
-    def _emit(batch: pa.Table) -> pa.Table:
-        sorted_t, rank_s = ray.get(vocab_ref)
+    # ---- stage 1: explode docs to (doc_id, tok) distinct rows --------
+    def _explode(batch: pa.Table) -> pa.Table:
         ids, sets = _doc_token_hashes(batch, text_col, id_col)
-        out_rank, out_id, out_set = [], [], []
-        for i in range(ids.size):
-            s = sets[i]
-            if s.size == 0:
-                continue
-            pos = np.searchsorted(sorted_t, s)
-            ranks = np.sort(rank_s[pos])
-            n = ranks.size
+        if not sets:
+            return pa.table({
+                "id": pa.array([], pa.int64()),
+                "tok": pa.array([], pa.int64()),
+                "tb": pa.array([], pa.int64()),
+            })
+        lens = np.asarray([s.size for s in sets], np.int64)
+        tok = (np.concatenate(sets) if lens.sum()
+               else np.empty(0, np.int64)).astype(np.int64)
+        did = np.repeat(ids, lens)
+        return pa.table({
+            "id": pa.array(did, pa.int64()),
+            "tok": pa.array(tok, pa.int64()),
+            "tb": pa.array(bucket_of(tok, n_buckets), pa.int64()),
+        })
+
+    # ---- stage 2: global df per token, attached inside its bucket ----
+    def _attach_df(group: pa.Table) -> pa.Table:
+        tok = group["tok"].to_numpy(zero_copy_only=False)
+        did = group["id"].to_numpy(zero_copy_only=False)
+        # rows are per-doc-distinct, so df(tok) == row count per token
+        uniq, inv, cnt = np.unique(tok, return_inverse=True,
+                                   return_counts=True)
+        return pa.table({
+            "id": pa.array(did, pa.int64()),
+            "tok": pa.array(tok, pa.int64()),
+            "df": pa.array(cnt[inv].astype(np.int64), pa.int64()),
+            "db": pa.array(bucket_of(did, n_buckets), pa.int64()),
+        })
+
+    # ---- stage 3: per-doc prefix emission in (df, tok) order ---------
+    def _emit(group: pa.Table) -> pa.Table:
+        did = group["id"].to_numpy(zero_copy_only=False)
+        tok = group["tok"].to_numpy(zero_copy_only=False)
+        dfc = group["df"].to_numpy(zero_copy_only=False)
+        # (doc, df, tok) lexsort == per-doc rarest-first segments; this
+        # is exactly the order dense global DF-ranks would induce
+        order = np.lexsort((tok, dfc, did))
+        did, tok = did[order], tok[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], did[1:] != did[:-1])))
+        ends = np.append(starts[1:], did.size)
+        out_key, out_id, out_set = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
             p = n - math.ceil(tau100 * n / 100) + 1
-            for r in ranks[:p]:
-                out_rank.append(r)
-                out_id.append(ids[i])
-                out_set.append(ranks)
-        if not out_rank:
-            return pa.table(
-                {
-                    "r": pa.array([], pa.int64()),
-                    "id": pa.array([], pa.int64()),
-                    "set": pa.array([], pa.list_(pa.int64())),
-                    "rb": pa.array([], pa.int64()),
-                }
-            )
-        r = np.asarray(out_rank, np.int64)
-        return pa.table(
-            {
-                "r": pa.array(r, pa.int64()),
-                "id": pa.array(np.asarray(out_id, np.int64), pa.int64()),
-                "set": pa.array(out_set, pa.list_(pa.int64())),
-                "rb": pa.array(bucket_of(r, n_buckets), pa.int64()),
-            }
-        )
+            full = tok[s:e]
+            for k in full[:p]:
+                out_key.append(k)
+                out_id.append(did[s])
+                out_set.append(full)
+        if not out_key:
+            return pa.table({
+                "r": pa.array([], pa.int64()),
+                "id": pa.array([], pa.int64()),
+                "set": pa.array([], pa.list_(pa.int64())),
+                "rb": pa.array([], pa.int64()),
+            })
+        r = np.asarray(out_key, np.int64)
+        return pa.table({
+            "r": pa.array(r, pa.int64()),
+            "id": pa.array(np.asarray(out_id, np.int64), pa.int64()),
+            "set": pa.array(out_set, pa.list_(pa.int64())),
+            "rb": pa.array(bucket_of(r, n_buckets), pa.int64()),
+        })
 
     def _pairs(group: pa.Table) -> pa.Table:
         # per-key verification is a boolean-membership MATMUL, not a
@@ -219,7 +232,11 @@ def jaccard_set_join(
         )
 
     verified = (
-        ds.map_batches(_emit, batch_format="pyarrow")
+        ds.map_batches(_explode, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(_attach_df, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(_emit, batch_format="pyarrow")
         .groupby("rb")
         .map_groups(_pairs, batch_format="pyarrow")
     )
