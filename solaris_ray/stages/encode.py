@@ -102,14 +102,24 @@ def reliability_bins(ds, key_col: str, label_col: str, n_bins: int = 10,
         s = score_micro(keys, salt)
         lab = batch[label_col].to_numpy().astype(np.int64)
         b = s * n_bins // 1_000_000
-        return pa.table({
+        t = pa.table({
             "bin": pa.array(b, pa.int64()),
             "n": pa.array(np.ones_like(b), pa.int64()),
             "pos": pa.array(lab, pa.int64()),
             "score_sum": pa.array(s, pa.int64()),
         }).group_by("bin").aggregate([
             ("n", "sum"), ("pos", "sum"), ("score_sum", "sum")
-        ]).rename_columns(["bin", "n", "pos", "score_sum"])
+        ])
+        # rename BY NAME: the key column's position in group_by output
+        # is pyarrow-version-dependent (keys-first on 16.x, keys-last
+        # on older releases); positional rename would silently swap
+        # bin and count columns on a version change
+        return pa.table({
+            "bin": t["bin"],
+            "n": t["n_sum"],
+            "pos": t["pos_sum"],
+            "score_sum": t["score_sum_sum"],
+        })
 
     agg = (
         ds.map_batches(_partial, batch_format="pyarrow", batch_size=8192)
