@@ -112,10 +112,81 @@ def utm_to_latlon(easting: np.ndarray, northing: np.ndarray, zone: int, south: b
     return np.degrees(lon + lon0), np.degrees(lat)
 
 
+_WEBMERC_MAX_LAT = 85.05112877980659  # atan(sinh(pi)) in degrees
+
+
+def latlon_to_webmercator(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized WGS84 -> Web-Mercator (EPSG:3857) forward transform.
+
+    Closed-form spherical Mercator on the WGS84 semi-major axis
+    (EPSG "Popular Visualisation Pseudo Mercator", method 1024):
+    x = a*lam, y = a*ln(tan(pi/4 + phi/2)).  Valid |lat| <=
+    85.0511° (atan(sinh(pi))); inputs beyond that raise — matching
+    the projection's defined domain rather than silently clamping.
+    Reference reprojects via pyproj (/root/reference/solaris/utils/
+    geo.py:24-182); this is the same EPSG-registry formula, pyproj-free.
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if lat.size and np.abs(lat).max() > _WEBMERC_MAX_LAT:
+        raise ValueError(
+            f"EPSG:3857 is undefined beyond |lat| = {_WEBMERC_MAX_LAT}")
+    x = _A * np.radians(lon)
+    y = _A * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+    return x, y
+
+
+def webmercator_to_latlon(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized Web-Mercator (EPSG:3857) -> WGS84 inverse transform."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / _A)
+    lat = np.degrees(2 * np.arctan(np.exp(y / _A)) - np.pi / 2)
+    return lon, lat
+
+
+def reproject(x: np.ndarray, y: np.ndarray, from_epsg: int, to_epsg: int) -> tuple[np.ndarray, np.ndarray]:
+    """Coordinate-array reprojection between the supported CRS family:
+    EPSG:4326 (lon/lat order), EPSG:3857, and UTM 326xx/327xx.  Pairs
+    that don't share an axis route through 4326 (exactly what pyproj's
+    pipeline does for these CRS).  Unsupported codes raise — the
+    engine never silently passes coordinates through."""
+    if from_epsg == to_epsg:
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+
+    def _to_4326(x, y, epsg):
+        if epsg == 4326:
+            return x, y
+        if epsg == 3857:
+            return webmercator_to_latlon(x, y)
+        if 32600 < epsg <= 32660:
+            return utm_to_latlon(x, y, epsg - 32600, south=False)
+        if 32700 < epsg <= 32760:
+            return utm_to_latlon(x, y, epsg - 32700, south=True)
+        raise ValueError(f"unsupported source EPSG:{epsg}")
+
+    def _from_4326(lon, lat, epsg):
+        if epsg == 4326:
+            return lon, lat
+        if epsg == 3857:
+            return latlon_to_webmercator(lon, lat)
+        if 32600 < epsg <= 32660:
+            e, n, _ = latlon_to_utm(lon, lat, zone=epsg - 32600)
+            return e, n
+        if 32700 < epsg <= 32760:
+            e, n, _ = latlon_to_utm(lon, lat, zone=epsg - 32700)
+            return e, n
+        raise ValueError(f"unsupported target EPSG:{epsg}")
+
+    lon, lat = _to_4326(np.asarray(x, np.float64), np.asarray(y, np.float64), from_epsg)
+    return _from_4326(lon, lat, to_epsg)
+
+
 def projection_unit(epsg: int) -> str:
-    """'metre' for UTM codes, 'degree' for geographic (get_projection_unit
-    semantics, /root/reference/solaris/utils/geo.py:372-388)."""
-    if 32600 < epsg <= 32660 or 32700 < epsg <= 32760:
+    """'metre' for UTM/Web-Mercator codes, 'degree' for geographic
+    (get_projection_unit semantics,
+    /root/reference/solaris/utils/geo.py:372-388)."""
+    if 32600 < epsg <= 32660 or 32700 < epsg <= 32760 or epsg == 3857:
         return "metre"
     if epsg == 4326:
         return "degree"

@@ -3316,6 +3316,42 @@ def q_reproject_utm(sf_dir: str):
     return pts.map_batches(_project, batch_format="pyarrow", batch_size=8192)
 
 
+def q_reproject_3857(sf_dir: str):
+    """Web-Mercator reprojection (EPSG:4326 -> 3857 closed form, the
+    arbitrary-CRS gap closer): lon/lat points project forward, the
+    inverse round-trips them in-batch (gate aborts past 1e-9 deg), and
+    the dispatcher path UTM16 -> 3857 must agree with 4326 -> 3857 to
+    sub-mm on the same points.  SQL twin states the EPSG-1024 formula
+    verbatim; mm rounding keeps libm differences boundary-safe."""
+    from ..geom import crs
+
+    pts = _read(sf_dir, "events", ["event_id"])
+
+    def _project(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy()
+        lon = -86.99 + (e % 1000) * 0.001
+        lat = 30.0 + (e % 1500) * 0.01
+        x, y = crs.latlon_to_webmercator(lon, lat)
+        lon2, lat2 = crs.webmercator_to_latlon(x, y)
+        err = np.maximum(np.abs(lon2 - lon), np.abs(lat2 - lat))
+        if err.max() > 1e-9:
+            raise AssertionError(f"3857 roundtrip drifted: {err.max()}")
+        # dispatcher parity: 4326 -> UTM16 -> 3857 vs direct
+        easting, northing, _ = crs.latlon_to_utm(lon, lat, zone=16)
+        x2, y2 = crs.reproject(easting, northing, 32616, 3857)
+        if np.abs(x2 - x).max() > 1e-3 or np.abs(y2 - y).max() > 1e-3:
+            raise AssertionError("UTM->3857 dispatcher drifted from direct")
+        return pa.table(
+            {
+                "point_id": pa.array(e.astype(np.int64)),
+                "x_mm": pa.array(np.round(x, 3)),
+                "y_mm": pa.array(np.round(y, 3)),
+            }
+        )
+
+    return pts.map_batches(_project, batch_format="pyarrow", batch_size=8192)
+
+
 def q_augment(sf_dir: str):
     """Augmentation pipeline through the full Augmenter machinery
     (registry, config dict, per-row seeding), SQL-oracled: the
@@ -7108,6 +7144,7 @@ QUERIES = {
     "coco_export": q_coco_export,
     "scot": q_scot,
     "reproject_utm": q_reproject_utm,
+    "reproject_3857": q_reproject_3857,
     "tdigest": q_tdigest,
     "getis_ord": q_getis_ord,
     "cube": q_cube,
@@ -8536,6 +8573,12 @@ SELECT event_id AS point_id,
              + (5 - t + 9*c + 4*c*c) * pow(a_, 4) / 24
              + (61 - 58*t + t*t + 600*c - 330*ep2) * pow(a_, 6) / 720)), 2) AS northing_cm
 FROM tm2
+""",
+    "reproject_3857": """
+SELECT event_id AS point_id,
+       round(6378137.0 * radians(-86.99 + (event_id % 1000) * 0.001), 3) AS x_mm,
+       round(6378137.0 * ln(tan(pi()/4 + radians(30.0 + (event_id % 1500) * 0.01)/2)), 3) AS y_mm
+FROM events
 """,
     "jaccard_adjacent": f"""
 WITH l AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

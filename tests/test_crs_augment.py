@@ -48,6 +48,54 @@ def test_utm_southern_hemisphere_roundtrip():
 def test_projection_unit():
     assert crs.projection_unit(32616) == "metre"
     assert crs.projection_unit(4326) == "degree"
+    assert crs.projection_unit(3857) == "metre"
+
+
+def test_webmercator_known_points():
+    # EPSG registry example values: equator/prime meridian is origin;
+    # (lon=180, lat=0) -> x = a*pi
+    x, y = crs.latlon_to_webmercator(np.array([0.0, 180.0]), np.array([0.0, 0.0]))
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    assert abs(x[1] - 6378137.0 * np.pi) < 1e-6
+    # closed-form anchors: x(2°E) = a*pi/90; y(45°N) = a*ln(tan(67.5°))
+    x, y = crs.latlon_to_webmercator(np.array([2.0]), np.array([45.0]))
+    assert abs(x[0] - 6378137.0 * np.pi / 90) < 1e-6
+    assert abs(y[0] - 6378137.0 * np.log(np.tan(np.radians(67.5)))) < 1e-6
+    assert abs(y[0] - 5621521.486) < 0.01  # the standard 45°N value
+
+
+def test_webmercator_roundtrip_many():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-179.9, 179.9, 500)
+    lat = rng.uniform(-84.9, 84.9, 500)
+    x, y = crs.latlon_to_webmercator(lon, lat)
+    lon2, lat2 = crs.webmercator_to_latlon(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_webmercator_domain_enforced():
+    import pytest
+
+    with pytest.raises(ValueError):
+        crs.latlon_to_webmercator(np.array([0.0]), np.array([86.0]))
+
+
+def test_reproject_dispatcher_utm_to_3857():
+    lon = np.array([-87.0, -86.5])
+    lat = np.array([30.2, 34.7])
+    e, n, _ = crs.latlon_to_utm(lon, lat, zone=16)
+    x_direct, y_direct = crs.latlon_to_webmercator(lon, lat)
+    x, y = crs.reproject(e, n, 32616, 3857)
+    assert np.abs(x - x_direct).max() < 1e-3  # sub-mm through the pivot
+    assert np.abs(y - y_direct).max() < 1e-3
+    # identity and unsupported-code behavior
+    xs, ys = crs.reproject(lon, lat, 4326, 4326)
+    assert np.array_equal(xs, lon) and np.array_equal(ys, lat)
+    import pytest
+
+    with pytest.raises(ValueError):
+        crs.reproject(lon, lat, 9999, 3857)
 
 
 def _img_tbl(n=3, size=32):
