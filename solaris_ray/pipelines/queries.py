@@ -2747,6 +2747,51 @@ def q_embed_extract_ann(sf_dir: str):
     return out.map_batches(lambda b: _i64(b, ["rank"]), batch_format="pyarrow")
 
 
+def q_model_score(sf_dir: str):
+    """Weights-file model scorer: the full zoo lifecycle (registry ->
+    cache-dir .npz -> fetch-on-miss -> load once per actor,
+    model_io.py:12-137 semantics) feeding an integer MLP forward pass
+    (16 block-sum features -> 8 relu -> 1).  Every step is int64-exact,
+    so the generated SQL twin restates the weights and the ReLU
+    verbatim and the scores hash-match bit-for-bit."""
+    from ..stages.model import score_images
+
+    images = _formula_gray_images(sf_dir, limit=120, fixed_size=64)
+    return score_images(images, batch_size=16, concurrency=2)
+
+
+def _model_score_oracle() -> str:
+    """Generate the int-MLP SQL twin from the same weight formulas the
+    npz fetcher uses (stages/model._fetch_int_mlp)."""
+    w1 = [[((j * 5 + k * 3) % 7) - 3 for k in range(8)] for j in range(16)]
+    b1 = [(k % 5) - 2 for k in range(8)]
+    w2 = [((k * 11) % 5) - 2 for k in range(8)]
+    hs = []
+    for k in range(8):
+        terms = " + ".join(f"p{j}*({w1[j][k]})" for j in range(16))
+        hs.append(f"greatest(0, {terms} + ({b1[k]}))")
+    score = " + ".join(f"({h})*({w2[k]})" for k, h in enumerate(hs)) + " + 7"
+    pivot = ",\n       ".join(
+        f"max(CASE WHEN j = {j} THEN s END) AS p{j}" for j in range(16))
+    return f"""
+WITH px AS (
+  SELECT p_partkey AS pid, (y // 16) * 4 + (x // 16) AS j,
+         sum((x*7 + y*13 + p_partkey*31) % 251) AS s
+  FROM part, range(0, 64) t1(y), range(0, 64) t2(x)
+  WHERE p_partkey < 120
+  GROUP BY 1, 2
+),
+f AS (
+  SELECT pid,
+       {pivot}
+  FROM px GROUP BY pid
+)
+SELECT 'img_' || pid AS image_id,
+       CAST({score} AS BIGINT) AS score
+FROM f
+"""
+
+
 def q_resume_manifest(sf_dir: str):
     """Checkpoint/resume evidence: run a partitioned write twice; the
     second pass must skip every partition (manifest hit)."""
@@ -7226,6 +7271,7 @@ QUERIES = {
     "image_resize": q_image_resize,
     "frame_sample": q_frame_sample,
     "embed_extract_ann": q_embed_extract_ann,
+    "model_score": q_model_score,
     "polygonize_holes": q_polygonize_holes,
     "preproc_ops": q_preproc_ops,
     "yolo_export": q_yolo_export,
@@ -11259,6 +11305,8 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        q.lo, q.hi
 FROM e, q GROUP BY 1, 4, 5
 """
+
+_ORACLES_BASE["model_score"] = _model_score_oracle()
 
 _ORACLES_BASE["segment_join"] = """
 WITH pts AS (SELECT event_id AS e,

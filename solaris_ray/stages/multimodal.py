@@ -236,19 +236,32 @@ class FrameSampler:
 class EmbeddingExtractor:
     """Actor-pool scorer: image bytes -> feature vector.
 
-    Stands in for the model-scorer stage (model loaded once per actor,
+    The model-scorer stage (model loaded once per actor,
     /root/reference/solaris/nets/model_io.py + infer.py:80-102).  The
-    "model" here is a fixed random projection of downsampled pixels —
+    "model" is a fixed random projection of downsampled pixels whose
+    matrix now arrives through the full weights-file lifecycle
+    (``stages/model.get_weights``: registry -> cache-dir .npz ->
+    fetch-on-miss), loaded ONCE per actor here in ``__init__`` —
     deterministic, batchable, and shaped exactly like a real encoder:
     swap ``self.proj @ x`` for a forward pass and nothing else changes.
     """
 
     def __init__(self, dim: int = 64, seed: int = 42, strict: bool = False, pool: int = 16,
-                 dtype=np.float32):
-        rng = np.random.default_rng(seed)
+                 dtype=np.float32, weights_dir: str | None = None):
+        from .model import _fetch_rproj, get_weights
+
         self.pool = pool  # downsample to pool x pool x 3
         self.dtype = np.dtype(dtype)
-        self.proj = rng.standard_normal((dim, pool * pool * 3)).astype(self.dtype)
+        w = get_weights(
+            f"rproj_d{dim}_s{seed}_p{pool}",
+            custom_model_dict={
+                "weight_path": f"rproj_d{dim}_s{seed}_p{pool}.npz",
+                "fetch": lambda: _fetch_rproj(dim, seed, pool),
+                "arch": "linear",
+            },
+            weights_dir=weights_dir,
+        )
+        self.proj = w["proj"].astype(self.dtype)
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
