@@ -3458,6 +3458,69 @@ def q_augment(sf_dir: str):
     return out.map_batches(_wsums, batch_format="pyarrow", batch_size=16)
 
 
+def q_augment_album(sf_dir: str):
+    """Albumentations-name registry breadth: HorizontalFlip ->
+    CenterCrop(32x32) through the Augmenter (both deterministic, so
+    the SQL twin states the composed index map verbatim: crop pixel
+    (yc,xc) = source (16+yc, 47-xc)); the RNG-driven names
+    (RandomCrop, RandomBrightnessContrast, HueSaturationValue,
+    RandomRotate90, Normalize) stay pytest-parity-gated."""
+    from ..raster import codec as _codec
+    from ..stages import augment as aug
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 150)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 150]
+        rows = {"image_id": [], "bytes": [], "fmt": []}
+        for k in p.tolist():
+            yy, xx = np.indices((64, 64))
+            bands = [
+                ((xx * 7 + yy * 13 + k * 31 + b * 17) % 251).astype(np.uint8)
+                for b in range(3)
+            ]
+            rows["image_id"].append(f"img_{k}")
+            rows["bytes"].append(_codec.encode(np.stack(bands, axis=2), "png"))
+            rows["fmt"].append("png")
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "bytes": pa.array(rows["bytes"], pa.binary()),
+                "fmt": pa.array(rows["fmt"], pa.string()),
+            }
+        )
+
+    images = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=4096)
+    out = aug.augment(
+        images,
+        {"HorizontalFlip": {"p": 1.0},
+         "CenterCrop": {"height": 32, "width": 32, "p": 1.0}},
+        seed=7,
+    )
+
+    def _wsums(batch: pa.Table) -> pa.Table:
+        ids, w0, w1 = [], [], []
+        for i in range(batch.num_rows):
+            img = _codec.decode(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            if img.shape[:2] != (32, 32):
+                raise AssertionError(f"crop shape drifted: {img.shape}")
+            yy, xx = np.indices(img.shape[:2])
+            w = (yy * 32 + xx).astype(np.int64)
+            ids.append(batch["image_id"][i].as_py())
+            w0.append(int((w * img[:, :, 0].astype(np.int64)).sum()))
+            w1.append(int((w * img[:, :, 1].astype(np.int64)).sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "wsum_b0": pa.array(w0, pa.int64()),
+                "wsum_b1": pa.array(w1, pa.int64()),
+            }
+        )
+
+    return out.map_batches(_wsums, batch_format="pyarrow", batch_size=16)
+
+
 def q_group_topk(sf_dir: str):
     """Grouped top-k: 2 highest-value orders per customer (within-group
     sort + head — the per-group ranking operator)."""
@@ -7278,6 +7341,7 @@ QUERIES = {
     "match_join": q_match_join,
     "fill_nodata": q_fill_nodata,
     "augment": q_augment,
+    "augment_album": q_augment_album,
     "group_topk": q_group_topk,
     "sessionize": q_sessionize,
     "session_paths": q_session_paths,
@@ -8052,6 +8116,15 @@ SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
        CAST(SUM((rc.i*64 + rr.i) * ((rc.i*7 + rr.i*13 + p*31 + 17) % 251)) AS BIGINT) AS wsum_b0,
        CAST(SUM((rc.i*64 + rr.i) * ((rc.i*7 + rr.i*13 + p*31) % 251)) AS BIGINT) AS wsum_b1
 FROM img, px rr, px rc
+GROUP BY 1
+""",
+    "augment_album": """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 150),
+px AS (SELECT i FROM range(0, 32) r(i))
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(SUM((yc.i*32 + xc.i) * (((47 - xc.i)*7 + (16 + yc.i)*13 + p*31) % 251)) AS BIGINT) AS wsum_b0,
+       CAST(SUM((yc.i*32 + xc.i) * (((47 - xc.i)*7 + (16 + yc.i)*13 + p*31 + 17) % 251)) AS BIGINT) AS wsum_b1
+FROM img, px yc, px xc
 GROUP BY 1
 """,
     "polygonize": f"""

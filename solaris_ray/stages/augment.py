@@ -76,6 +76,78 @@ def random_scale(img: np.ndarray, rng: np.random.Generator,
     return out
 
 
+def random_crop(img: np.ndarray, rng: np.random.Generator,
+                height: int, width: int) -> np.ndarray:
+    """Albumentations RandomCrop: uniform top-left inside the valid
+    range; crop larger than the image raises (same as the reference)."""
+    h, w = img.shape[:2]
+    if height > h or width > w:
+        raise ValueError(f"crop {height}x{width} exceeds image {h}x{w}")
+    top = int(rng.integers(0, h - height + 1))
+    left = int(rng.integers(0, w - width + 1))
+    return img[top : top + height, left : left + width]
+
+
+def center_crop(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Albumentations CenterCrop."""
+    h, w = img.shape[:2]
+    if height > h or width > w:
+        raise ValueError(f"crop {height}x{width} exceeds image {h}x{w}")
+    top = (h - height) // 2
+    left = (w - width) // 2
+    return img[top : top + height, left : left + width]
+
+
+def random_brightness_contrast(img: np.ndarray, rng: np.random.Generator,
+                               brightness_limit: float = 0.2,
+                               contrast_limit: float = 0.2) -> np.ndarray:
+    """Albumentations RandomBrightnessContrast (brightness_by_max):
+    out = clip(img * (1 + contrast) + brightness * 255)."""
+    alpha = 1.0 + float(rng.uniform(-contrast_limit, contrast_limit))
+    beta = float(rng.uniform(-brightness_limit, brightness_limit)) * 255.0
+    return np.clip(np.rint(img.astype(np.float64) * alpha + beta),
+                   0, 255).astype(np.uint8)
+
+
+def hue_saturation_value(img: np.ndarray, rng: np.random.Generator,
+                         hue_shift_limit: float = 20.0,
+                         sat_shift_limit: float = 30.0,
+                         val_shift_limit: float = 20.0) -> np.ndarray:
+    """Albumentations HueSaturationValue through the engine's own
+    vectorized HSV kernels (preproc.rgb_to_hsv / hsv_to_rgb); shift
+    limits are in albumentations units (hue degrees/2 out of 180,
+    sat/val out of 255)."""
+    from .preproc import hsv_to_rgb, rgb_to_hsv
+
+    if img.shape[2] < 3:
+        return img  # albumentations no-ops on non-RGB too
+    hsv = rgb_to_hsv(img[:, :, :3])
+    dh = float(rng.uniform(-hue_shift_limit, hue_shift_limit)) / 180.0
+    ds = float(rng.uniform(-sat_shift_limit, sat_shift_limit)) / 255.0
+    dv = float(rng.uniform(-val_shift_limit, val_shift_limit)) / 255.0
+    hsv[:, :, 0] = (hsv[:, :, 0] + dh) % 1.0
+    hsv[:, :, 1] = np.clip(hsv[:, :, 1] + ds, 0.0, 1.0)
+    hsv[:, :, 2] = np.clip(hsv[:, :, 2] + dv, 0.0, 1.0)
+    out = hsv_to_rgb(hsv)
+    if img.shape[2] > 3:
+        out = np.concatenate([out, img[:, :, 3:]], axis=2)
+    return out
+
+
+def normalize(img: np.ndarray, mean=(0.485, 0.456, 0.406),
+              std=(0.229, 0.224, 0.225),
+              max_pixel_value: float = 255.0) -> np.ndarray:
+    """Albumentations Normalize: (img/max - mean) / std per channel,
+    float64 out.  Terminal by convention (like the reference, where it
+    precedes ToTensor); the Augmenter switches to the float codec when
+    the pipeline ends on a float image."""
+    mean = np.asarray(mean, np.float64)
+    std = np.asarray(std, np.float64)
+    c = img.shape[2]
+    return (img.astype(np.float64) / max_pixel_value
+            - mean[:c].reshape(1, 1, -1)) / std[:c].reshape(1, 1, -1)
+
+
 AUG_REGISTRY = {
     "flip_lr": lambda img, rng, **kw: flip_lr(img),
     "flip_ud": lambda img, rng, **kw: flip_ud(img),
@@ -84,6 +156,20 @@ AUG_REGISTRY = {
     "random_scale": lambda img, rng, lo=0.8, hi=1.2, **kw: random_scale(img, rng, lo, hi),
     "swap_channels": lambda img, rng, a=0, b=1, **kw: swap_channels(img, a, b),
     "drop_channel": lambda img, rng, idx=0, **kw: drop_channel(img, idx),
+    # albumentations-name aliases (transform.py:21-118 passthrough list)
+    "HorizontalFlip": lambda img, rng, **kw: flip_lr(img),
+    "VerticalFlip": lambda img, rng, **kw: flip_ud(img),
+    "RandomRotate90": lambda img, rng, **kw: rotate90(img, int(rng.integers(0, 4))),
+    "Rotate": lambda img, rng, limit=45.0, **kw: random_rotate(img, rng, limit),
+    "RandomCrop": lambda img, rng, height=32, width=32, **kw: random_crop(img, rng, height, width),
+    "CenterCrop": lambda img, rng, height=32, width=32, **kw: center_crop(img, height, width),
+    "RandomBrightnessContrast": lambda img, rng, brightness_limit=0.2, contrast_limit=0.2, **kw:
+        random_brightness_contrast(img, rng, brightness_limit, contrast_limit),
+    "HueSaturationValue": lambda img, rng, hue_shift_limit=20.0, sat_shift_limit=30.0,
+        val_shift_limit=20.0, **kw:
+        hue_saturation_value(img, rng, hue_shift_limit, sat_shift_limit, val_shift_limit),
+    "Normalize": lambda img, rng, mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+        max_pixel_value=255.0, **kw: normalize(img, mean, std, max_pixel_value),
 }
 
 
@@ -103,7 +189,7 @@ class Augmenter:
         self.out_fmt = out_fmt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_bytes = []
+        out_bytes, out_fmts, out_w, out_h = [], [], [], []
         for i in range(batch.num_rows):
             iid = batch["image_id"][i].as_py()
             rng = np.random.default_rng([self.seed, zlib.crc32(iid.encode())])
@@ -117,12 +203,24 @@ class Augmenter:
                     img = AUG_REGISTRY[name](img, rng, **kw)
                     if img.ndim == 2:
                         img = img[:, :, None]
+            # a float-typed result (Normalize terminal stage) rides the
+            # float codec; integer images keep the configured format
+            fmt = "f64" if np.issubdtype(img.dtype, np.floating) else self.out_fmt
             out_bytes.append(
-                codec.encode(np.ascontiguousarray(img.squeeze(-1) if img.shape[2] == 1 else img), self.out_fmt)
+                codec.encode(np.ascontiguousarray(img.squeeze(-1) if img.shape[2] == 1 else img), fmt)
             )
-        cols = {n: batch[n] for n in batch.column_names if n not in ("bytes", "fmt")}
+            out_fmts.append(fmt)
+            out_w.append(img.shape[1])
+            out_h.append(img.shape[0])
+        cols = {n: batch[n] for n in batch.column_names
+                if n not in ("bytes", "fmt", "w", "h")}
         cols["bytes"] = pa.array(out_bytes, pa.binary())
-        cols["fmt"] = pa.array([self.out_fmt] * batch.num_rows, pa.string())
+        cols["fmt"] = pa.array(out_fmts, pa.string())
+        # crops change dims — refresh w/h when the input carried them
+        if "w" in batch.column_names:
+            cols["w"] = pa.array(out_w, batch.schema.field("w").type)
+        if "h" in batch.column_names:
+            cols["h"] = pa.array(out_h, batch.schema.field("h").type)
         return pa.table(cols)
 
 

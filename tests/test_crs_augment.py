@@ -136,6 +136,95 @@ def test_random_scale_preserves_shape():
     assert out.shape == img.shape
 
 
+def test_center_crop_exact():
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    out = augment.center_crop(img, 4, 4)
+    assert out.shape == (4, 4, 3)
+    assert np.array_equal(out, img[2:6, 2:6])
+    import pytest
+
+    with pytest.raises(ValueError):
+        augment.center_crop(img, 9, 4)
+
+
+def test_random_crop_in_bounds_and_seeded():
+    img = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16, 1)
+    a = augment.random_crop(img, np.random.default_rng(5), 8, 8)
+    b = augment.random_crop(img, np.random.default_rng(5), 8, 8)
+    assert a.shape == (8, 8, 1) and np.array_equal(a, b)
+    # crop content must be a contiguous window of the source
+    top_left = int(a[0, 0, 0])
+    r, c = divmod(top_left, 16)
+    assert np.array_equal(a[:, :, 0], np.arange(256).reshape(16, 16)[r:r+8, c:c+8] % 256)
+
+
+def test_brightness_contrast_formula():
+    img = np.full((4, 4, 3), 100, np.uint8)
+    rng = np.random.default_rng(3)
+    out = augment.random_brightness_contrast(img, rng, 0.2, 0.2)
+    # replay the same draws to state the formula verbatim
+    rng2 = np.random.default_rng(3)
+    alpha = 1.0 + rng2.uniform(-0.2, 0.2)
+    beta = rng2.uniform(-0.2, 0.2) * 255.0
+    want = np.clip(np.rint(100 * alpha + beta), 0, 255).astype(np.uint8)
+    assert (out == want).all()
+
+
+def test_hsv_shift_roundtrip_zero_limits():
+    rng = np.random.default_rng(1)
+    img = np.random.default_rng(2).integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    out = augment.hue_saturation_value(img, rng, 0.0, 0.0, 0.0)
+    # zero shift = pure HSV roundtrip; rint quantization stays within 1
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_normalize_values_and_terminal_fmt(ray_session):
+    import ray.data
+
+    img = np.full((4, 4, 3), 127, np.uint8)
+    out = augment.normalize(img)
+    want0 = (127 / 255.0 - 0.485) / 0.229
+    assert abs(out[0, 0, 0] - want0) < 1e-12
+    # through the Augmenter: float result rides the f64 codec
+    tbl = pa.Table.from_pylist([
+        {"image_id": "n0", "bytes": codec.encode(img, "png"), "fmt": "png"}])
+    res = augment.augment(ray.data.from_arrow(tbl),
+                          {"Normalize": {"p": 1.0}}).to_pandas()
+    assert res.fmt[0] == "f64"
+    dec = codec.decode(res.bytes[0], "f64")
+    assert abs(dec[0, 0, 0] - want0) < 1e-12
+
+
+def test_albumentations_aliases_match_house_names():
+    img = np.random.default_rng(4).integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    rng = np.random.default_rng(0)
+    assert np.array_equal(
+        augment.AUG_REGISTRY["HorizontalFlip"](img, rng),
+        augment.AUG_REGISTRY["flip_lr"](img, rng))
+    assert np.array_equal(
+        augment.AUG_REGISTRY["VerticalFlip"](img, rng),
+        augment.AUG_REGISTRY["flip_ud"](img, rng))
+    # RandomRotate90 draws k in [0,4) from the row rng — deterministic
+    a = augment.AUG_REGISTRY["RandomRotate90"](img, np.random.default_rng(9))
+    k = int(np.random.default_rng(9).integers(0, 4))
+    assert np.array_equal(a, np.rot90(img, k=k, axes=(0, 1)))
+
+
+def test_augmenter_crop_updates_dims(ray_session):
+    import ray.data
+
+    img = np.random.default_rng(6).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    tbl = pa.Table.from_pylist([{
+        "image_id": "c0", "bytes": codec.encode(img, "png"), "fmt": "png",
+        "w": 16, "h": 16}])
+    res = augment.augment(
+        ray.data.from_arrow(tbl),
+        {"CenterCrop": {"height": 8, "width": 6, "p": 1.0}}).to_pandas()
+    assert res.w[0] == 6 and res.h[0] == 8
+    dec = codec.decode(res.bytes[0], "png")
+    assert dec.shape[:2] == (8, 6)
+
+
 def test_unknown_aug_rejected():
     import pytest
 
