@@ -3168,6 +3168,62 @@ def q_coco_export(sf_dir: str):
     return export_stage.coco_annotations(ray.data.from_arrow(feats), {"building": 1})
 
 
+def q_coco_shards(sf_dir: str):
+    """Sharded COCO sink (JSONL shards + manifest, the 100x-scale
+    default): dense image ids assigned distributed (global_rank +
+    image_id co-shuffle, no driver map), shards written per block,
+    and the gate ASSERTS the shard union equals the single-doc
+    build_coco_dict annotations before returning the dense rows the
+    SQL twin (row_number over sorted image_id) reproduces."""
+    import json
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..stages import export as export_stage
+
+    feats = _px_feature_rects(sf_dir)
+    imgs_meta = pa.table({
+        "image_id": pa.array([f"img_{i}" for i in range(40)], pa.string()),
+        "w": pa.array([3200] * 40, pa.int32()),
+        "h": pa.array([3200] * 40, pa.int32()),
+    })
+    out_dir = tempfile.mkdtemp(prefix="solaris_ray_coco_", dir="/tmp")
+    try:
+        manifest = export_stage.write_coco_shards(
+            ray.data.from_arrow(feats), ray.data.from_arrow(imgs_meta), out_dir)
+        shard_rows = []
+        for p in manifest["annotation_shards"]:
+            with open(p) as f:
+                shard_rows.extend(json.loads(ln) for ln in f)
+        img_rows = []
+        for p in manifest["image_shards"]:
+            with open(p) as f:
+                img_rows.extend(json.loads(ln) for ln in f)
+        single = export_stage.build_coco_dict(
+            ray.data.from_arrow(feats), ray.data.from_arrow(imgs_meta))
+        key = lambda r: r["id"]  # noqa: E731
+        if sorted(shard_rows, key=key) != sorted(single["annotations"], key=key):
+            raise AssertionError("shard union != single-doc annotations")
+        if sorted(img_rows, key=key) != sorted(single["images"], key=key):
+            raise AssertionError("shard union != single-doc images")
+        if manifest["categories"] != single["categories"]:
+            raise AssertionError("categories drifted")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return pa.table({
+        "annotation_id": pa.array([int(r["id"]) for r in shard_rows], pa.int64()),
+        "image_id": pa.array([int(r["image_id"]) for r in shard_rows], pa.int64()),
+        "category_id": pa.array([int(r["category_id"]) for r in shard_rows], pa.int64()),
+        "bbox_x": pa.array([r["bbox"][0] for r in shard_rows], pa.float64()),
+        "bbox_y": pa.array([r["bbox"][1] for r in shard_rows], pa.float64()),
+        "bbox_w": pa.array([r["bbox"][2] for r in shard_rows], pa.float64()),
+        "bbox_h": pa.array([r["bbox"][3] for r in shard_rows], pa.float64()),
+        "area": pa.array([r["area"] for r in shard_rows], pa.float64()),
+    })
+
+
 def q_yolo_export(sf_dir: str):
     """gdf_to_yolo rows (normalized clipped bboxes + min_overlap drop
     rule) over customer rects — SQL-oracled with identical divisions."""
@@ -7250,6 +7306,7 @@ QUERIES = {
     "map_101": q_map_101,
     "polygonize": q_polygonize,
     "coco_export": q_coco_export,
+    "coco_shards": q_coco_shards,
     "scot": q_scot,
     "reproject_utm": q_reproject_utm,
     "reproject_3857": q_reproject_3857,
@@ -7547,6 +7604,19 @@ SELECT c_custkey AS annotation_id,
        CAST(2*(10 + c_custkey % 23) AS DOUBLE) AS bbox_h,
        CAST(2*(10 + c_custkey % 40) AS DOUBLE) * (2*(10 + c_custkey % 23)) AS area
 FROM customer
+""",
+    "coco_shards": """
+WITH imgs AS (SELECT DISTINCT 'img_' || CAST(c_custkey % 40 AS VARCHAR) AS iid FROM customer),
+idm AS (SELECT iid, row_number() OVER (ORDER BY iid) AS idx FROM imgs)
+SELECT c_custkey AS annotation_id,
+       CAST(idx AS BIGINT) AS image_id,
+       CAST(1 AS BIGINT) AS category_id,
+       CAST((c_custkey*97) % 3200 AS DOUBLE) - (10 + c_custkey % 40) AS bbox_x,
+       CAST((c_custkey*71) % 3200 AS DOUBLE) - (10 + c_custkey % 23) AS bbox_y,
+       CAST(2*(10 + c_custkey % 40) AS DOUBLE) AS bbox_w,
+       CAST(2*(10 + c_custkey % 23) AS DOUBLE) AS bbox_h,
+       CAST(2*(10 + c_custkey % 40) AS DOUBLE) * (2*(10 + c_custkey % 23)) AS area
+FROM customer JOIN idm ON idm.iid = 'img_' || CAST(c_custkey % 40 AS VARCHAR)
 """,
     "yolo_export": """
 WITH f AS (SELECT c_custkey AS c,

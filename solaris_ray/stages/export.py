@@ -124,6 +124,173 @@ def build_coco_dict(features, images_meta) -> dict:
     }
 
 
+def coco_annotations_dense(features, images_meta):
+    """Annotation rows with DENSE image ids (row_number over sorted
+    image_id — build_coco_dict's id_map, computed distributed).
+
+    Dense ids come from ``global_rank`` over the images table; the
+    attach is a co-shuffle on the image_id string (union + groupby),
+    so no O(images) map ever forms on the driver.  Returns
+    (annotations_ds, images_ranked_ds, categories_dict)."""
+    from .rank import global_rank
+
+    cats = category_registry(features)
+    annos = coco_annotations(features, cats)
+    imgs = global_rank(
+        images_meta.select_columns(["image_id", "w", "h"]),
+        ["image_id"], pct=False)
+
+    a_schema = pa.schema([
+        ("image_id", pa.string()), ("side", pa.int64()),
+        ("annotation_id", pa.int64()), ("category_id", pa.int64()),
+        ("bbox_x", pa.float64()), ("bbox_y", pa.float64()),
+        ("bbox_w", pa.float64()), ("bbox_h", pa.float64()),
+        ("area", pa.float64()), ("img_idx", pa.int64()),
+    ])
+
+    def _anno_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "image_id": pc_cast_str(b["image_id"]),
+            "side": pa.array(np.ones(n, np.int64)),
+            "annotation_id": pc_cast_i64(b["annotation_id"]),
+            "category_id": pc_cast_i64(b["category_id"]),
+            "bbox_x": b["bbox_x"], "bbox_y": b["bbox_y"],
+            "bbox_w": b["bbox_w"], "bbox_h": b["bbox_h"],
+            "area": b["area"],
+            "img_idx": pa.nulls(n, pa.int64()),
+        }, schema=a_schema)
+
+    def _img_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "image_id": pc_cast_str(b["image_id"]),
+            "side": pa.array(np.zeros(n, np.int64)),
+            "annotation_id": pa.nulls(n, pa.int64()),
+            "category_id": pa.nulls(n, pa.int64()),
+            "bbox_x": pa.nulls(n, pa.float64()),
+            "bbox_y": pa.nulls(n, pa.float64()),
+            "bbox_w": pa.nulls(n, pa.float64()),
+            "bbox_h": pa.nulls(n, pa.float64()),
+            "area": pa.nulls(n, pa.float64()),
+            "img_idx": pc_cast_i64(b["rank"]),
+        }, schema=a_schema)
+
+    def _attach(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        img_rows = np.flatnonzero(side == 0)
+        anno = group.filter(pa.array(side == 1))
+        out_schema = pa.schema([
+            ("annotation_id", pa.int64()), ("image_id", pa.int64()),
+            ("category_id", pa.int64()),
+            ("bbox_x", pa.float64()), ("bbox_y", pa.float64()),
+            ("bbox_w", pa.float64()), ("bbox_h", pa.float64()),
+            ("area", pa.float64()),
+        ])
+        if anno.num_rows == 0 or img_rows.size == 0:
+            return out_schema.empty_table()
+        idx = int(group["img_idx"][int(img_rows[0])].as_py())
+        n = anno.num_rows
+        return pa.table({
+            "annotation_id": anno["annotation_id"],
+            "image_id": pa.array(np.full(n, idx, np.int64)),
+            "category_id": anno["category_id"],
+            "bbox_x": anno["bbox_x"], "bbox_y": anno["bbox_y"],
+            "bbox_w": anno["bbox_w"], "bbox_h": anno["bbox_h"],
+            "area": anno["area"],
+        }, schema=out_schema)
+
+    dense = (
+        annos.map_batches(_anno_side, batch_format="pyarrow")
+        .union(imgs.map_batches(_img_side, batch_format="pyarrow"))
+        .groupby("image_id")
+        .map_groups(_attach, batch_format="pyarrow")
+    )
+    return dense, imgs, cats
+
+
+def write_coco_shards(features, images_meta, out_dir: str) -> dict:
+    """Sharded COCO sink: JSONL shards + one small manifest.
+
+    ``build_coco_dict`` is a driver artifact by definition (the
+    reference writes one JSON document); at 100x image counts both
+    the annotations AND images lists dominate, so this sink streams
+    annotation rows and image rows to JSONL shards (one per block,
+    named by the shard's minimum id so re-runs are reproducible) and
+    the driver assembles only the O(shards) manifest:
+    {"categories", "annotation_shards", "image_shards", counts}.
+    The shard union is byte-for-byte the single-doc lists (gate +
+    pytest assert exactly that)."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    dense, imgs, cats = coco_annotations_dense(features, images_meta)
+
+    def _write_anno_shard(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.string())})
+        rows = b.sort_by("annotation_id").to_pylist()
+        path = os.path.join(
+            out_dir, f"annotations-{rows[0]['annotation_id']:012d}.jsonl")
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps({
+                    "id": int(r["annotation_id"]),
+                    "image_id": int(r["image_id"]),
+                    "category_id": int(r["category_id"]),
+                    "bbox": [r["bbox_x"], r["bbox_y"], r["bbox_w"], r["bbox_h"]],
+                    "area": r["area"], "iscrowd": 0,
+                }) + "\n")
+        return pa.table({"path": pa.array([path]),
+                         "n": pa.array([len(rows)], pa.int64()),
+                         "kind": pa.array(["annotations"])})
+
+    def _write_img_shard(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.string())})
+        rows = b.sort_by("rank").to_pylist()
+        path = os.path.join(out_dir, f"images-{rows[0]['rank']:012d}.jsonl")
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps({
+                    "id": int(r["rank"]), "file_name": r["image_id"],
+                    "width": int(r["w"]), "height": int(r["h"]),
+                }) + "\n")
+        return pa.table({"path": pa.array([path]),
+                         "n": pa.array([len(rows)], pa.int64()),
+                         "kind": pa.array(["images"])})
+
+    shard_rows = (
+        dense.map_batches(_write_anno_shard, batch_format="pyarrow")
+        .union(imgs.map_batches(_write_img_shard, batch_format="pyarrow"))
+        .to_pandas()  # O(shards) rows — the manifest itself
+    )
+    manifest = {
+        "categories": [{"id": i, "name": c} for c, i in cats.items()],
+        "annotation_shards": sorted(
+            shard_rows[shard_rows.kind == "annotations"]["path"].tolist()),
+        "image_shards": sorted(
+            shard_rows[shard_rows.kind == "images"]["path"].tolist()),
+        "n_annotations": int(
+            shard_rows[shard_rows.kind == "annotations"]["n"].sum()),
+        "n_images": int(shard_rows[shard_rows.kind == "images"]["n"].sum()),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def pc_cast_str(arr):
+    import pyarrow.compute as pc
+
+    return pc.cast(arr, pa.string())
+
+
 def yolo_rows(features, img_w: int, img_h: int, categories: dict[str, int],
               min_overlap: float = 0.66):
     """feature rows -> YOLO label rows (class cx cy w h, normalized).

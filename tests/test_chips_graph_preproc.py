@@ -144,6 +144,32 @@ def test_coco_export(ray_session):
     assert a["area"] == 80.0
 
 
+def test_coco_shards_union_equals_single_doc(ray_session, tmp_path):
+    import json
+
+    import ray
+
+    feats = ray.data.from_arrow(FEATS)
+    imgs = ray.data.from_arrow(
+        pa.table({"image_id": pa.array(["i0", "i1"]),
+                  "w": pa.array([64, 32], pa.int32()),
+                  "h": pa.array([64, 32], pa.int32())})
+    )
+    out = str(tmp_path / "coco")
+    manifest = export.write_coco_shards(feats, imgs, out)
+    assert manifest["n_images"] == 2
+    shard_annos = []
+    for p in manifest["annotation_shards"]:
+        with open(p) as f:
+            shard_annos.extend(json.loads(ln) for ln in f)
+    single = export.build_coco_dict(
+        ray.data.from_arrow(FEATS), imgs)
+    assert sorted(shard_annos, key=lambda r: r["id"]) == \
+        sorted(single["annotations"], key=lambda r: r["id"])
+    with open(out + "/manifest.json") as f:
+        assert json.load(f)["n_annotations"] == len(single["annotations"])
+
+
 def test_yolo_export_min_overlap(ray_session):
     import ray
 
