@@ -51,13 +51,19 @@ def _pack_values(type_: int, values) -> bytes:
 
 
 def gtiff_encode(arr: np.ndarray, transform=None, epsg: int | None = None,
-                 nodata: float | None = None) -> bytes:
+                 nodata: float | None = None,
+                 tile: int | None = None) -> bytes:
     """[Y,X] or [Y,X,C] array -> uncompressed band-sequential GeoTIFF.
 
     ``transform`` is an affine in the engine's (a,b,c,d,e,f) order
     (geo_x = a*px + b*py + c); axis-aligned transforms use the
     PixelScale+Tiepoint pair, rotated ones the full ModelTransformation
     matrix — mirroring how GDAL persists ``SetGeoTransform``.
+
+    ``tile``: when set (a multiple of 16, per the TIFF 6.0 spec),
+    writes the TILED layout (TileWidth/TileLength/TileOffsets/
+    TileByteCounts, chunky interleave) with zero-padded edge tiles —
+    the layout GDAL writes with ``TILED=YES``.
     """
     arr = np.asarray(arr)
     if arr.ndim == 2:
@@ -68,8 +74,22 @@ def gtiff_encode(arr: np.ndarray, transform=None, epsg: int | None = None,
     bits, sfmt = _FMT[arr.dtype]
     bpp = bits // 8
 
-    # band-sequential strips: one strip per band, RowsPerStrip = h
-    band_bytes = [np.ascontiguousarray(arr[:, :, i]).tobytes() for i in range(c)]
+    if tile is not None:
+        if tile % 16:
+            raise ValueError("TIFF tile dims must be multiples of 16")
+        ta = (w + tile - 1) // tile
+        td = (h + tile - 1) // tile
+        pad = np.zeros((td * tile, ta * tile, c), arr.dtype)
+        pad[:h, :w] = arr
+        band_bytes = [
+            np.ascontiguousarray(
+                pad[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+            ).tobytes()
+            for ty in range(td) for tx in range(ta)
+        ]
+    else:
+        # band-sequential strips: one strip per band, RowsPerStrip = h
+        band_bytes = [np.ascontiguousarray(arr[:, :, i]).tobytes() for i in range(c)]
     strip_counts = [len(b) for b in band_bytes]
 
     entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, payload)
@@ -83,11 +103,18 @@ def gtiff_encode(arr: np.ndarray, transform=None, epsg: int | None = None,
     tag(258, _TYPE_SHORT, [bits] * c)
     tag(259, _TYPE_SHORT, [1])  # no compression
     tag(262, _TYPE_SHORT, [2 if c == 3 else 1])  # RGB / BlackIsZero
-    tag(273, _TYPE_LONG, [0] * c)  # StripOffsets, filled in pass 2
+    if tile is not None:
+        tag(322, _TYPE_LONG, [tile])
+        tag(323, _TYPE_LONG, [tile])
+        tag(324, _TYPE_LONG, [0] * len(band_bytes))  # TileOffsets, pass 2
+        tag(325, _TYPE_LONG, strip_counts)
+        tag(284, _TYPE_SHORT, [1])  # tiled path writes chunky interleave
+    else:
+        tag(273, _TYPE_LONG, [0] * c)  # StripOffsets, filled in pass 2
+        tag(278, _TYPE_LONG, [h])
+        tag(279, _TYPE_LONG, strip_counts)
+        tag(284, _TYPE_SHORT, [2])  # planar: band-sequential
     tag(277, _TYPE_SHORT, [c])
-    tag(278, _TYPE_LONG, [h])
-    tag(279, _TYPE_LONG, strip_counts)
-    tag(284, _TYPE_SHORT, [2])  # planar: band-sequential
     tag(339, _TYPE_SHORT, [sfmt] * c)
 
     if transform is not None:
@@ -149,8 +176,10 @@ def gtiff_encode(arr: np.ndarray, transform=None, epsg: int | None = None,
     for n_b in strip_counts:
         offs.append(pos)
         pos += n_b
-    idx273 = next(i for i, e_ in enumerate(entries) if e_[0] == 273)
-    entries[idx273] = (273, _TYPE_LONG, c, _pack_values(_TYPE_LONG, offs))
+    off_tag = 324 if tile is not None else 273
+    idx_off = next(i for i, e_ in enumerate(entries) if e_[0] == off_tag)
+    entries[idx_off] = (off_tag, _TYPE_LONG, len(offs),
+                        _pack_values(_TYPE_LONG, offs))
     locs, overflow, data_off2 = _layout(entries)
     assert data_off2 == data_off
 
@@ -310,7 +339,48 @@ def gtiff_decode(buf: bytes):
         work = a.astype(np.int64).cumsum(axis=1)
         return (work & ((1 << bits) - 1)).astype(base_dtype)
 
-    if planar == 2:
+    tile_w = vals(322)
+    if tile_w is not None:
+        # tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts):
+        # the other half of real-world GeoTIFFs.  Tiles are always full
+        # size in the file — edge tiles carry padding that is cropped on
+        # assembly; the predictor resets per tile row, which the same
+        # per-row cumsum handles because each tile decodes separately.
+        tw = tile_w[0]
+        tl = vals(323)[0]
+        toffs, tcounts = vals(324), vals(325)
+        ta = (w + tw - 1) // tw
+        td = (h + tl - 1) // tl
+
+        def _tile(o, n_, cc):
+            flat = _decomp_strip(buf[o : o + n_], compression)
+            t = np.frombuffer(flat, dtype=dtype, count=tl * tw * cc).reshape(tl, tw, cc)
+            return undiff(t) if predictor == 2 else t
+
+        if planar == 2:
+            per_band = ta * td
+            bands = []
+            for b in range(c):
+                band = np.zeros((h, w), base_dtype)
+                for ti in range(per_band):
+                    o = toffs[b * per_band + ti]
+                    n_ = tcounts[b * per_band + ti]
+                    ty, tx = divmod(ti, ta)
+                    y0, x0 = ty * tl, tx * tw
+                    t = _tile(o, n_, 1)[:, :, 0]
+                    band[y0 : min(y0 + tl, h), x0 : min(x0 + tw, w)] = \
+                        t[: h - y0, : w - x0].astype(base_dtype, copy=False)
+                bands.append(band)
+            arr = np.stack(bands, axis=-1)
+        else:
+            arr = np.zeros((h, w, c), base_dtype)
+            for ti, (o, n_) in enumerate(zip(toffs, tcounts)):
+                ty, tx = divmod(ti, ta)
+                y0, x0 = ty * tl, tx * tw
+                t = _tile(o, n_, c)
+                arr[y0 : min(y0 + tl, h), x0 : min(x0 + tw, w)] = \
+                    t[: h - y0, : w - x0].astype(base_dtype, copy=False)
+    elif planar == 2:
         # strips cycle through band 0's rows, then band 1's, ...
         rps = vals(278, [h])[0]
         per_band = (h + rps - 1) // rps

@@ -135,6 +135,83 @@ def build_tiff(arr, compression=1, predictor=1, rows_per_strip=None, bo="<"):
     return hdr + body + bytes(overflow) + b"".join(strips)
 
 
+def build_tiled_tiff(arr, tile_w=16, tile_l=16, compression=1, predictor=1,
+                     bo="<", planar=1):
+    """Assemble a TILED TIFF byte-by-byte (tags 322-325; test-local
+    writer, fully independent of gtiff_encode's tiled path)."""
+    h, w, c = arr.shape
+    ta = (w + tile_w - 1) // tile_w
+    td = (h + tile_l - 1) // tile_l
+    pad = np.zeros((td * tile_l, ta * tile_w, c), arr.dtype)
+    pad[:h, :w] = arr
+    tiles = []
+    bands = range(c) if planar == 2 else [None]
+    for b in bands:
+        for ty in range(td):
+            for tx in range(ta):
+                t = pad[ty * tile_l : (ty + 1) * tile_l,
+                        tx * tile_w : (tx + 1) * tile_w]
+                t = t[:, :, b : b + 1] if planar == 2 else t
+                data = t
+                if predictor == 2:
+                    d = t.astype(np.int16).copy()
+                    d[:, 1:] = np.diff(t.astype(np.int16), axis=1)
+                    data = (d & 0xFF).astype(np.uint8)
+                raw = data.tobytes()
+                if compression == 8:
+                    raw = zlib.compress(raw)
+                elif compression == 32773:
+                    raw = _packbits(raw)
+                elif compression == 5:
+                    raw = _lzw(raw)
+                tiles.append(raw)
+    E = bo
+    tags: list[tuple[int, int, int, bytes]] = []
+
+    def tag(t, type_, vals):
+        fmt = {3: "H", 4: "I"}[type_]
+        tags.append((t, type_, len(vals), struct.pack(f"{E}{len(vals)}{fmt}", *vals)))
+
+    tag(256, 3, [w])
+    tag(257, 3, [h])
+    tag(258, 3, [8] * c)
+    tag(259, 3, [compression])
+    tag(262, 3, [2])
+    tag(277, 3, [c])
+    tag(284, 3, [planar])
+    if predictor != 1:
+        tag(317, 3, [predictor])
+    tag(322, 4, [tile_w])
+    tag(323, 4, [tile_l])
+    tag(324, 4, [0] * len(tiles))
+    tag(325, 4, [len(s) for s in tiles])
+    tags.sort()
+    n = len(tags)
+    overflow_off = 8 + 2 + 12 * n + 4
+    osize = sum(len(p) for _, _, _, p in tags if len(p) > 4)
+    tile_base = overflow_off + osize
+    offs = []
+    p = tile_base
+    for s in tiles:
+        offs.append(p)
+        p += len(s)
+    entries = bytearray()
+    overflow = bytearray()
+    opos = overflow_off
+    for t, ty, cnt, payload in tags:
+        if t == 324:
+            payload = struct.pack(f"{E}{len(tiles)}I", *offs)
+        if len(payload) <= 4:
+            entries += struct.pack(f"{E}HHI", t, ty, cnt) + payload.ljust(4, b"\0")
+        else:
+            entries += struct.pack(f"{E}HHI", t, ty, cnt) + struct.pack(f"{E}I", opos)
+            overflow += payload
+            opos += len(payload)
+    hdr = (b"II" if E == "<" else b"MM") + struct.pack(f"{E}H", 42) + struct.pack(f"{E}I", 8)
+    body = struct.pack(f"{E}H", n) + entries + struct.pack(f"{E}I", 0)
+    return hdr + body + bytes(overflow) + b"".join(tiles)
+
+
 IMG = np.random.default_rng(7).integers(0, 256, size=(37, 23, 3), dtype=np.uint8)
 
 
@@ -171,6 +248,44 @@ def test_tiff_is_native_fmt_now():
     out = decode_any(buf, "tiff", IMG.shape[1], IMG.shape[0], strict=True)
     assert np.array_equal(out, IMG)
     assert np.array_equal(codec.decode(codec.encode(IMG, "tiff"), "tiff"), IMG)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(),
+        dict(tile_w=32, tile_l=16),
+        dict(compression=8),
+        dict(compression=5, predictor=2),
+        dict(compression=32773, bo=">"),
+        dict(planar=2, compression=8),
+    ],
+    ids=["plain", "rect-tiles", "deflate", "lzw-predictor",
+         "packbits-bigendian", "planar-deflate"],
+)
+def test_foreign_tiled_tiff_decodes_exact(kw):
+    # 37x23 is not tile-aligned: edge tiles carry padding to crop
+    arr, _ = gtiff_decode(build_tiled_tiff(IMG, **kw))
+    assert np.array_equal(arr, IMG)
+
+
+def test_foreign_tiled_tiff_large_multitile():
+    big = np.random.default_rng(11).integers(
+        0, 256, size=(70, 90, 3), dtype=np.uint8)
+    arr, _ = gtiff_decode(build_tiled_tiff(big, tile_w=32, tile_l=32,
+                                           compression=8, predictor=2))
+    assert np.array_equal(arr, big)
+
+
+def test_own_encoder_tiled_roundtrip():
+    buf = gtiff_encode(IMG, transform=(0.5, 0, 100, 0, -0.5, 200),
+                       epsg=32616, nodata=0, tile=16)
+    arr, meta = gtiff_decode(buf)
+    assert np.array_equal(arr, IMG)
+    assert meta["epsg"] == 32616 and meta["nodata"] == 0.0
+    assert meta["transform"][0] == 0.5
+    with pytest.raises(ValueError):
+        gtiff_encode(IMG, tile=20)  # not a multiple of 16
 
 
 def test_own_encoder_meta_roundtrip_still_exact():
