@@ -14,3 +14,65 @@ import numpy as np
 
 def bucket_of(x: np.ndarray, n_buckets: int) -> np.ndarray:
     return ((x * np.int64(2654435761)) % np.int64(n_buckets)).astype(np.int64)
+
+
+def distinct_reduce(ds, key_cols: list[str], aggs: dict[str, str] | None = None,
+                    n_buckets: int = 64):
+    """Exact distinct / grouped min-max over int64-keyed rows: ONE
+    bucketed co-shuffle + a vectorized in-bucket segment reduce.
+
+    Replaces ``ds.groupby(key_cols).count()/aggregate(Min/Max)`` for
+    the pair-distinct shape: Ray's hash aggregate spends ~100 us of
+    CPU per GROUP (measured 27 s CPU / 3.3 s wall for a 262k-pair
+    distinct at sf0.1), while this runs lexsort + reduceat per bucket
+    in microseconds per thousand rows.  ``aggs`` maps value columns to
+    "min" | "max" | "sum"; output columns keep their input names.
+    Same exactness: all copies of a key meet in one bucket (hash of
+    the mixed key), segments reduce vectorized.
+    """
+    import pyarrow as pa
+
+    aggs = aggs or {}
+    val_cols = list(aggs)
+
+    def _tag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("__db", pa.array([], pa.int64()))
+        mix = b[key_cols[0]].to_numpy(zero_copy_only=False).astype(np.int64).copy()
+        for c in key_cols[1:]:
+            mix = mix * np.int64(1000003) + \
+                b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("__db", pa.array(bucket_of(mix, n_buckets)))
+
+    def _reduce(group: pa.Table) -> pa.Table:
+        ks = [group[c].to_numpy(zero_copy_only=False).astype(np.int64)
+              for c in key_cols]
+        order = np.lexsort(ks[::-1])
+        ks = [k[order] for k in ks]
+        n = ks[0].size
+        new = np.ones(n, bool)
+        if n > 1:
+            acc = np.zeros(n - 1, bool)
+            for k in ks:
+                acc |= k[1:] != k[:-1]
+            new[1:] = acc
+        starts = np.flatnonzero(new)
+        out = {c: pa.array(k[starts], pa.int64()) for c, k in zip(key_cols, ks)}
+        for c, how in aggs.items():
+            v = group[c].to_numpy(zero_copy_only=False)[order]
+            if how == "max":
+                red = np.maximum.reduceat(v, starts)
+            elif how == "min":
+                red = np.minimum.reduceat(v, starts)
+            elif how == "sum":
+                red = np.add.reduceat(v, starts)
+            else:
+                raise ValueError(f"unknown agg {how}")
+            out[c] = pa.array(red)
+        return pa.table(out)
+
+    return (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(_reduce, batch_format="pyarrow")
+    )

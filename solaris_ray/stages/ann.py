@@ -527,10 +527,14 @@ def hamming_topk_banded(corpus, queries, k: int = 5, radius: int = 3,
     cands = both.groupby(["band", "key"]).map_groups(
         _bucket, batch_format="pyarrow")
     # a pair can surface from several agreeing bands: distinct first
-    cands = cands.groupby(["query_id", "item_id"]).min("dist")
+    # (bucketed vectorized min-reduce, not Ray's per-group aggregate)
+    from ._buckets import distinct_reduce
+
+    cands = distinct_reduce(cands, ["query_id", "item_id"],
+                            aggs={"dist": "min"})
 
     def _merge(group: pa.Table) -> pa.Table:
-        dist = group["min(dist)"].to_numpy()
+        dist = group["dist"].to_numpy()
         items = group["item_id"].to_numpy()
         order = np.lexsort((items, dist))[:k]
         return pa.table(

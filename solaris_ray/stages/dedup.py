@@ -332,17 +332,62 @@ def minhash_candidate_pairs(
             }
         )
 
-    cand = (
-        banded.groupby(["band", "key"])
-        .map_groups(_bucket_ids, batch_format="pyarrow")
+    from ._buckets import distinct_reduce
+
+    cand = distinct_reduce(
         # cross-band distinct BEFORE the sig joins (a pair colliding in
         # k bands would otherwise join its signatures k times)
-        .groupby(["doc_a", "doc_b"])
-        .count()
-        .select_columns(["doc_a", "doc_b"])
+        banded.groupby(["band", "key"]).map_groups(
+            _bucket_ids, batch_format="pyarrow"),
+        ["doc_a", "doc_b"],
     )
 
-    from .relational import hash_join
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("max(est_jaccard)", pa.float64())]
+    )
+
+    # sig tables below BROADCAST_LIMIT ship ONCE via ray.put and BOTH
+    # sides probe map-side in a single fused attach+estimate pass (no
+    # all-to-all, one execution instead of two chained joins); above
+    # it the bucketed co-shuffle joins run as before — rows are
+    # bit-identical either way.  Strategy picked from the materialized
+    # sig count (metadata, free).
+    from .relational import BROADCAST_LIMIT, hash_join
+
+    if sigs.count() <= BROADCAST_LIMIT:
+        import ray
+
+        from .ann import list_col_to_matrix
+
+        blocks = [b for b in ray.get(sigs.to_arrow_refs()) if b.num_rows]
+        sig_tbl = pa.concat_tables(blocks)
+        ids_np = sig_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = list_col_to_matrix(sig_tbl["sig"], np.int64)
+        order = np.argsort(ids_np)
+        lookup_ref = ray.put((ids_np[order], mat[order]))
+
+        def _est_broadcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return out_schema.empty_table()
+            ids_s, mat_s = ray.get(lookup_ref)
+            da = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            db = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sa = mat_s[np.searchsorted(ids_s, da)]
+            sb = mat_s[np.searchsorted(ids_s, db)]
+            est = (sa == sb).mean(axis=1)
+            keep = est >= est_threshold
+            return pa.table(
+                {
+                    "doc_a": pa.array(da[keep], pa.int64()),
+                    "doc_b": pa.array(db[keep], pa.int64()),
+                    # column name kept from the old carry-sigs plan
+                    # (per-band Max of an identical value) for parity
+                    "max(est_jaccard)": pa.array(est[keep], pa.float64()),
+                }
+            )
+
+        return cand.map_batches(_est_broadcast, batch_format="pyarrow")
 
     sig_a = sigs.map_batches(
         lambda b: pa.table({"ida": b["doc_id"], "sig_a": b["sig"]}),
@@ -352,27 +397,14 @@ def minhash_candidate_pairs(
         lambda b: pa.table({"idb": b["doc_id"], "sig_b": b["sig"]}),
         batch_format="pyarrow",
     )
-    # sig tables below BROADCAST_LIMIT ship once via ray.put and probe
-    # map-side (no all-to-all; 2 of this pipeline's 4 exchanges vanish
-    # at small-corpus scale); above it the bucketed co-shuffle runs as
-    # before — rows are bit-identical either way.  Strategy picked from
-    # the materialized sig count (metadata, free) rather than
-    # strategy="auto", whose count() would re-execute the side.
-    from .relational import BROADCAST_LIMIT
-
-    strat = "broadcast" if sigs.count() <= BROADCAST_LIMIT else "shuffle"
     j = hash_join(
-        hash_join(cand, sig_a, "doc_a", "ida", strategy=strat),
-        sig_b, "doc_b", "idb", strategy=strat,
+        hash_join(cand, sig_a, "doc_a", "ida", strategy="shuffle"),
+        sig_b, "doc_b", "idb", strategy="shuffle",
     )
 
     def _estimate(batch: pa.Table) -> pa.Table:
         from .ann import list_col_to_matrix
 
-        out_schema = pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
-             ("max(est_jaccard)", pa.float64())]
-        )
         if batch.num_rows == 0:
             return out_schema.empty_table()
         sa = list_col_to_matrix(batch["sig_a"], np.int64)
@@ -383,8 +415,6 @@ def minhash_candidate_pairs(
             {
                 "doc_a": pc.cast(batch["doc_a"], pa.int64()).filter(pa.array(keep)),
                 "doc_b": pc.cast(batch["doc_b"], pa.int64()).filter(pa.array(keep)),
-                # column name kept from the old carry-sigs plan (the
-                # per-band Max of an identical value) for gate parity
                 "max(est_jaccard)": pa.array(est[keep], pa.float64()),
             }
         )
@@ -576,9 +606,17 @@ def embedding_neardup_pairs_bucketed(ds, tau: float = 0.4, n_planes: int = 8,
     pairs = tagged.groupby(["t", "bucket"]).map_groups(_bucket, batch_format="pyarrow")
     if star_pairs is not None:
         pairs = pairs.union(star_pairs)
-    from ray.data.aggregate import Max
+    from ._buckets import distinct_reduce
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("sim6"))
+    # bucketed vectorized max-reduce (Ray's hash aggregate costs
+    # ~100us CPU per pair group); output schema kept identical
+    return distinct_reduce(
+        pairs, ["doc_a", "doc_b"], aggs={"sim6": "max"}
+    ).map_batches(
+        lambda b: pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                            "max(sim6)": b["sim6"]}),
+        batch_format="pyarrow",
+    )
 
 
 def _collapse_exact_vectors(ds, id_col: str, vec_col: str):
@@ -759,9 +797,15 @@ def hamming_neardup_pairs(
         )
 
     pairs = banded.groupby(["band", "key"]).map_groups(_bucket, batch_format="pyarrow")
-    from ray.data.aggregate import Min
+    from ._buckets import distinct_reduce
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("dist"))
+    return distinct_reduce(
+        pairs, ["id_a", "id_b"], aggs={"dist": "min"}
+    ).map_batches(
+        lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                            "min(dist)": b["dist"]}),
+        batch_format="pyarrow",
+    )
 
 
 def semantic_dedup(ds, centroids: np.ndarray, tau: float = 0.95,

@@ -242,12 +242,11 @@ def editdist1_pairs(
         _candidates, batch_format="pyarrow"
     )
     # cross-key distinct (a pair can meet under several keys that land
-    # in different kb buckets) — the dedup.py idiom
-    return (
-        verified.groupby(["id_a", "id_b"])
-        .count()
-        .select_columns(["id_a", "id_b"])
-    )
+    # in different kb buckets) — bucketed vectorized reduce, NOT Ray's
+    # hash aggregate (whose per-group cost dominated this pipeline)
+    from ._buckets import distinct_reduce
+
+    return distinct_reduce(verified, ["id_a", "id_b"])
 
 
 def _verify_leq_k(sa: np.ndarray, sb: np.ndarray, k: int) -> np.ndarray:
@@ -424,8 +423,6 @@ def editdist_pairs(
 
     keys = ds.map_batches(_emit_keys, batch_format="pyarrow")
     verified = keys.groupby("kb").map_groups(_candidates, batch_format="pyarrow")
-    return (
-        verified.groupby(["id_a", "id_b"])
-        .count()
-        .select_columns(["id_a", "id_b"])
-    )
+    from ._buckets import distinct_reduce
+
+    return distinct_reduce(verified, ["id_a", "id_b"])

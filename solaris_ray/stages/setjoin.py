@@ -241,25 +241,9 @@ def jaccard_set_join(
         .map_groups(_pairs, batch_format="pyarrow")
     )
     # cross-bucket distinct (a pair can qualify under prefix tokens in
-    # different buckets); inter/uni are identical on every copy
-    from ray.data.aggregate import Max
+    # different buckets); inter/uni are identical on every copy —
+    # bucketed vectorized reduce, not Ray's per-group hash aggregate
+    from ._buckets import distinct_reduce
 
-    return (
-        verified.groupby(["id_a", "id_b"])
-        .aggregate(Max("inter"), Max("uni"))
-        .map_batches(
-            lambda b: (
-                _PAIR.empty_table()
-                if b.num_rows == 0 or "id_a" not in b.schema.names
-                else pa.table(
-                    {
-                        "id_a": b["id_a"],
-                        "id_b": b["id_b"],
-                        "inter": b["max(inter)"],
-                        "uni": b["max(uni)"],
-                    }
-                )
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    return distinct_reduce(
+        verified, ["id_a", "id_b"], aggs={"inter": "max", "uni": "max"})
