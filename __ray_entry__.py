@@ -53,9 +53,32 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from solaris_ray.pipelines.queries import QUERIES
+    """Registry, ordered so queries that have NEVER been in a driver
+    correctness window come first (oracled ones leading) — the driver
+    checks a 50-query prefix per round, and rotating never-checked
+    families into it is how the whole registry earns machine-recorded
+    correctness rows over rounds.  Relative order is otherwise stable.
+    """
+    import glob
+    import json
+    import os
 
-    return dict(QUERIES)
+    from solaris_ray.pipelines.queries import ORACLES, QUERIES
+
+    checked: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                checked |= set(json.load(f))
+        except (OSError, ValueError):
+            continue
+
+    def _prio(item):
+        name = item[0]
+        return (name in checked, name not in ORACLES)
+
+    return dict(sorted(QUERIES.items(), key=_prio))
 
 
 def oracle_sql() -> dict[str, str]:
