@@ -208,6 +208,14 @@ BENCH_QUERIES = [
     "gap_hist",
     "benford",
     "grouped_mad",
+    # round-5: CRS closure, weights-file scorer, sharded COCO,
+    # tiled-TIFF corpus, albumentations registry, set-join rework
+    "reproject_3857",
+    "model_score",
+    "coco_shards",
+    "tiles_tiff_tiled",
+    "augment_album",
+    "fill_nodata",
 ]
 
 
