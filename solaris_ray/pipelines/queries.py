@@ -5561,6 +5561,33 @@ def q_bpe_train(sf_dir: str):
         ["merge_rank", "left_sym", "right_sym", "pair_count"])
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """C4-style paragraph-level exact dedup: formula paragraph docs
+    (heavy cross-doc duplication by construction), winner = global
+    first occurrence, docs rebuilt from survivors.  The SQL twin
+    restates the winner rule and reconstructs with string_agg; the
+    md5 of the rebuilt text compares reconstruction byte-for-byte."""
+    from ..stages.corpus import paragraph_dedup
+
+    d_ds = _read(sf_dir, "documents", ["doc_id"],
+                 filter=pc.field("doc_id") < 300)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        texts = []
+        for d in ids.tolist():
+            n = 3 + d % 4
+            texts.append("\n\n".join(
+                f"para {(d * 7 + j * 13) % 59} body" for j in range(n)))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    docs = d_ds.map_batches(_gen, batch_format="pyarrow", batch_size=4096)
+    return paragraph_dedup(docs)
+
+
 def q_sentences(sf_dir: str):
     """Sentence segmentation (text.split_sentences — the RAG chunking
     primitive): planted '. '-joined sentences per doc; the vectorized
@@ -7460,6 +7487,7 @@ QUERIES = {
     "image_quality": q_image_quality,
     "speech_prep": q_speech_prep,
     "sentences": q_sentences,
+    "paragraph_dedup": q_paragraph_dedup,
     "bpe_train": q_bpe_train,
     "video_stats": q_video_stats,
     "video_frames": q_video_frames,
@@ -7911,6 +7939,20 @@ FROM j
 UNION ALL
 SELECT CAST(2*j + 1 AS BIGINT), c, c || '</w>', CAST(cnt AS BIGINT)
 FROM j
+""",
+    "paragraph_dedup": """
+WITH d AS (SELECT doc_id AS did FROM documents WHERE doc_id < 300),
+p AS (SELECT did, j, 'para ' || ((did*7 + j*13) % 59) || ' body' AS para
+      FROM d, range(0, 7) r(j) WHERE j < 3 + did % 4),
+w AS (SELECT para, min(did * 1000 + j) AS wkey FROM p GROUP BY para),
+k AS (SELECT did, j, p.para, (did*1000 + j = w.wkey) AS keep
+      FROM p JOIN w USING (para))
+SELECT did AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_para,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN keep THEN para END,
+                               chr(10)||chr(10) ORDER BY j), '')) AS clean_md5
+FROM k GROUP BY did
 """,
     "sentences": """
 WITH a AS (SELECT p_partkey AS k FROM part WHERE p_partkey < 300),

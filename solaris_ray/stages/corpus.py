@@ -468,3 +468,130 @@ def chunk_documents(
         )
 
     return docs.map_batches(_chunks, batch_format="pyarrow", batch_size=1024)
+
+
+def paragraph_dedup(ds, sep: str = "\n\n", text_col: str = "text",
+                    id_col: str = "doc_id", n_buckets: int = 64):
+    """C4/CCNet-style paragraph-level exact dedup: every distinct
+    paragraph keeps only its FIRST occurrence (global (doc_id, idx)
+    order); each doc is reconstructed from its surviving paragraphs.
+
+    Output: (doc_id, n_para, n_kept, clean_md5) — clean_md5 is the
+    md5 hex of the sep-rejoined surviving text ("" when every
+    paragraph loses), so a SQL twin compares reconstruction
+    byte-for-byte without shipping text to the compare.
+
+    Shape (complements `dup_spans`' suffix-window dedup and the
+    dedup.py doc-level ladder): (1) docs explode to fixed-width
+    (para_hash, doc_id, idx) rows; (2) a hash-bucket co-shuffle keeps
+    the lexicographic-min (doc_id, idx) winner per hash and emits
+    only LOSER rows; (3) losers co-shuffle back on a doc bucket with
+    the doc rows and reconstruction re-splits each doc's OWN text —
+    paragraph strings never ride the winner shuffle, and the one
+    text-bearing exchange moves each doc exactly once.  Paragraph
+    identity is the md5-low-8 64-bit hash (same collision budget as
+    the corpus-wide dedup ops; documented, not hidden).
+    """
+    import hashlib
+
+    def _hash64(strs: list[str]) -> np.ndarray:
+        u = np.asarray(
+            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+             for s in strs], dtype=np.uint64)
+        return u.view(np.int64)
+
+    from ._buckets import bucket_of
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        did, idx, ph = [], [], []
+        for i, t in zip(ids.tolist(), texts):
+            parts = t.split(sep)
+            did.extend([i] * len(parts))
+            idx.extend(range(len(parts)))
+            ph.append(_hash64(parts))
+        h = (np.concatenate(ph) if ph else np.empty(0, np.int64))
+        return pa.table({
+            "ph": pa.array(h, pa.int64()),
+            "d": pa.array(np.asarray(did, np.int64), pa.int64()),
+            "i": pa.array(np.asarray(idx, np.int64), pa.int64()),
+            "pb": pa.array(bucket_of(h, n_buckets), pa.int64()),
+        })
+
+    loser_schema = pa.schema([
+        ("d", pa.int64()), ("i", pa.int64()), ("side", pa.int64()),
+        ("text", pa.string()), ("db", pa.int64()),
+    ])
+
+    def _losers(group: pa.Table) -> pa.Table:
+        ph = group["ph"].to_numpy(zero_copy_only=False)
+        d = group["d"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, d, ph))
+        ph, d, i = ph[order], d[order], i[order]
+        first = np.ones(ph.size, bool)
+        first[1:] = ph[1:] != ph[:-1]
+        lose = ~first  # winner = first row of each hash segment
+        n = int(lose.sum())
+        return pa.table({
+            "d": pa.array(d[lose], pa.int64()),
+            "i": pa.array(i[lose], pa.int64()),
+            "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "text": pa.nulls(n, pa.string()),
+            "db": pa.array(bucket_of(d[lose], n_buckets), pa.int64()),
+        }, schema=loser_schema)
+
+    def _doc_side(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = ids.size
+        return pa.table({
+            "d": pa.array(ids, pa.int64()),
+            "i": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "side": pa.array(np.ones(n, np.int64), pa.int64()),
+            "text": pc.cast(batch[text_col], pa.string()),
+            "db": pa.array(bucket_of(ids, n_buckets), pa.int64()),
+        }, schema=loser_schema)
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_para", pa.int64()),
+        ("n_kept", pa.int64()), ("clean_md5", pa.string()),
+    ])
+
+    def _rebuild(group: pa.Table) -> pa.Table:
+        d = group["d"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        texts = group["text"].to_pylist()
+        # doc rows carry text, loser rows carry the idx to drop
+        out = {"doc_id": [], "n_para": [], "n_kept": [], "clean_md5": []}
+        lose_by_doc: dict[int, set] = {}
+        for r in np.flatnonzero(side == 0):
+            lose_by_doc.setdefault(int(d[r]), set()).add(int(i[r]))
+        for r in np.flatnonzero(side == 1):
+            did = int(d[r])
+            parts = texts[r].split(sep)
+            drop = lose_by_doc.get(did, ())
+            kept = [p for j, p in enumerate(parts) if j not in drop]
+            clean = sep.join(kept)
+            out["doc_id"].append(did)
+            out["n_para"].append(len(parts))
+            out["n_kept"].append(len(kept))
+            out["clean_md5"].append(hashlib.md5(clean.encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_para": pa.array(out["n_para"], pa.int64()),
+            "n_kept": pa.array(out["n_kept"], pa.int64()),
+            "clean_md5": pa.array(out["clean_md5"], pa.string()),
+        }, schema=out_schema)
+
+    losers = (
+        ds.map_batches(_explode, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(_losers, batch_format="pyarrow")
+    )
+    return (
+        losers.union(ds.map_batches(_doc_side, batch_format="pyarrow"))
+        .groupby("db")
+        .map_groups(_rebuild, batch_format="pyarrow")
+    )

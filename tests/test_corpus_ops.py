@@ -234,3 +234,45 @@ def test_chunk_documents_edges(ray_session):
     assert got[(3, 0)] == ("y" * 10, 10)
     assert got[(3, 1)] == ("y" * 5, 5)
     assert len(rows) == 5
+
+
+def test_paragraph_dedup_winner_and_rebuild(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from solaris_ray.stages.corpus import paragraph_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "A\n\nB\n\nA",        # intra-doc dup: second A loses
+            "B\n\nC",             # B lost to doc 1
+            "A\n\nB",             # both lose
+        ], pa.string()),
+    })
+    out = paragraph_dedup(ray.data.from_arrow(docs)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "n_para"] == 3 and out.loc[1, "n_kept"] == 2
+    assert out.loc[1, "clean_md5"] == hashlib.md5(b"A\n\nB").hexdigest()
+    assert out.loc[2, "n_kept"] == 1
+    assert out.loc[2, "clean_md5"] == hashlib.md5(b"C").hexdigest()
+    assert out.loc[3, "n_kept"] == 0
+    assert out.loc[3, "clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_paragraph_dedup_no_dups_is_identity(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from solaris_ray.stages.corpus import paragraph_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array(["x\n\ny", "z"], pa.string()),
+    })
+    out = paragraph_dedup(ray.data.from_arrow(docs)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert (out.n_para == out.n_kept).all()
+    assert out.loc[7, "clean_md5"] == hashlib.md5(b"x\n\ny").hexdigest()
