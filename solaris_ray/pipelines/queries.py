@@ -9363,19 +9363,26 @@ FROM documents ORDER BY doc_id
 """
 
 _ORACLES_BASE["dbscan"] = f"""
+-- site-level twin of the engine's coincident-site collapse: all
+-- points at one (x, y) share neighbor counts, core status and label,
+-- so the recursive reach runs over <=3200 sites instead of 10k
+-- points (the point-level recursion went combinatorial on the dense
+-- fixture).  Semantics identical: n = multiplicity-weighted
+-- neighbors, labels = min point id (= min site sid).
 WITH RECURSIVE pts AS ({_PTS}),
-nbr AS (
-  SELECT a.point_id AS pa, b.point_id AS pb
-  FROM pts a JOIN pts b
+sites AS (SELECT x, y, COUNT(*) AS m, MIN(point_id) AS sid FROM pts GROUP BY x, y),
+snbr AS (
+  SELECT a.sid AS sa, b.sid AS sb, b.m AS mb
+  FROM sites a JOIN sites b
     ON b.x BETWEEN a.x - 30 AND a.x + 30
    AND b.y BETWEEN a.y - 30 AND a.y + 30
    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 900.0),
-cnt AS (SELECT pa AS id, COUNT(*) AS n FROM nbr GROUP BY 1),
+cnt AS (SELECT sa AS id, SUM(mb) AS n FROM snbr GROUP BY 1),
 core AS (SELECT id FROM cnt WHERE n >= 4),
 cedge AS (
-  SELECT pa AS a, pb AS b FROM nbr
-  WHERE pa IN (SELECT id FROM core)
-    AND pb IN (SELECT id FROM core) AND pa <> pb),
+  SELECT sa AS a, sb AS b FROM snbr
+  WHERE sa IN (SELECT id FROM core)
+    AND sb IN (SELECT id FROM core) AND sa <> sb),
 reach(node, lbl) AS (
   SELECT id, id FROM core
   UNION
@@ -9383,17 +9390,18 @@ reach(node, lbl) AS (
     ON e.a = r.node AND r.lbl < e.b),
 comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
 border AS (
-  SELECT n.pa AS id, MIN(n.pb) AS mcore FROM nbr n
-  WHERE n.pa NOT IN (SELECT id FROM core)
-    AND n.pb IN (SELECT id FROM core)
+  SELECT n.sa AS id, MIN(n.sb) AS mcore FROM snbr n
+  WHERE n.sa NOT IN (SELECT id FROM core)
+    AND n.sb IN (SELECT id FROM core)
   GROUP BY 1),
+site_of AS (SELECT p.point_id, s.sid FROM pts p JOIN sites s ON s.x = p.x AND s.y = p.y),
 assigned AS (
   SELECT node AS id, component FROM comp
   UNION ALL
   SELECT b.id, c.component FROM border b JOIN comp c ON c.node = b.mcore)
-SELECT p.point_id, CAST(COALESCE(a.component, -1) AS BIGINT) AS cluster
-FROM pts p LEFT JOIN assigned a ON a.id = p.point_id
-ORDER BY p.point_id
+SELECT so.point_id, CAST(COALESCE(a.component, -1) AS BIGINT) AS cluster
+FROM site_of so LEFT JOIN assigned a ON a.id = so.sid
+ORDER BY so.point_id
 """
 
 _ORACLES_BASE["trend_slope"] = """
