@@ -5588,6 +5588,23 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(docs)
 
 
+def q_dsir(sf_dir: str):
+    """DSIR hashed importance resampling weights (target = English
+    docs, raw = whole corpus): two O(n_buckets) corpus profiles
+    broadcast into one stateless scoring pass.  SQL twin restates the
+    md5 bucket ids and the add-one log-likelihood-ratio sum with
+    identical operands; logw rounded 6dp both sides."""
+    from ..stages.corpus import dsir_weights
+
+    raw = _read(sf_dir, "documents", ["doc_id", "text"],
+                filter=pc.field("doc_id") < 2000)
+    target = _read(sf_dir, "documents", ["doc_id", "text", "lang"],
+                   filter=(pc.field("doc_id") < 2000)
+                   & (pc.field("lang") == "en")).select_columns(
+        ["doc_id", "text"])
+    return dsir_weights(raw, target, n_buckets=64)
+
+
 def q_sentences(sf_dir: str):
     """Sentence segmentation (text.split_sentences — the RAG chunking
     primitive): planted '. '-joined sentences per doc; the vectorized
@@ -7488,6 +7505,7 @@ QUERIES = {
     "speech_prep": q_speech_prep,
     "sentences": q_sentences,
     "paragraph_dedup": q_paragraph_dedup,
+    "dsir": q_dsir,
     "bpe_train": q_bpe_train,
     "video_stats": q_video_stats,
     "video_frames": q_video_frames,
@@ -9789,6 +9807,33 @@ SELECT event_type,
             AS BIGINT) AS max_k
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1
+"""
+
+_ORACLES_BASE["dsir"] = f"""
+WITH raws AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+tgts AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000 AND lang = 'en'),
+rt AS (SELECT doc_id, md5(unnest({_TOKS})) AS hd FROM raws),
+tt AS (SELECT doc_id, md5(unnest({_TOKS})) AS hd FROM tgts),
+rb AS (SELECT doc_id, CAST((SELECT SUM(CAST((strpos('0123456789abcdef', substr(hd, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16
+                             + (strpos('0123456789abcdef', substr(hd, CAST(2*j+2 AS INTEGER), 1)) - 1) AS HUGEINT)
+                         * CAST(pow(256, j) AS HUGEINT))
+              FROM range(0, 8) r(j)) % 64 AS BIGINT) AS bucket FROM rt),
+tb AS (SELECT doc_id, CAST((SELECT SUM(CAST((strpos('0123456789abcdef', substr(hd, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16
+                             + (strpos('0123456789abcdef', substr(hd, CAST(2*j+2 AS INTEGER), 1)) - 1) AS HUGEINT)
+                         * CAST(pow(256, j) AS HUGEINT))
+              FROM range(0, 8) r(j)) % 64 AS BIGINT) AS bucket FROM tt),
+rvec AS (SELECT bucket, COUNT(*) AS rc FROM rb GROUP BY 1),
+tvec AS (SELECT bucket, COUNT(*) AS tc FROM tb GROUP BY 1),
+tot AS (SELECT (SELECT COUNT(*) FROM rb) AS R, (SELECT COUNT(*) FROM tb) AS T),
+dcnt AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM rb GROUP BY 1, 2)
+SELECT d.doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_toks,
+       round(SUM(cnt * (ln(coalesce(tc, 0) + 1.0) - ln(T + 64.0)
+                        - ln(coalesce(rc, 0) + 1.0) + ln(R + 64.0))), 6) AS logw
+FROM dcnt d
+LEFT JOIN rvec USING (bucket)
+LEFT JOIN tvec USING (bucket), tot
 GROUP BY 1
 """
 

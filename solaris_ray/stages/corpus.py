@@ -595,3 +595,69 @@ def paragraph_dedup(ds, sep: str = "\n\n", text_col: str = "text",
         .groupby("db")
         .map_groups(_rebuild, batch_format="pyarrow")
     )
+
+
+def dsir_weights(raw, target, n_buckets: int = 64,
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """DSIR-style hashed importance weights (Xie et al.,
+    arXiv:2302.03169 "Data Selection for Language Models via
+    Importance Resampling"): score every raw-corpus doc by how much
+    its hashed unigram profile looks like the TARGET corpus.
+
+    log-weight(d) = Σ_b cnt_d[b] · (ln(t_b+1) − ln(T+B)
+                                    − ln(r_b+1) + ln(R+B))
+    — add-one-smoothed bucket log-likelihood ratio, b over
+    ``n_buckets`` md5 token buckets (the feature_hash idiom, so a SQL
+    twin reproduces bucket ids exactly), t/r the target/raw corpus
+    bucket counts, T/R their totals.  Resampling keeps docs ∝ exp(w);
+    emitting the weight keeps the gate deterministic and lets callers
+    choose top-k / threshold / Gumbel downstream.
+
+    Scale shape: the two corpus profiles are O(n_buckets) rows each
+    (groupby(bucket) partial+final), broadcast into a single stateless
+    scoring pass — no shuffle ever carries text.  Output
+    (doc_id, n_toks, logw) with logw rounded 6dp (identical float
+    operands both sides).
+    """
+    from .text import feature_hash_counts
+
+    def _profile(ds):
+        import ray  # noqa: F401
+
+        vec = np.zeros(n_buckets, np.int64)
+        agg = (
+            ds.map_batches(
+                lambda b: feature_hash_counts(b, n_buckets=n_buckets,
+                                              text_col=text_col,
+                                              id_col=id_col),
+                batch_format="pyarrow", batch_size=4096)
+            .groupby("bucket").sum("cnt").to_pandas()
+        )
+        vec[agg["bucket"].to_numpy()] = agg["sum(cnt)"].to_numpy()
+        return vec
+
+    t_vec = _profile(target)
+    r_vec = _profile(raw)
+    ratio = (np.log(t_vec + 1.0) - np.log(float(t_vec.sum() + n_buckets))
+             - np.log(r_vec + 1.0) + np.log(float(r_vec.sum() + n_buckets)))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        sparse = feature_hash_counts(batch, n_buckets=n_buckets,
+                                     text_col=text_col, id_col=id_col)
+        d = sparse[id_col].to_numpy(zero_copy_only=False)
+        b = sparse["bucket"].to_numpy(zero_copy_only=False)
+        c = sparse["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        d, b, c = d[order], b[order], c[order]
+        new = np.ones(d.size, bool)
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        logw = np.add.reduceat(c * ratio[b], starts) if d.size else np.empty(0)
+        n_toks = np.add.reduceat(c, starts) if d.size else np.empty(0, np.int64)
+        return pa.table({
+            "doc_id": pa.array(d[starts], pa.int64()),
+            "n_toks": pa.array(n_toks.astype(np.int64), pa.int64()),
+            "logw": pa.array(np.round(logw, 6), pa.float64()),
+        })
+
+    return raw.map_batches(_score, batch_format="pyarrow", batch_size=4096)

@@ -276,3 +276,25 @@ def test_paragraph_dedup_no_dups_is_identity(ray_session):
         .set_index("doc_id").sort_index()
     assert (out.n_para == out.n_kept).all()
     assert out.loc[7, "clean_md5"] == hashlib.md5(b"x\n\ny").hexdigest()
+
+
+def test_dsir_weights_favor_target_like_docs(ray_session):
+    import ray.data
+
+    from solaris_ray.stages.corpus import dsir_weights
+
+    raw = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array(
+            ["alpha beta gamma"] * 4 + ["delta epsilon zeta"] * 4, pa.string()),
+    })
+    target = pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(["alpha beta", "beta gamma alpha"], pa.string()),
+    })
+    out = dsir_weights(ray.data.from_arrow(raw),
+                       ray.data.from_arrow(target)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert (out.n_toks == 3).all()
+    # docs sharing the target's vocabulary must outscore the others
+    assert out.loc[:3, "logw"].min() > out.loc[4:, "logw"].max()
