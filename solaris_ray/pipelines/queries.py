@@ -5013,6 +5013,68 @@ def q_focal_sum(sf_dir: str):
     return focal_sum(tiles, tile=64).sort(["tile_x", "tile_y"])
 
 
+def q_focal_gradients(sf_dir: str):
+    """Horn-method DEM gradient sums (slope/hillshade integer core)
+    over the focal mosaic with cross-tile halo exchange; the oracle
+    restates the 3x3 stencil verbatim on the global pixel formula, so
+    a hash match proves the seams are invisible."""
+    from ..stages.focal import focal_gradients
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 64)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        from ..raster import codec as _codec
+
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 64]
+        tx = (p % 8).astype(np.int64)
+        ty = (p // 8).astype(np.int64)
+        blobs = []
+        for k in range(len(p)):
+            yy, xx = np.indices((64, 64))
+            gx = xx + 64 * tx[k]
+            gy = yy + 64 * ty[k]
+            v = ((gx * 7 + gy * 13) % 251).astype(np.uint8)
+            blobs.append(_codec.encode(v, "png"))
+        return pa.table(
+            {
+                "tile_x": pa.array(tx, pa.int64()),
+                "tile_y": pa.array(ty, pa.int64()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["png"] * len(p), pa.string()),
+            }
+        )
+
+    tiles = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=512)
+    return focal_gradients(tiles, tile=64)
+
+
+def _focal_grad_oracle() -> str:
+    def val(ox: int, oy: int) -> str:
+        X = f"(tx*64 + xx.i + ({ox}))"
+        Y = f"(ty*64 + yy.i + ({oy}))"
+        return (f"(CASE WHEN {X} BETWEEN 0 AND 511 AND {Y} BETWEEN 0 AND 511 "
+                f"THEN ({X}*7 + {Y}*13) % 251 ELSE 0 END)")
+
+    a, b, c = val(-1, -1), val(0, -1), val(1, -1)
+    d, f = val(-1, 0), val(1, 0)
+    g, h, i_ = val(-1, 1), val(0, 1), val(1, 1)
+    gxe = f"(({c} + 2*{f} + {i_}) - ({a} + 2*{d} + {g}))"
+    gye = f"(({g} + 2*{h} + {i_}) - ({a} + 2*{b} + {c}))"
+    return f"""
+WITH t AS (SELECT p_partkey % 8 AS tx, p_partkey // 8 AS ty
+           FROM part WHERE p_partkey < 64),
+px AS (SELECT i FROM range(0, 64) r(i)),
+e AS (SELECT tx, ty, {gxe} AS gxe, {gye} AS gye
+      FROM t, px xx, px yy)
+SELECT tx AS tile_x, ty AS tile_y,
+       CAST(SUM(ABS(gxe)) AS BIGINT) AS abs_gx,
+       CAST(SUM(ABS(gye)) AS BIGINT) AS abs_gy,
+       CAST(SUM(gxe*gxe + gye*gye) AS BIGINT) AS grad_sq
+FROM e GROUP BY 1, 2
+"""
+
+
 def q_clip_filter(sf_dir: str):
     """LAION-style image-caption alignment filter: hashed-BoW text
     feature vs the image embedding, cosine >= tau keeps the pair.  One
@@ -7564,6 +7626,7 @@ QUERIES = {
     "tfidf": q_tfidf,
     "clip_filter": q_clip_filter,
     "focal_sum": q_focal_sum,
+    "focal_gradients": q_focal_gradients,
     "covariance": q_covariance,
     "vocab_topk": q_vocab_topk,
     "zscore": q_zscore,
@@ -10202,6 +10265,8 @@ JOIN m ma ON ma.i = s2.i
 JOIN m mb ON mb.i = s2.j
 ORDER BY s2.i, s2.j
 """
+
+_ORACLES_BASE["focal_gradients"] = _focal_grad_oracle()
 
 _ORACLES_BASE["focal_sum"] = """
 WITH t AS (SELECT p_partkey % 8 AS tx, p_partkey // 8 AS ty

@@ -125,3 +125,108 @@ def focal_sum(
         .groupby(["kx", "ky"])
         .map_groups(_assemble, batch_format="pyarrow")
     )
+
+
+_GRAD_SCHEMA = pa.schema(
+    [("tile_x", pa.int64()), ("tile_y", pa.int64()),
+     ("abs_gx", pa.int64()), ("abs_gy", pa.int64()),
+     ("grad_sq", pa.int64())]
+)
+
+
+def focal_gradients(
+    tiles,
+    tile: int = 64,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+):
+    """Horn-method DEM gradients with cross-tile halo exchange — the
+    integer core of slope / aspect / hillshade (Horn 1981; GDAL's
+    ``gdaldem slope`` uses the same 3x3 stencil):
+
+        gx = (c + 2f + i) − (a + 2d + g)
+        gy = (g + 2h + i) − (a + 2b + c)
+
+    over the padded (tile+2)² array (zero outside the mosaic — same
+    boundary convention as ``focal_sum``).  Output per tile:
+    Σ|gx|, Σ|gy|, Σ(gx² + gy²) — all int64-exact, so a SQL twin
+    restates the stencil verbatim on the global pixel formula; the
+    float slope/aspect/illumination angles are one scalar expression
+    away and stay pytest-covered (atan/cos are not hash-comparable).
+    Shuffle shape identical to focal_sum: each tile body moves once
+    plus 8 border strips.
+    """
+    from ..raster import codec as _codec
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        kx, ky, sdx, sdy, payload = [], [], [], [], []
+        for i in range(batch.num_rows):
+            tx = int(batch[x_col][i].as_py())
+            ty = int(batch[y_col][i].as_py())
+            img = _codec.decode(batch[bytes_col][i].as_py(),
+                                batch[fmt_col][i].as_py())
+            if img.ndim == 3:
+                img = img[..., 0]
+            img = np.ascontiguousarray(img[:tile, :tile], np.uint8)
+            kx.append(tx); ky.append(ty); sdx.append(0); sdy.append(0)
+            payload.append(img.tobytes())
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    xs = slice(None) if dx == 0 else (
+                        slice(tile - 1, tile) if dx == 1 else slice(0, 1))
+                    ys = slice(None) if dy == 0 else (
+                        slice(tile - 1, tile) if dy == 1 else slice(0, 1))
+                    kx.append(tx + dx); ky.append(ty + dy)
+                    sdx.append(-dx); sdy.append(-dy)
+                    payload.append(np.ascontiguousarray(img[ys, xs]).tobytes())
+        return pa.table(
+            {
+                "kx": pa.array(kx, pa.int64()),
+                "ky": pa.array(ky, pa.int64()),
+                "sdx": pa.array(sdx, pa.int64()),
+                "sdy": pa.array(sdy, pa.int64()),
+                "payload": pa.array(payload, pa.binary()),
+            }
+        )
+
+    def _pad_slices(s: int) -> slice:
+        return {-1: slice(0, 1), 0: slice(1, tile + 1),
+                1: slice(tile + 1, tile + 2)}[s]
+
+    def _assemble(group: pa.Table) -> pa.Table:
+        sdx = group["sdx"].to_numpy(zero_copy_only=False)
+        sdy = group["sdy"].to_numpy(zero_copy_only=False)
+        own = (sdx == 0) & (sdy == 0)
+        if not own.any():
+            return _GRAD_SCHEMA.empty_table()
+        p = np.zeros((tile + 2, tile + 2), np.int64)
+        for i in range(group.num_rows):
+            ys, xs = _pad_slices(int(sdy[i])), _pad_slices(int(sdx[i]))
+            p[ys, xs] = np.frombuffer(
+                group["payload"][i].as_py(), np.uint8
+            ).reshape(ys.stop - ys.start, xs.stop - xs.start)
+        # window letters (row-major a..i) around each interior pixel
+        a = p[0:tile, 0:tile];     b = p[0:tile, 1:tile+1];     c = p[0:tile, 2:tile+2]
+        d = p[1:tile+1, 0:tile];                                f = p[1:tile+1, 2:tile+2]
+        g = p[2:tile+2, 0:tile];   h = p[2:tile+2, 1:tile+1];   i_ = p[2:tile+2, 2:tile+2]
+        gx = (c + 2 * f + i_) - (a + 2 * d + g)
+        gy = (g + 2 * h + i_) - (a + 2 * b + c)
+        return pa.table(
+            {
+                "tile_x": pa.array([int(group["kx"][0].as_py())], pa.int64()),
+                "tile_y": pa.array([int(group["ky"][0].as_py())], pa.int64()),
+                "abs_gx": pa.array([int(np.abs(gx).sum())], pa.int64()),
+                "abs_gy": pa.array([int(np.abs(gy).sum())], pa.int64()),
+                "grad_sq": pa.array([int((gx * gx + gy * gy).sum())], pa.int64()),
+            }
+        )
+
+    return (
+        tiles.map_batches(_emit, batch_format="pyarrow", batch_size=64)
+        .groupby(["kx", "ky"])
+        .map_groups(_assemble, batch_format="pyarrow")
+    )

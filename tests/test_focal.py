@@ -67,3 +67,50 @@ def test_focal_single_tile(ray_session):
     rng = np.random.default_rng(3)
     tiles = {(0, 0): rng.integers(0, 251, (32, 32))}
     assert _run(tiles) == _global_oracle(tiles)
+
+
+def _grad_oracle(tiles: dict, tile=32):
+    xs = [k[0] for k in tiles]; ys = [k[1] for k in tiles]
+    W, H = (max(xs) + 1) * tile, (max(ys) + 1) * tile
+    G = np.zeros((H + 2, W + 2), np.int64)
+    for (x, y), img in tiles.items():
+        G[1 + y * tile:1 + (y + 1) * tile, 1 + x * tile:1 + (x + 1) * tile] = img
+    a = G[0:H, 0:W]; b = G[0:H, 1:W+1]; c = G[0:H, 2:W+2]
+    d = G[1:H+1, 0:W]; f = G[1:H+1, 2:W+2]
+    g = G[2:H+2, 0:W]; h = G[2:H+2, 1:W+1]; i_ = G[2:H+2, 2:W+2]
+    gx = (c + 2*f + i_) - (a + 2*d + g)
+    gy = (g + 2*h + i_) - (a + 2*b + c)
+    out = {}
+    for (x, y) in tiles:
+        sl = np.s_[y*tile:(y+1)*tile, x*tile:(x+1)*tile]
+        out[(x, y)] = (int(np.abs(gx[sl]).sum()), int(np.abs(gy[sl]).sum()),
+                       int((gx[sl]**2 + gy[sl]**2).sum()))
+    return out
+
+
+def test_focal_gradients_match_global_oracle(ray_session):
+    from solaris_ray.stages.focal import focal_gradients
+
+    rng = np.random.default_rng(5)
+    tiles = {(x, y): rng.integers(0, 256, (32, 32)) for x in range(3) for y in range(2)}
+    out = focal_gradients(_tiles_ds(tiles), tile=32).to_pandas()
+    want = _grad_oracle(tiles)
+    got = {(r.tile_x, r.tile_y): (r.abs_gx, r.abs_gy, r.grad_sq)
+           for r in out.itertuples()}
+    assert got == want
+
+
+def test_focal_gradients_flat_dem_is_zero(ray_session):
+    from solaris_ray.stages.focal import focal_gradients
+
+    # constant interior has zero gradient except at the mosaic edge
+    tiles = {(0, 0): np.full((32, 32), 100)}
+    out = focal_gradients(_tiles_ds(tiles), tile=32).to_pandas().iloc[0]
+    want = _grad_oracle(tiles)[(0, 0)]
+    assert (out.abs_gx, out.abs_gy, out.grad_sq) == want
+    # interior-only check: a 30x30 inner region of a constant tile is flat
+    rng_tiles = {(0, 0): np.full((32, 32), 7), (1, 0): np.full((32, 32), 7)}
+    o2 = focal_gradients(_tiles_ds(rng_tiles), tile=32).to_pandas()
+    w2 = _grad_oracle(rng_tiles)
+    for r in o2.itertuples():
+        assert (r.abs_gx, r.abs_gy, r.grad_sq) == w2[(r.tile_x, r.tile_y)]
