@@ -253,8 +253,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--n-images", type=int, default=int(os.environ.get("GRAFT_BENCH_IMAGES", "400")))
-    ap.add_argument("--scaling-images", type=int, default=int(os.environ.get("GRAFT_SCALING_IMAGES", "12800")))
-    ap.add_argument("--scaling-cpus", default=os.environ.get("GRAFT_SCALING_CPUS", "8,32"),
+    ap.add_argument("--scaling-images", type=int, default=int(os.environ.get("GRAFT_SCALING_IMAGES", "25600")))
+    # default pair 4,16: the hi leg must leave headroom on the box —
+    # 8,32 saturates all 32 cores, collides with Ray's driver/system
+    # threads and reads ~0.67 where the same build measures 0.88-0.97
+    # at 4→16 (BASELINE.md round-5 scaling record; round-1 note)
+    ap.add_argument("--scaling-cpus", default=os.environ.get("GRAFT_SCALING_CPUS", "4,16"),
                     help="comma pair N,4N (both must fit the box's physical cores for a fair reading)")
     ap.add_argument("--scaling-repeats", type=int, default=int(os.environ.get("GRAFT_SCALING_REPEATS", "1")),
                     help="run each leg N times, keep the best (shared-box noise control)")
