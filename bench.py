@@ -216,6 +216,9 @@ BENCH_QUERIES = [
     "tiles_tiff_tiled",
     "augment_album",
     "fill_nodata",
+    "paragraph_dedup",
+    "dsir",
+    "focal_gradients",
 ]
 
 
