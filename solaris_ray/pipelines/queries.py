@@ -1181,21 +1181,29 @@ def q_areal_interp(sf_dir: str):
         frac = batch["partialDec"].to_numpy(zero_copy_only=False)
         val = 100 + fid % 57
         c = np.trunc(frac * 1_000_000.0).astype(np.int64) * val
-        return pa.table(
-            {"tile_id": batch["tile_id"], "c": pa.array(c, pa.int64())}
-        )
+        # tile_id is a stringified int here: reduce on the int64 key
+        # (distinct_reduce, not the per-group Ray aggregate) and render
+        # the string after the exchange
+        tid = np.asarray([int(v) for v in batch["tile_id"].to_pylist()],
+                         np.int64)
+        return pa.table({
+            "tid": pa.array(tid, pa.int64()),
+            "n_feat": pa.array(np.ones(len(c), np.int64), pa.int64()),
+            "c": pa.array(c, pa.int64()),
+        })
 
-    agg = (
-        joined.map_batches(_contrib, batch_format="pyarrow")
-        .groupby("tile_id")
-        .aggregate(Count(), Sum("c"))
-    )
+    from ..stages._buckets import distinct_reduce
+
+    agg = distinct_reduce(
+        joined.map_batches(_contrib, batch_format="pyarrow"),
+        ["tid"], aggs={"n_feat": "sum", "c": "sum"})
     return agg.map_batches(
         lambda b: pa.table(
             {
-                "tile_id": b["tile_id"],
-                "n_feat": pc.cast(b["count()"], pa.int64()),
-                "value_e6": pc.cast(b["sum(c)"], pa.int64()),
+                "tile_id": pa.array(
+                    [str(int(v)) for v in b["tid"].to_pylist()], pa.string()),
+                "n_feat": pc.cast(b["n_feat"], pa.int64()),
+                "value_e6": pc.cast(b["c"], pa.int64()),
             }
         ),
         batch_format="pyarrow",
