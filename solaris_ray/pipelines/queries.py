@@ -198,19 +198,35 @@ def q_tile_plan(sf_dir: str):
     )
 
 
+def _count_reduce(ds, key: str, out_key: str, out_n: str):
+    """Per-int64-key row counts via the bucketed vectorized reduce
+    (Ray's per-group aggregate costs ~100us CPU per group)."""
+    from ..stages._buckets import distinct_reduce
+
+    tagged = ds.map_batches(
+        lambda b: pa.table({
+            key: b[key],
+            "__n": pa.array(np.ones(b.num_rows, np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    red = distinct_reduce(tagged, [key], aggs={"__n": "sum"})
+    return red.map_batches(
+        lambda b: pa.table({
+            out_key: pc.cast(b[key], pa.int64()),
+            out_n: pc.cast(b["__n"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_pip_count(sf_dir: str):
     """Point-in-box join + per-tile count (vectorized PIP)."""
     from ray.data.aggregate import Count
 
     pts = _event_points(sf_dir)
     matches = pip.broadcast_pip_join(pts, _part_boxes(sf_dir), exact=False)
-    agg = matches.groupby("feature_id").aggregate(Count())
-    return agg.map_batches(
-        lambda b: pa.table(
-            {"tile_id": pc.cast(b["feature_id"], pa.int64()), "n_points": pc.cast(b["count()"], pa.int64())}
-        ),
-        batch_format="pyarrow",
-    )
+    return _count_reduce(matches, "feature_id", "tile_id", "n_points")
 
 
 def q_clip_join(sf_dir: str):
@@ -339,11 +355,7 @@ def q_cell_hist(sf_dir: str):
     """Cell-occupancy histogram (the skew diagnostic)."""
     from ray.data.aggregate import Count
 
-    agg = q_cell_assign(sf_dir).groupby("cell16").aggregate(Count())
-    return agg.map_batches(
-        lambda b: pa.table({"cell16": b["cell16"], "n": pc.cast(b["count()"], pa.int64())}),
-        batch_format="pyarrow",
-    )
+    return _count_reduce(q_cell_assign(sf_dir), "cell16", "cell16", "n")
 
 
 # --- relational / rollup -------------------------------------------------
@@ -6606,7 +6618,7 @@ def q_dedup_stats(sf_dir: str):
     from ..stages.components import fuzzy_dedup
 
     resolved = fuzzy_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
-    sizes = resolved.groupby("component").aggregate(Count())
+    sizes = _count_reduce(resolved, "component", "component", "count()")
 
     def _hist(batch: pa.Table) -> pa.Table:
         sz = pc.cast(batch["count()"], pa.int64()).to_numpy()
