@@ -5033,6 +5033,71 @@ def q_focal_sum(sf_dir: str):
     return focal_sum(tiles, tile=64).sort(["tile_x", "tile_y"])
 
 
+def q_augment_pair(sf_dir: str):
+    """Image+mask PAIR augmentation (the reference's albumentations
+    Compose transforms both together): HorizontalFlip -> CenterCrop
+    through the pair path; the SQL twin states the shared index map
+    once and checksums BOTH outputs — a mask drifting from its image
+    by one pixel breaks the hash."""
+    from ..raster import codec as _codec
+    from ..stages import augment as aug
+
+    p_ds = _read(sf_dir, "part", ["p_partkey"], filter=pc.field("p_partkey") < 150)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        p = batch["p_partkey"].to_numpy()
+        p = p[p < 150]
+        rows = {"image_id": [], "bytes": [], "fmt": [], "mask": []}
+        for k in p.tolist():
+            yy, xx = np.indices((64, 64))
+            img = ((xx * 7 + yy * 13 + k * 31) % 251).astype(np.uint8)
+            msk = (((xx + yy + k) % 5 == 0) * 255).astype(np.uint8)
+            rows["image_id"].append(f"img_{k}")
+            rows["bytes"].append(_codec.encode(img, "png"))
+            rows["fmt"].append("png")
+            rows["mask"].append(_codec.encode(msk, "png"))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "bytes": pa.array(rows["bytes"], pa.binary()),
+                "fmt": pa.array(rows["fmt"], pa.string()),
+                "mask": pa.array(rows["mask"], pa.binary()),
+            }
+        )
+
+    images = p_ds.map_batches(_gen, batch_format="pyarrow", batch_size=4096)
+    out = aug.augment(
+        images,
+        {"HorizontalFlip": {"p": 1.0},
+         "CenterCrop": {"height": 32, "width": 32, "p": 1.0}},
+        seed=7, mask_col="mask",
+    )
+
+    def _wsums(batch: pa.Table) -> pa.Table:
+        ids, wi, wm = [], [], []
+        for i in range(batch.num_rows):
+            img = _codec.decode(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            msk = _codec.decode(batch["mask"][i].as_py(), "png")
+            if img.shape[:2] != (32, 32) or msk.shape[:2] != (32, 32):
+                raise AssertionError("pair crop drifted")
+            yy, xx = np.indices((32, 32))
+            w = (yy * 32 + xx).astype(np.int64)
+            band = img if img.ndim == 2 else img[:, :, 0]
+            mband = msk if msk.ndim == 2 else msk[:, :, 0]
+            ids.append(batch["image_id"][i].as_py())
+            wi.append(int((w * band.astype(np.int64)).sum()))
+            wm.append(int((w * (mband.astype(np.int64) // 255)).sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "wsum_img": pa.array(wi, pa.int64()),
+                "wsum_mask": pa.array(wm, pa.int64()),
+            }
+        )
+
+    return out.map_batches(_wsums, batch_format="pyarrow", batch_size=16)
+
+
 def q_focal_gradients(sf_dir: str):
     """Horn-method DEM gradient sums (slope/hillshade integer core)
     over the focal mosaic with cross-tile halo exchange; the oracle
@@ -7618,6 +7683,7 @@ QUERIES = {
     "fill_nodata": q_fill_nodata,
     "augment": q_augment,
     "augment_album": q_augment_album,
+    "augment_pair": q_augment_pair,
     "group_topk": q_group_topk,
     "sessionize": q_sessionize,
     "session_paths": q_session_paths,
@@ -8420,6 +8486,15 @@ SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
        CAST(SUM((rc.i*64 + rr.i) * ((rc.i*7 + rr.i*13 + p*31 + 17) % 251)) AS BIGINT) AS wsum_b0,
        CAST(SUM((rc.i*64 + rr.i) * ((rc.i*7 + rr.i*13 + p*31) % 251)) AS BIGINT) AS wsum_b1
 FROM img, px rr, px rc
+GROUP BY 1
+""",
+    "augment_pair": """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 150),
+px AS (SELECT i FROM range(0, 32) r(i))
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(SUM((yc.i*32 + xc.i) * (((47 - xc.i)*7 + (16 + yc.i)*13 + p*31) % 251)) AS BIGINT) AS wsum_img,
+       CAST(SUM((yc.i*32 + xc.i) * (CASE WHEN ((47 - xc.i) + (16 + yc.i) + p) % 5 = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS wsum_mask
+FROM img, px yc, px xc
 GROUP BY 1
 """,
     "augment_album": """

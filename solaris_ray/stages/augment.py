@@ -61,8 +61,13 @@ def random_scale(img: np.ndarray, rng: np.random.Generator,
                  lo: float = 0.8, hi: float = 1.2) -> np.ndarray:
     """Scale then center-crop/pad back to the input size
     (RandomScale, transform.py:194-243)."""
+    return scale_to(img, float(rng.uniform(lo, hi)))
+
+
+def scale_to(img: np.ndarray, s: float) -> np.ndarray:
+    """Deterministic core of random_scale (param drawn by the caller —
+    the image/mask pair path draws once and applies to both)."""
     h, w = img.shape[:2]
-    s = float(rng.uniform(lo, hi))
     nh, nw = max(1, int(round(h * s))), max(1, int(round(w * s)))
     yi = (np.arange(nh) * h // nh)
     xi = (np.arange(nw) * w // nw)
@@ -173,34 +178,126 @@ AUG_REGISTRY = {
 }
 
 
+# image+mask pair application: spatial params are drawn ONCE and
+# applied to both arrays (the reference's albumentations Compose
+# transforms image and mask together, transform.py:420-507);
+# photometric ops touch the image only — but consume the SAME rng
+# draws as the image-only path, so the image output is bit-identical
+# whether or not a mask rides along.
+def _pair_crop_window(rng, h, w, height, width):
+    if height > h or width > w:
+        raise ValueError(f"crop {height}x{width} exceeds image {h}x{w}")
+    top = int(rng.integers(0, h - height + 1))
+    left = int(rng.integers(0, w - width + 1))
+    return top, left
+
+
+PAIR_REGISTRY = {
+    "flip_lr": lambda i, m, rng, **kw: (flip_lr(i), flip_lr(m)),
+    "flip_ud": lambda i, m, rng, **kw: (flip_ud(i), flip_ud(m)),
+    "rotate90": lambda i, m, rng, k=1, **kw: (rotate90(i, k), rotate90(m, k)),
+    "swap_channels": lambda i, m, rng, a=0, b=1, **kw: (swap_channels(i, a, b), m),
+    "drop_channel": lambda i, m, rng, idx=0, **kw: (drop_channel(i, idx), m),
+    "HorizontalFlip": lambda i, m, rng, **kw: (flip_lr(i), flip_lr(m)),
+    "VerticalFlip": lambda i, m, rng, **kw: (flip_ud(i), flip_ud(m)),
+    "CenterCrop": lambda i, m, rng, height=32, width=32, **kw:
+        (center_crop(i, height, width), center_crop(m, height, width)),
+    "Normalize": lambda i, m, rng, mean=(0.485, 0.456, 0.406),
+        std=(0.229, 0.224, 0.225), max_pixel_value=255.0, **kw:
+        (normalize(i, mean, std, max_pixel_value), m),
+}
+
+
+def _pair_rotate(i, m, rng, limit=45.0, **kw):
+    ang = float(rng.uniform(-limit, limit))
+    return rotate(i, ang), rotate(m, ang)
+
+
+def _pair_rr90(i, m, rng, **kw):
+    k = int(rng.integers(0, 4))
+    return rotate90(i, k), rotate90(m, k)
+
+
+def _pair_random_crop(i, m, rng, height=32, width=32, **kw):
+    top, left = _pair_crop_window(rng, i.shape[0], i.shape[1], height, width)
+    return (i[top:top + height, left:left + width],
+            m[top:top + height, left:left + width])
+
+
+def _pair_random_scale(i, m, rng, lo=0.8, hi=1.2, **kw):
+    s = float(rng.uniform(lo, hi))
+    return scale_to(i, s), scale_to(m, s)
+
+
+def _pair_bc(i, m, rng, brightness_limit=0.2, contrast_limit=0.2, **kw):
+    return random_brightness_contrast(i, rng, brightness_limit, contrast_limit), m
+
+
+def _pair_hsv(i, m, rng, hue_shift_limit=20.0, sat_shift_limit=30.0,
+              val_shift_limit=20.0, **kw):
+    return hue_saturation_value(i, rng, hue_shift_limit, sat_shift_limit,
+                                val_shift_limit), m
+
+
+PAIR_REGISTRY.update({
+    "rotate": _pair_rotate,
+    "Rotate": _pair_rotate,
+    "RandomRotate90": _pair_rr90,
+    "RandomCrop": _pair_random_crop,
+    "random_scale": _pair_random_scale,
+    "RandomBrightnessContrast": _pair_bc,
+    "HueSaturationValue": _pair_hsv,
+})
+
+
 class Augmenter:
     """map_batches body: config-dict pipeline with per-row seeding.
 
     ``config`` mirrors process_aug_dict: an ordered dict of
-    {aug_name: {**kwargs, 'p': probability}}.
+    {aug_name: {**kwargs, 'p': probability}}.  With ``mask_col`` the
+    stage transforms (image, mask) PAIRS: spatial ops share one
+    parameter draw, photometric ops touch the image only, and the
+    image bytes come out bit-identical to the image-only path.
     """
 
-    def __init__(self, config: dict[str, dict], seed: int = 42, out_fmt: str = "png"):
+    def __init__(self, config: dict[str, dict], seed: int = 42, out_fmt: str = "png",
+                 mask_col: str | None = None):
         unknown = set(config) - set(AUG_REGISTRY)
         if unknown:
             raise ValueError(f"unknown augs {unknown}; known: {sorted(AUG_REGISTRY)}")
+        if mask_col is not None:
+            missing = set(config) - set(PAIR_REGISTRY)
+            if missing:
+                raise ValueError(
+                    f"augs {missing} have no image+mask pair application")
         self.config = config
         self.seed = seed
         self.out_fmt = out_fmt
+        self.mask_col = mask_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_bytes, out_fmts, out_w, out_h = [], [], [], []
+        out_bytes, out_fmts, out_w, out_h, out_mask = [], [], [], [], []
         for i in range(batch.num_rows):
             iid = batch["image_id"][i].as_py()
             rng = np.random.default_rng([self.seed, zlib.crc32(iid.encode())])
             img = codec.decode(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
             if img.ndim == 2:
                 img = img[:, :, None]
+            mask = None
+            if self.mask_col is not None:
+                mask = codec.decode(batch[self.mask_col][i].as_py(), "png")
+                if mask.ndim == 2:
+                    mask = mask[:, :, None]
             for name, kwargs in self.config.items():
                 p = kwargs.get("p", 1.0)
                 if rng.random() < p:
                     kw = {k: v for k, v in kwargs.items() if k != "p"}
-                    img = AUG_REGISTRY[name](img, rng, **kw)
+                    if mask is None:
+                        img = AUG_REGISTRY[name](img, rng, **kw)
+                    else:
+                        img, mask = PAIR_REGISTRY[name](img, mask, rng, **kw)
+                        if mask.ndim == 2:
+                            mask = mask[:, :, None]
                     if img.ndim == 2:
                         img = img[:, :, None]
             # a float-typed result (Normalize terminal stage) rides the
@@ -212,10 +309,17 @@ class Augmenter:
             out_fmts.append(fmt)
             out_w.append(img.shape[1])
             out_h.append(img.shape[0])
+            if mask is not None:
+                out_mask.append(codec.encode(
+                    np.ascontiguousarray(
+                        mask.squeeze(-1) if mask.shape[2] == 1 else mask),
+                    "png"))
         cols = {n: batch[n] for n in batch.column_names
-                if n not in ("bytes", "fmt", "w", "h")}
+                if n not in ("bytes", "fmt", "w", "h", self.mask_col)}
         cols["bytes"] = pa.array(out_bytes, pa.binary())
         cols["fmt"] = pa.array(out_fmts, pa.string())
+        if self.mask_col is not None:
+            cols[self.mask_col] = pa.array(out_mask, pa.binary())
         # crops change dims — refresh w/h when the input carried them
         if "w" in batch.column_names:
             cols["w"] = pa.array(out_w, batch.schema.field("w").type)
@@ -224,7 +328,9 @@ class Augmenter:
         return pa.table(cols)
 
 
-def augment(images, config: dict[str, dict], seed: int = 42, batch_size: int = 8):
+def augment(images, config: dict[str, dict], seed: int = 42, batch_size: int = 8,
+            mask_col: str | None = None):
     return images.map_batches(
-        Augmenter(config, seed), batch_format="pyarrow", batch_size=batch_size
+        Augmenter(config, seed, mask_col=mask_col),
+        batch_format="pyarrow", batch_size=batch_size
     )

@@ -230,3 +230,54 @@ def test_unknown_aug_rejected():
 
     with pytest.raises(ValueError):
         augment.Augmenter({"nope": {}})
+
+
+def test_pair_augment_mask_follows_image(ray_session):
+    import ray.data
+
+    img = np.random.default_rng(8).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    mask = (np.random.default_rng(9).integers(0, 2, (16, 16)) * 255).astype(np.uint8)
+    tbl = pa.Table.from_pylist([{
+        "image_id": "p0", "bytes": codec.encode(img, "png"), "fmt": "png",
+        "mask": codec.encode(mask, "png")}])
+    cfg = {"HorizontalFlip": {"p": 1.0},
+           "RandomCrop": {"height": 8, "width": 8, "p": 1.0}}
+    res = augment.augment(ray.data.from_arrow(tbl), cfg, seed=3,
+                          mask_col="mask").to_pandas()
+    out_img = codec.decode(res.bytes[0], "png")
+    out_mask = codec.decode(res["mask"][0], "png")
+    assert out_img.shape[:2] == (8, 8) and out_mask.shape[:2] == (8, 8)
+    # the mask window must be the SAME window: replay the draws
+    rng = np.random.default_rng([3, __import__("zlib").crc32(b"p0")])
+    assert rng.random() < 1.0  # HorizontalFlip p-draw
+    assert rng.random() < 1.0  # RandomCrop p-draw
+    f_img, f_mask = img[:, ::-1], mask[:, ::-1]
+    top = int(rng.integers(0, 16 - 8 + 1))
+    left = int(rng.integers(0, 16 - 8 + 1))
+    assert np.array_equal(out_img, f_img[top:top+8, left:left+8])
+    assert np.array_equal(out_mask, f_mask[top:top+8, left:left+8])
+
+
+def test_pair_augment_image_identical_to_single_path(ray_session):
+    import ray.data
+
+    img = np.random.default_rng(12).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    mask = np.zeros((16, 16), np.uint8)
+    cfg = {"RandomRotate90": {"p": 1.0},
+           "RandomBrightnessContrast": {"p": 1.0},
+           "Rotate": {"limit": 30.0, "p": 1.0}}
+    base = pa.Table.from_pylist([{
+        "image_id": "q1", "bytes": codec.encode(img, "png"), "fmt": "png"}])
+    with_mask = base.append_column("mask", pa.array([codec.encode(mask, "png")],
+                                                    pa.binary()))
+    single = augment.augment(ray.data.from_arrow(base), cfg, seed=5).to_pandas()
+    paired = augment.augment(ray.data.from_arrow(with_mask), cfg, seed=5,
+                             mask_col="mask").to_pandas()
+    assert single.bytes[0] == paired.bytes[0]
+
+
+def test_pair_augment_unknown_pair_aug_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        augment.Augmenter({"no_such": {}}, mask_col="mask")
