@@ -74,9 +74,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         except (OSError, ValueError):
             continue
 
+    # this round's NEW gates lead the prefix (the round-4 advice: gates
+    # added after the window cutoff carried no machine correctness
+    # record), then the never-checked backlog, oracled first
+    new_this_round = (
+        "reproject_3857", "model_score", "coco_shards", "tiles_tiff_tiled",
+        "augment_album", "augment_pair", "paragraph_dedup", "dsir",
+        "focal_gradients",
+    )
+
     def _prio(item):
         name = item[0]
-        return (name in checked, name not in ORACLES)
+        return (name not in new_this_round, name in checked,
+                name not in ORACLES)
 
     return dict(sorted(QUERIES.items(), key=_prio))
 

@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "dsir",
     "focal_gradients",
+    "augment_pair",
 ]
 
 
