@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "dsir",
     "focal_gradients",
     "augment_pair",
+    "watermark_late",
 ]
 
 

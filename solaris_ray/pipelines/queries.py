@@ -5098,6 +5098,30 @@ def q_augment_pair(sf_dir: str):
     return out.map_batches(_wsums, batch_format="pyarrow", batch_size=16)
 
 
+def q_watermark_late(sf_dir: str):
+    """Watermarked late-event accounting (streaming semantics in
+    batch): the fixture's event time is monotone in event_id, so
+    arrival is scrambled into 97 residue classes (arrival key =
+    (id % 97)·10^12 + id — each class replays the whole time span, so
+    out-of-order arrivals abound); watermark = running max event time
+    over arrivals, late iff ts < watermark − 1h.  One O(ranges)
+    prefix table + one range co-shuffle; the SQL twin is the verbatim
+    window MAX ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING."""
+    from ..stages.windows import watermark_late_counts
+
+    def _derive(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "arrival": pa.array((eid % 97) * np.int64(10**12) + eid, pa.int64()),
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "event_type": b["event_type"],
+        })
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"]).map_batches(
+        _derive, batch_format="pyarrow")
+    return watermark_late_counts(ev, delay_us=3_600_000_000, id_col="arrival")
+
+
 def q_focal_gradients(sf_dir: str):
     """Horn-method DEM gradient sums (slope/hillshade integer core)
     over the focal mosaic with cross-tile halo exchange; the oracle
@@ -7713,6 +7737,7 @@ QUERIES = {
     "clip_filter": q_clip_filter,
     "focal_sum": q_focal_sum,
     "focal_gradients": q_focal_gradients,
+    "watermark_late": q_watermark_late,
     "covariance": q_covariance,
     "vocab_topk": q_vocab_topk,
     "zscore": q_zscore,
@@ -10359,6 +10384,18 @@ FROM s2 CROSS JOIN n
 JOIN m ma ON ma.i = s2.i
 JOIN m mb ON mb.i = s2.j
 ORDER BY s2.i, s2.j
+"""
+
+_ORACLES_BASE["watermark_late"] = """
+WITH e AS (SELECT (event_id % 97) * 1000000000000 + event_id AS arrival,
+                  epoch_us(ts) AS tu, event_type FROM events),
+w AS (SELECT event_type, tu,
+             MAX(tu) OVER (ORDER BY arrival
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      FROM e)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN tu < wm - 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY 1
 """
 
 _ORACLES_BASE["focal_gradients"] = _focal_grad_oracle()

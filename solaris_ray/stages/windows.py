@@ -100,3 +100,99 @@ def sessionize(events, gap_us: int, entity_col: str = "user_id",
         )
 
     return events.groupby(entity_col).map_groups(_sessions, batch_format="pyarrow")
+
+
+def watermark_late_counts(events, delay_us: int, n_ranges: int = 128,
+                          id_col: str = "event_id", ts_col: str = "ts_us",
+                          type_col: str = "event_type"):
+    """Watermarked late-event accounting (the streaming-semantics
+    primitive batch engines re-derive): with arrival order = ``id_col``
+    and watermark(e) = max event-time strictly before e's arrival, an
+    event is LATE iff ``ts < watermark − delay_us`` — the rows a
+    streaming window operator would drop or quarantine.
+
+    Distributed shape (the per-block-offset global-prefix idiom): the
+    arrival axis splits into ``n_ranges`` contiguous id ranges; pass 1
+    reduces each range to its max event-time (one O(ranges) table —
+    the ONLY driver-touching artifact), the exclusive prefix-max over
+    ranges seeds pass 2, where each range group sorts by arrival id
+    and runs one vectorized ``np.maximum.accumulate``.  Output:
+    (event_type, n_events, n_late) int64 rows.
+    """
+    import ray
+
+    from ._buckets import distinct_reduce
+
+    # range width from the driver-visible id bound (one metadata-cheap
+    # max): ids are dense test-side; at scale pass an explicit width
+    hi = events.max(id_col)
+    width = max(1, (int(hi) + n_ranges) // n_ranges)
+
+    def _tag2(b: pa.Table) -> pa.Table:
+        eid = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "eid": pa.array(eid, pa.int64()),
+            "ts": pa.array(
+                b[ts_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64()),
+            "etype": b[type_col],
+            "rb": pa.array(eid // np.int64(width), pa.int64()),
+        })
+
+    tagged = events.map_batches(_tag2, batch_format="pyarrow")
+    rng_max = distinct_reduce(
+        tagged.map_batches(
+            lambda b: pa.table({"rb": b["rb"], "mx": b["ts"]}),
+            batch_format="pyarrow"),
+        ["rb"], aggs={"mx": "max"}).to_pandas()
+    pre = np.full(int(rng_max["rb"].max()) + 2 if len(rng_max) else 1,
+                  np.iinfo(np.int64).min, np.int64)
+    if len(rng_max):
+        mx = np.full(pre.size - 1, np.iinfo(np.int64).min, np.int64)
+        mx[rng_max["rb"].to_numpy()] = rng_max["mx"].to_numpy()
+        pre[1:] = np.maximum.accumulate(mx)  # pre[r] = max over ranges < r
+    pre_ref = ray.put(pre)
+
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("n_events", pa.int64()),
+        ("n_late", pa.int64()),
+    ])
+
+    def _late(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        p = ray.get(pre_ref)
+        eid = group["eid"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        et = np.asarray(group["etype"].to_pylist(), dtype=object)
+        order = np.argsort(eid, kind="stable")
+        ts_o, et_o = ts[order], et[order]
+        rb = int(eid[order[0]] // width)
+        seed = p[rb] if rb < p.size else np.iinfo(np.int64).min
+        run = np.maximum.accumulate(np.concatenate(([seed], ts_o)))[:-1]
+        # run > ts + delay (NOT ts < run - delay): the int64-min seed
+        # minus delay wraps and would flag the very first arrival
+        late = run > ts_o + delay_us
+        uniq, inv = np.unique(et_o, return_inverse=True)
+        n = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        nl = np.bincount(inv, weights=late.astype(np.float64),
+                         minlength=uniq.size).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(uniq.tolist(), pa.string()),
+            "n_events": pa.array(n, pa.int64()),
+            "n_late": pa.array(nl, pa.int64()),
+        })
+
+    partial = tagged.groupby("rb").map_groups(_late, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    agg = partial.groupby("event_type").aggregate(Sum("n_events"), Sum("n_late"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n_events": pc.cast(b["sum(n_events)"], pa.int64()),
+            "n_late": pc.cast(b["sum(n_late)"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+

@@ -102,3 +102,46 @@ def test_running_sum_negative_values(ray_session):
         order = m[np.lexsort((m, ts[m]))]
         exp[order] = np.cumsum(cents[order])
     assert (got["run_cents"].to_numpy() == exp).all()
+
+
+def test_watermark_late_counts_exact(ray_session):
+    import ray.data
+
+    from solaris_ray.stages.windows import watermark_late_counts
+
+    # arrival order 0..5; times: 100, 90 (late if delay<10), 200, 50,
+    # 199, 201; watermarks: -,100,100,200,200,200
+    # delay=30: late = {50}; delay=5: {90, 50} (199 >= 200-5: on time)
+    tbl = pa.table({
+        "arrival": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "ts_us": pa.array([100, 90, 200, 50, 199, 201], pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "b", "a", "b"], pa.string()),
+    })
+    out = watermark_late_counts(
+        ray.data.from_arrow(tbl), delay_us=30, n_ranges=3,
+        id_col="arrival").to_pandas().set_index("event_type")
+    assert out.loc["a", "n_late"] == 0 and out.loc["b", "n_late"] == 1
+    assert out.n_events.sum() == 6
+    out5 = watermark_late_counts(
+        ray.data.from_arrow(tbl), delay_us=5, n_ranges=2,
+        id_col="arrival").to_pandas().set_index("event_type")
+    assert out5.loc["a", "n_late"] == 1  # 90
+    assert out5.loc["b", "n_late"] == 1  # 50
+
+
+def test_watermark_first_event_never_late(ray_session):
+    import ray.data
+
+    from solaris_ray.stages.windows import watermark_late_counts
+
+    # regression: int64-min seed minus delay used to wrap and flag the
+    # very first arrival late
+    tbl = pa.table({
+        "arrival": pa.array([0], pa.int64()),
+        "ts_us": pa.array([1_704_067_207_179_575], pa.int64()),
+        "event_type": pa.array(["x"], pa.string()),
+    })
+    out = watermark_late_counts(ray.data.from_arrow(tbl),
+                                delay_us=3_600_000_000,
+                                id_col="arrival").to_pandas()
+    assert out.n_late.sum() == 0
