@@ -5098,6 +5098,34 @@ def q_augment_pair(sf_dir: str):
     return out.map_batches(_wsums, batch_format="pyarrow", batch_size=16)
 
 
+def q_geodesic_area(sf_dir: str):
+    """Spherical geodesic ring areas on lon/lat footprints — no UTM
+    round-trip (Chamberlain-Duquette; the web-scale area path).  The
+    SQL twin states the same 4-edge sum with identical operands;
+    areas rounded to cm² both sides."""
+    from ..geom.sphere import rings_area_sphere
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _areas(batch: pa.Table) -> pa.Table:
+        c = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon0 = -90.0 + (c % 1000) * 0.01
+        lat0 = 20.0 + (c % 500) * 0.02
+        dlon = 0.01 + (c % 7) * 0.001
+        dlat = 0.008 + (c % 5) * 0.001
+        xs = [[lo, lo + dl, lo + dl, lo]
+              for lo, dl in zip(lon0.tolist(), dlon.tolist())]
+        ys = [[la, la, la + dl, la + dl]
+              for la, dl in zip(lat0.tolist(), dlat.tolist())]
+        area = rings_area_sphere(xs, ys)
+        return pa.table({
+            "feature_id": pa.array(c, pa.int64()),
+            "area_m2": pa.array(np.round(area, 2), pa.float64()),
+        })
+
+    return cust.map_batches(_areas, batch_format="pyarrow", batch_size=8192)
+
+
 def q_watermark_late(sf_dir: str):
     """Watermarked late-event accounting (streaming semantics in
     batch): the fixture's event time is monotone in event_id, so
@@ -7738,6 +7766,7 @@ QUERIES = {
     "focal_sum": q_focal_sum,
     "focal_gradients": q_focal_gradients,
     "watermark_late": q_watermark_late,
+    "geodesic_area": q_geodesic_area,
     "covariance": q_covariance,
     "vocab_topk": q_vocab_topk,
     "zscore": q_zscore,
@@ -10384,6 +10413,22 @@ FROM s2 CROSS JOIN n
 JOIN m ma ON ma.i = s2.i
 JOIN m mb ON mb.i = s2.j
 ORDER BY s2.i, s2.j
+"""
+
+_ORACLES_BASE["geodesic_area"] = """
+WITH f AS (SELECT c_custkey AS c,
+                  radians(-90.0 + (c_custkey % 1000) * 0.01) AS l0,
+                  radians(20.0 + (c_custkey % 500) * 0.02) AS p0,
+                  radians(-90.0 + (c_custkey % 1000) * 0.01
+                          + 0.01 + (c_custkey % 7) * 0.001) AS l1,
+                  radians(20.0 + (c_custkey % 500) * 0.02
+                          + 0.008 + (c_custkey % 5) * 0.001) AS p1
+           FROM customer)
+SELECT c AS feature_id,
+       round(abs((l1 - l0) * (2 + sin(p0) + sin(p0))
+                 + (l0 - l1) * (2 + sin(p1) + sin(p1)))
+             * 6371008.8 * 6371008.8 / 2, 2) AS area_m2
+FROM f
 """
 
 _ORACLES_BASE["watermark_late"] = """

@@ -114,3 +114,37 @@ def test_png_roundtrip_property(data):
     seed = data.draw(st.integers(0, 2**31))
     img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
     assert np.array_equal(codec.decode(codec.encode(img, "png"), "png"), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lon0=st.floats(-179.0, 178.0),
+    lat0=st.floats(-80.0, 79.0),
+    dlon=st.floats(0.001, 0.5),
+    dlat=st.floats(0.001, 0.5),
+)
+def test_geodesic_rect_area_matches_closed_form(lon0, lat0, dlon, dlat):
+    from solaris_ray.geom.sphere import R_MEAN, ring_area_sphere
+
+    xs = [lon0, lon0 + dlon, lon0 + dlon, lon0]
+    ys = [lat0, lat0, lat0 + dlat, lat0 + dlat]
+    got = ring_area_sphere(np.array(xs), np.array(ys))
+    # exact spherical rect area: R^2 * dlam * (sin(p1) - sin(p0))
+    want = R_MEAN**2 * np.radians(dlon) * (
+        np.sin(np.radians(lat0 + dlat)) - np.sin(np.radians(lat0)))
+    assert abs(got - abs(want)) < max(1e-6 * abs(want), 1e-3)
+
+
+def test_geodesic_area_equator_degree_square():
+    from solaris_ray.geom.sphere import ring_area_sphere
+
+    # a 1-deg square at the equator is about 111.19 km x 111.19 km
+    a = ring_area_sphere(np.array([0.0, 1.0, 1.0, 0.0]),
+                         np.array([-0.5, -0.5, 0.5, 0.5]))
+    assert abs(a - 111.19e3**2) < 0.01e9  # within 10 km^2
+
+
+def test_geodesic_degenerate_ring_zero():
+    from solaris_ray.geom.sphere import ring_area_sphere
+
+    assert ring_area_sphere(np.array([1.0, 2.0]), np.array([3.0, 3.0])) == 0.0
