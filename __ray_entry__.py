@@ -80,7 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     new_this_round = (
         "reproject_3857", "model_score", "coco_shards", "tiles_tiff_tiled",
         "augment_album", "augment_pair", "paragraph_dedup", "dsir",
-        "focal_gradients", "watermark_late",
+        "focal_gradients", "watermark_late", "geodesic_area",
     )
 
     def _prio(item):

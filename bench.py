@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "focal_gradients",
     "augment_pair",
     "watermark_late",
+    "geodesic_area",
 ]
 
 
