@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "augment_pair",
     "watermark_late",
     "geodesic_area",
+    "haversine_knn",
 ]
 
 

@@ -5098,6 +5098,30 @@ def q_augment_pair(sf_dir: str):
     return out.map_batches(_wsums, batch_format="pyarrow", batch_size=16)
 
 
+def q_haversine_knn(sf_dir: str):
+    """Great-circle kNN (geodesic sibling of the planar kNN join):
+    8 broadcast query points, exact haversine over the lon/lat event
+    cloud, per-batch local top-k -> one merge.  Distances in
+    trunc-semantics integer millimetres; ties break on (dist_mm,
+    point_id) identically in the SQL twin's ROW_NUMBER."""
+    from ..stages.knn import haversine_topk
+
+    ev = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: pa.table({
+            "point_id": pc.cast(b["event_id"], pa.int64()),
+            "lon": pa.array(
+                -90.0 + (b["event_id"].to_numpy().astype(np.int64) % 1000) * 0.01),
+            "lat": pa.array(
+                20.0 + (b["event_id"].to_numpy().astype(np.int64) % 700) * 0.02),
+        }),
+        batch_format="pyarrow",
+    )
+    q = np.arange(8, dtype=np.int64)
+    return haversine_topk(
+        ev, q, -90.0 + (q * 131 % 1000) * 0.01, 20.0 + (q * 53 % 700) * 0.02,
+        k=5)
+
+
 def q_geodesic_area(sf_dir: str):
     """Spherical geodesic ring areas on lon/lat footprints — no UTM
     round-trip (Chamberlain-Duquette; the web-scale area path).  The
@@ -7767,6 +7791,7 @@ QUERIES = {
     "focal_gradients": q_focal_gradients,
     "watermark_late": q_watermark_late,
     "geodesic_area": q_geodesic_area,
+    "haversine_knn": q_haversine_knn,
     "covariance": q_covariance,
     "vocab_topk": q_vocab_topk,
     "zscore": q_zscore,
@@ -10413,6 +10438,30 @@ FROM s2 CROSS JOIN n
 JOIN m ma ON ma.i = s2.i
 JOIN m mb ON mb.i = s2.j
 ORDER BY s2.i, s2.j
+"""
+
+_ORACLES_BASE["haversine_knn"] = """
+WITH p AS (SELECT event_id AS point_id,
+                  -90.0 + (event_id % 1000) * 0.01 AS lon,
+                  20.0 + (event_id % 700) * 0.02 AS lat
+           FROM events),
+q AS (SELECT i AS query_id,
+             -90.0 + ((i * 131) % 1000) * 0.01 AS qlon,
+             20.0 + ((i * 53) % 700) * 0.02 AS qlat
+      FROM range(0, 8) r(i)),
+d AS (SELECT q.query_id, p.point_id,
+             CAST(trunc(2.0 * 6371008.8 * asin(sqrt(
+                 pow(sin(radians(p.lat - q.qlat) / 2), 2)
+                 + cos(radians(q.qlat)) * cos(radians(p.lat))
+                 * pow(sin(radians(p.lon - q.qlon) / 2), 2))) * 1000.0)
+                  AS BIGINT) AS dist_mm
+      FROM q, p),
+rk AS (SELECT query_id, point_id, dist_mm,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dist_mm, point_id) AS rank
+       FROM d)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, point_id, dist_mm
+FROM rk WHERE rank <= 5
 """
 
 _ORACLES_BASE["geodesic_area"] = """

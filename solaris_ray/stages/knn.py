@@ -528,3 +528,90 @@ def broadcast_knn_join(
         {"features_ref": ref, "k": k, "cell_res": cell_res, **col_kwargs},
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+def haversine_m(lon1, lat1, lon2, lat2, r: float = 6371008.8):
+    """Vectorized great-circle distance in metres (the standard
+    haversine; inputs degrees, broadcastable arrays)."""
+    p1 = np.radians(np.asarray(lat1, np.float64))
+    p2 = np.radians(np.asarray(lat2, np.float64))
+    dl = np.radians(np.asarray(lon2, np.float64)
+                    - np.asarray(lon1, np.float64))
+    dp = p2 - p1
+    a = np.sin(dp / 2.0) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2.0) ** 2
+    return 2.0 * r * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def haversine_topk(points, q_ids: np.ndarray, q_lon: np.ndarray,
+                   q_lat: np.ndarray, k: int = 5,
+                   id_col: str = "point_id", lon_col: str = "lon",
+                   lat_col: str = "lat", batch_size: int = 8192):
+    """Exact great-circle kNN of each query over a lon/lat point
+    Dataset — the geodesic sibling of the planar kNN join.
+
+    Streaming shape = ann.brute_topk: queries broadcast once via
+    ``ray.put``, every corpus batch emits its LOCAL top-k candidate
+    rows per query (q x k rows per batch, never the batch itself),
+    one ``groupby(query_id)`` merge finishes.  Ordering is
+    (mm-rounded distance, point id) on BOTH sides of the oracle so
+    float ties can never reorder ranks.  Output
+    (query_id, rank, point_id, dist_mm).
+    """
+    import ray
+
+    ref = ray.put((np.asarray(q_ids, np.int64),
+                   np.asarray(q_lon, np.float64),
+                   np.asarray(q_lat, np.float64)))
+
+    part_schema = pa.schema([
+        ("query_id", pa.int64()), ("point_id", pa.int64()),
+        ("dist_mm", pa.int64()),
+    ])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qi, qlon, qlat = ray.get(ref)
+        n = batch.num_rows
+        if n == 0 or qi.size == 0:
+            return part_schema.empty_table()
+        pid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        # (queries x batch) distance matrix in integer millimetres
+        d = haversine_m(qlon[:, None], qlat[:, None], lon[None, :], lat[None, :])
+        dmm = np.trunc(d * 1000.0).astype(np.int64)  # trunc-semantics micro-units (house rule: np.trunc == SQL trunc; round() differs on .5)
+        kk = min(k, n)
+        out_q, out_p, out_d = [], [], []
+        for r in range(qi.size):
+            order = np.lexsort((pid, dmm[r]))[:kk]
+            out_q.append(np.full(kk, qi[r], np.int64))
+            out_p.append(pid[order])
+            out_d.append(dmm[r][order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "point_id": pa.array(np.concatenate(out_p), pa.int64()),
+            "dist_mm": pa.array(np.concatenate(out_d), pa.int64()),
+        })
+
+    out_schema = pa.schema([
+        ("query_id", pa.int64()), ("rank", pa.int64()),
+        ("point_id", pa.int64()), ("dist_mm", pa.int64()),
+    ])
+
+    def _merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        pid = group["point_id"].to_numpy(zero_copy_only=False)
+        dmm = group["dist_mm"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pid, dmm))[:k]
+        return pa.table({
+            "query_id": group["query_id"].take(pa.array(order)),
+            "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64),
+                             pa.int64()),
+            "point_id": pa.array(pid[order], pa.int64()),
+            "dist_mm": pa.array(dmm[order], pa.int64()),
+        })
+
+    partial = points.map_batches(_partial, batch_format="pyarrow",
+                                 batch_size=batch_size)
+    return partial.groupby("query_id").map_groups(_merge,
+                                                  batch_format="pyarrow")

@@ -148,3 +148,43 @@ def test_geodesic_degenerate_ring_zero():
     from solaris_ray.geom.sphere import ring_area_sphere
 
     assert ring_area_sphere(np.array([1.0, 2.0]), np.array([3.0, 3.0])) == 0.0
+
+
+def test_haversine_known_distance():
+    from solaris_ray.stages.knn import haversine_m
+
+    # equator: 1 degree of longitude = R * pi/180 ≈ 111.195 km
+    d = haversine_m(np.array([0.0]), np.array([0.0]),
+                    np.array([1.0]), np.array([0.0]))
+    assert abs(d[0] - 6371008.8 * np.pi / 180) < 1e-6
+    # antipodal points: half circumference
+    d2 = haversine_m(np.array([0.0]), np.array([0.0]),
+                     np.array([180.0]), np.array([0.0]))
+    assert abs(d2[0] - 6371008.8 * np.pi) < 1e-3
+    assert haversine_m(np.array([5.0]), np.array([5.0]),
+                       np.array([5.0]), np.array([5.0]))[0] == 0.0
+
+
+def test_haversine_topk_brute_parity(ray_session):
+    import ray.data
+
+    from solaris_ray.stages.knn import haversine_m, haversine_topk
+
+    rng = np.random.default_rng(3)
+    n = 400
+    lon = rng.uniform(-10, 10, n)
+    lat = rng.uniform(40, 50, n)
+    pts = pa.table({
+        "point_id": pa.array(np.arange(n), pa.int64()),
+        "lon": pa.array(lon), "lat": pa.array(lat),
+    })
+    qlon, qlat = np.array([0.0, 5.0]), np.array([45.0, 42.0])
+    out = haversine_topk(ray.data.from_arrow(pts), np.array([0, 1]),
+                         qlon, qlat, k=4).to_pandas()
+    for qi in (0, 1):
+        d = haversine_m(np.full(n, qlon[qi]), np.full(n, qlat[qi]), lon, lat)
+        dmm = np.trunc(d * 1000).astype(np.int64)
+        order = np.lexsort((np.arange(n), dmm))[:4]
+        got = out[out.query_id == qi].sort_values("rank")
+        assert got.point_id.tolist() == order.tolist()
+        assert got.dist_mm.tolist() == dmm[order].tolist()
