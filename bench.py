@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "watermark_late",
     "geodesic_area",
     "haversine_knn",
+    "overviews",
 ]
 
 

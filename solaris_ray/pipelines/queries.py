@@ -5098,6 +5098,39 @@ def q_augment_pair(sf_dir: str):
     return out.map_batches(_wsums, batch_format="pyarrow", batch_size=16)
 
 
+def q_overviews(sf_dir: str):
+    """COG-style overview pyramid (2x average-pooled levels, exact
+    integer floor means): formula images -> levels 1 and 2 through the
+    actor-pool builder; per-level position-weighted checksums replay
+    in SQL with the floor-div block mean stated verbatim twice."""
+    from ..stages.multimodal import build_overviews
+
+    images = _formula_gray_images(sf_dir, limit=150, fixed_size=64)
+    ov = build_overviews(images, levels=2, concurrency=2, batch_size=16)
+
+    def _wsums(batch: pa.Table) -> pa.Table:
+        from ..raster import codec as _codec
+
+        ids, lvl, ws = [], [], []
+        for i in range(batch.num_rows):
+            img = _codec.decode(batch["bytes"][i].as_py(),
+                                batch["fmt"][i].as_py())
+            if img.ndim == 3:
+                img = img[:, :, 0]
+            yy, xx = np.indices(img.shape)
+            w = (yy * img.shape[1] + xx).astype(np.int64)
+            ids.append(batch["image_id"][i].as_py())
+            lvl.append(int(batch["level"][i].as_py()))
+            ws.append(int((w * img.astype(np.int64)).sum()))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "level": pa.array(lvl, pa.int64()),
+            "wsum": pa.array(ws, pa.int64()),
+        })
+
+    return ov.map_batches(_wsums, batch_format="pyarrow", batch_size=32)
+
+
 def q_haversine_knn(sf_dir: str):
     """Great-circle kNN (geodesic sibling of the planar kNN join):
     8 broadcast query points, exact haversine over the lon/lat event
@@ -7792,6 +7825,7 @@ QUERIES = {
     "watermark_late": q_watermark_late,
     "geodesic_area": q_geodesic_area,
     "haversine_knn": q_haversine_knn,
+    "overviews": q_overviews,
     "covariance": q_covariance,
     "vocab_topk": q_vocab_topk,
     "zscore": q_zscore,
@@ -10438,6 +10472,33 @@ FROM s2 CROSS JOIN n
 JOIN m ma ON ma.i = s2.i
 JOIN m mb ON mb.i = s2.j
 ORDER BY s2.i, s2.j
+"""
+
+_ORACLES_BASE["overviews"] = """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 150),
+g32 AS (SELECT i FROM range(0, 32) r(i)),
+g16 AS (SELECT i FROM range(0, 16) r(i)),
+l1 AS (SELECT p, y.i AS y, x.i AS x,
+              (((2*x.i)*7 + (2*y.i)*13 + p*31) % 251
+               + ((2*x.i+1)*7 + (2*y.i)*13 + p*31) % 251
+               + ((2*x.i)*7 + (2*y.i+1)*13 + p*31) % 251
+               + ((2*x.i+1)*7 + (2*y.i+1)*13 + p*31) % 251) // 4 AS v
+       FROM img, g32 y, g32 x),
+l2 AS (SELECT a.p, y2.i AS y, x2.i AS x,
+              (a.v + b.v + c.v + d.v) // 4 AS v
+       FROM g16 y2, g16 x2,
+            l1 a, l1 b, l1 c, l1 d
+       WHERE a.y = 2*y2.i   AND a.x = 2*x2.i   AND b.p = a.p
+         AND b.y = 2*y2.i   AND b.x = 2*x2.i+1 AND c.p = a.p
+         AND c.y = 2*y2.i+1 AND c.x = 2*x2.i   AND d.p = a.p
+         AND d.y = 2*y2.i+1 AND d.x = 2*x2.i+1),
+w1 AS (SELECT 'img_' || p AS image_id, CAST(1 AS BIGINT) AS level,
+              CAST(SUM((y*32 + x) * v) AS BIGINT) AS wsum
+       FROM l1 GROUP BY 1),
+w2 AS (SELECT 'img_' || p AS image_id, CAST(2 AS BIGINT) AS level,
+              CAST(SUM((y*16 + x) * v) AS BIGINT) AS wsum
+       FROM l2 GROUP BY 1)
+SELECT * FROM w1 UNION ALL SELECT * FROM w2
 """
 
 _ORACLES_BASE["haversine_knn"] = """

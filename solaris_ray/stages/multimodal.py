@@ -403,3 +403,68 @@ class ImageQuality:
                 "grad6": pa.array(grad6, pa.float64()),
             }
         )
+
+
+class OverviewBuilder:
+    """Actor-pool stage: 2x average-pooled overview levels (the COG /
+    GeoTIFF overview pyramid; GDAL's ``BuildOverviews('AVERAGE')``).
+
+    Each level halves both dims with an exact integer block mean
+    (sum of the 2x2 block // 4 — floor semantics a SQL twin restates
+    verbatim); odd edges truncate to the aligned region (the GDAL
+    convention for exact halving pipelines).  Emits one row per
+    requested level per image: (image_id, level, bytes, w, h, fmt).
+    """
+
+    def __init__(self, levels: int = 2, out_fmt: str = "png", strict: bool = False):
+        self.levels = levels
+        self.out_fmt = out_fmt
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"image_id": [], "level": [], "bytes": [], "w": [], "h": [],
+               "fmt": []}
+        for i in range(batch.num_rows):
+            img = decode_any(batch["bytes"][i].as_py(),
+                             batch["fmt"][i].as_py(), 0, 0, self.strict)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            cur = img.astype(np.int64)
+            iid = batch["image_id"][i].as_py()
+            for lv in range(1, self.levels + 1):
+                h2, w2 = cur.shape[0] // 2, cur.shape[1] // 2
+                if h2 == 0 or w2 == 0:
+                    break
+                cur = (cur[: h2 * 2, : w2 * 2]
+                       .reshape(h2, 2, w2, 2, cur.shape[2])
+                       .sum(axis=(1, 3)) // 4)
+                px = cur.astype(np.uint8)
+                out["image_id"].append(iid)
+                out["level"].append(lv)
+                out["bytes"].append(codec.encode(
+                    px.squeeze(-1) if px.shape[2] == 1 else px, self.out_fmt))
+                out["w"].append(w2)
+                out["h"].append(h2)
+                out["fmt"].append(self.out_fmt)
+        return pa.table({
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "level": pa.array(out["level"], pa.int32()),
+            "bytes": pa.array(out["bytes"], pa.binary()),
+            "w": pa.array(out["w"], pa.int32()),
+            "h": pa.array(out["h"], pa.int32()),
+            "fmt": pa.array(out["fmt"], pa.string()),
+        })
+
+
+def build_overviews(images, levels: int = 2, concurrency=None,
+                    batch_size: int = 16, out_fmt: str = "png"):
+    from ..runtime import auto_concurrency
+
+    return images.map_batches(
+        OverviewBuilder,
+        fn_constructor_kwargs={"levels": levels, "out_fmt": out_fmt},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or auto_concurrency(),
+        num_cpus=1,
+    )

@@ -275,3 +275,49 @@ def test_image_quality_metrics():
                      "fmt": pa.array(["png"])})
     out2 = ImageQuality()(tbl2).to_pandas()
     assert out2["lap_var6"].iloc[0] > 0
+
+
+def test_overview_builder_exact_means(ray_session):
+    import ray.data
+
+    from solaris_ray.raster import codec
+    from solaris_ray.stages.multimodal import build_overviews
+
+    img = np.arange(8 * 8, dtype=np.uint8).reshape(8, 8)
+    tbl = pa.table({
+        "image_id": pa.array(["o1"], pa.string()),
+        "bytes": pa.array([codec.encode(img, "png")], pa.binary()),
+        "fmt": pa.array(["png"], pa.string()),
+    })
+    out = build_overviews(ray.data.from_arrow(tbl), levels=3,
+                          concurrency=1).to_pandas().sort_values("level")
+    assert out.level.tolist() == [1, 2, 3]
+    l1 = codec.decode(out.iloc[0].bytes, "png")
+    want1 = img.astype(np.int64).reshape(4, 2, 4, 2).sum(axis=(1, 3)) // 4
+    assert np.array_equal(l1, want1.astype(np.uint8))
+    l3 = codec.decode(out.iloc[2].bytes, "png")
+    assert l3.shape == (1, 1)
+    # level stops when a dim hits zero: 3 levels from 8px is the max
+    out2 = build_overviews(ray.data.from_arrow(tbl), levels=5,
+                           concurrency=1).to_pandas()
+    assert out2.level.max() == 3
+
+
+def test_overview_builder_odd_dims_truncate(ray_session):
+    import ray.data
+
+    from solaris_ray.raster import codec
+    from solaris_ray.stages.multimodal import build_overviews
+
+    img = np.arange(5 * 7, dtype=np.uint8).reshape(5, 7)
+    tbl = pa.table({
+        "image_id": pa.array(["o2"], pa.string()),
+        "bytes": pa.array([codec.encode(img, "png")], pa.binary()),
+        "fmt": pa.array(["png"], pa.string()),
+    })
+    out = build_overviews(ray.data.from_arrow(tbl), levels=1,
+                          concurrency=1).to_pandas()
+    l1 = codec.decode(out.iloc[0].bytes, "png")
+    want = img[:4, :6].astype(np.int64).reshape(2, 2, 3, 2).sum(axis=(1, 3)) // 4
+    assert np.array_equal(l1, want.astype(np.uint8))
+    assert (out.iloc[0].w, out.iloc[0].h) == (3, 2)
