@@ -29,24 +29,35 @@ def distinct_reduce(ds, key_cols: list[str], aggs: dict[str, str] | None = None,
     "min" | "max" | "sum"; output columns keep their input names.
     Same exactness: all copies of a key meet in one bucket (hash of
     the mixed key), segments reduce vectorized.
+
+    float64 key columns are supported through an order-irrelevant
+    bit-view (−0.0 normalized to +0.0 so the two zero encodings
+    group together; NaN keys are undefined — don't key on NaNs) and
+    come back out as float64.
     """
     import pyarrow as pa
 
     aggs = aggs or {}
     val_cols = list(aggs)
 
+    def _as_i64(col) -> np.ndarray:
+        a = col.to_numpy(zero_copy_only=False)
+        if a.dtype == np.float64:
+            return (a + 0.0).view(np.int64)  # +0.0 folds -0.0 into +0.0
+        return a.astype(np.int64)
+
     def _tag(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b.append_column("__db", pa.array([], pa.int64()))
-        mix = b[key_cols[0]].to_numpy(zero_copy_only=False).astype(np.int64).copy()
+        mix = _as_i64(b[key_cols[0]]).copy()
         for c in key_cols[1:]:
-            mix = mix * np.int64(1000003) + \
-                b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            mix = mix * np.int64(1000003) + _as_i64(b[c])
         return b.append_column("__db", pa.array(bucket_of(mix, n_buckets)))
 
     def _reduce(group: pa.Table) -> pa.Table:
-        ks = [group[c].to_numpy(zero_copy_only=False).astype(np.int64)
-              for c in key_cols]
+        is_f = [group[c].to_numpy(zero_copy_only=False).dtype == np.float64
+                for c in key_cols]
+        ks = [_as_i64(group[c]) for c in key_cols]
         order = np.lexsort(ks[::-1])
         ks = [k[order] for k in ks]
         n = ks[0].size
@@ -57,7 +68,11 @@ def distinct_reduce(ds, key_cols: list[str], aggs: dict[str, str] | None = None,
                 acc |= k[1:] != k[:-1]
             new[1:] = acc
         starts = np.flatnonzero(new)
-        out = {c: pa.array(k[starts], pa.int64()) for c, k in zip(key_cols, ks)}
+        out = {
+            c: (pa.array(k[starts].view(np.float64), pa.float64()) if f
+                else pa.array(k[starts], pa.int64()))
+            for c, k, f in zip(key_cols, ks, is_f)
+        }
         for c, how in aggs.items():
             v = group[c].to_numpy(zero_copy_only=False)[order]
             if how == "max":

@@ -71,12 +71,23 @@ def dedup_nodes(roads, id_col: str = "feature_id"):
     COUNTS come to the driver (one int per block).
     """
     import ray
-    from ray.data.aggregate import Count
+
+    from ._buckets import distinct_reduce
 
     verts = roads.map_batches(
         lambda b: explode_vertices(b, id_col), batch_format="pyarrow", batch_size=4096
+    ).map_batches(
+        lambda b: b.append_column(
+            "count()", pa.array(np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow",
     )
-    uniq = verts.groupby(["x", "y"]).aggregate(Count()).sort(["x", "y"]).materialize()
+    # distinct+count via the bucketed vectorized reduce (float keys
+    # bit-view; Ray's per-group aggregate costs ~100us per distinct
+    # vertex — at graph scale the vertex count IS the corpus scale),
+    # then the global sort that defines the rank ids
+    uniq = distinct_reduce(
+        verts, ["x", "y"], aggs={"count()": "sum"}
+    ).sort(["x", "y"]).materialize()
     refs = uniq.to_arrow_refs()  # ordered blocks, still in the object store
 
     @ray.remote

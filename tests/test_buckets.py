@@ -65,3 +65,17 @@ def test_unknown_agg_rejected(ray_session):
     t = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())})
     with pytest.raises(Exception):
         distinct_reduce(_ds(t), ["k"], aggs={"v": "median"}).to_pandas()
+
+
+def test_distinct_float_keys(ray_session):
+    t = pa.table({
+        "x": pa.array([1.5, 1.5, -0.0, 0.0, 2.25], pa.float64()),
+        "y": pa.array([2.0, 2.0, 3.0, 3.0, 4.0], pa.float64()),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = distinct_reduce(_ds(t), ["x", "y"], aggs={"v": "sum"}).to_pandas()
+    got = {(float(x), float(y)): int(v)
+           for x, y, v in zip(out.x, out.y, out.v)}
+    # -0.0 and +0.0 are ONE key; float values come back as floats
+    assert got == {(1.5, 2.0): 3, (0.0, 3.0): 7, (2.25, 4.0): 5}
+    assert out.x.dtype == np.float64
