@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "geodesic_area",
     "haversine_knn",
     "overviews",
+    "split_multi",
 ]
 
 

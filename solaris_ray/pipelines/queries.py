@@ -5098,6 +5098,60 @@ def q_augment_pair(sf_dir: str):
     return out.map_batches(_wsums, batch_format="pyarrow", batch_size=16)
 
 
+def q_split_multi(sf_dir: str):
+    """Multi-geometry split + renumber (split_multi_geometries /
+    _split_multigeom_row cumcount semantics) through the REAL WKT
+    parser: customer rows become MULTIPOLYGON strings of 1 + c%3
+    formula rectangles; each part exits as its own row with a
+    within-feature ordinal; SQL twin states the part count, ordinals,
+    shoelace areas and vertex counts in closed form."""
+    from ..stages.transforms import split_multi_rows
+
+    cust = _read(sf_dir, "customer", ["c_custkey"],
+                 filter=pc.field("c_custkey") < 3000)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        c = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wkts = []
+        for k in c.tolist():
+            parts = []
+            for j in range(1 + k % 3):
+                x0 = (k % 50) * 40 + j * 13
+                y0 = (k % 70) * 30 + j * 7
+                w = 5 + (k + j) % 9
+                h = 4 + (k + 2 * j) % 7
+                parts.append(
+                    f"(({x0} {y0}, {x0+w} {y0}, {x0+w} {y0+h}, "
+                    f"{x0} {y0+h}, {x0} {y0}))")
+            wkts.append("MULTIPOLYGON (" + ", ".join(parts) + ")")
+        return pa.table({
+            "feature_id": pa.array(c, pa.int64()),
+            "wkt": pa.array(wkts, pa.string()),
+        })
+
+    feats = cust.map_batches(_gen, batch_format="pyarrow", batch_size=4096)
+    parts = feats.map_batches(split_multi_rows, batch_format="pyarrow",
+                              batch_size=4096)
+
+    def _metrics(batch: pa.Table) -> pa.Table:
+        xs_l = batch["xs"].to_pylist()
+        ys_l = batch["ys"].to_pylist()
+        areas, nv = [], []
+        for x, y in zip(xs_l, ys_l):
+            xa, ya = np.asarray(x), np.asarray(y)
+            areas.append(abs(float(
+                np.dot(xa, np.roll(ya, -1)) - np.dot(np.roll(xa, -1), ya))) / 2.0)
+            nv.append(len(x))
+        return pa.table({
+            "feature_id": batch["feature_id"],
+            "obj_id": batch["obj_id"],
+            "area": pa.array(areas, pa.float64()),
+            "n_verts": pa.array(nv, pa.int64()),
+        })
+
+    return parts.map_batches(_metrics, batch_format="pyarrow")
+
+
 def q_overviews(sf_dir: str):
     """COG-style overview pyramid (2x average-pooled levels, exact
     integer floor means): formula images -> levels 1 and 2 through the
@@ -7826,6 +7880,7 @@ QUERIES = {
     "geodesic_area": q_geodesic_area,
     "haversine_knn": q_haversine_knn,
     "overviews": q_overviews,
+    "split_multi": q_split_multi,
     "covariance": q_covariance,
     "vocab_topk": q_vocab_topk,
     "zscore": q_zscore,
@@ -10472,6 +10527,17 @@ FROM s2 CROSS JOIN n
 JOIN m ma ON ma.i = s2.i
 JOIN m mb ON mb.i = s2.j
 ORDER BY s2.i, s2.j
+"""
+
+_ORACLES_BASE["split_multi"] = """
+WITH c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 3000),
+p AS (SELECT k, j.i AS obj_id,
+             CAST(5 + (k + j.i) % 9 AS DOUBLE) AS w,
+             CAST(4 + (k + 2*j.i) % 7 AS DOUBLE) AS h
+      FROM c, range(0, 3) j(i) WHERE j.i < 1 + k % 3)
+SELECT k AS feature_id, obj_id, w * h AS area,
+       CAST(4 AS BIGINT) AS n_verts
+FROM p
 """
 
 _ORACLES_BASE["overviews"] = """

@@ -125,3 +125,35 @@ def explode_multi_batch(batch: pa.Table, parts_col: str = "n_parts") -> pa.Table
     s = pd.Series(group.to_pylist())
     ord_ = s.groupby(s, sort=False).cumcount().to_numpy()
     return batch.append_column("obj_id", pa.array(ord_.astype(np.int64)))
+
+
+def split_multi_rows(batch: pa.Table, wkt_col: str = "wkt",
+                     id_col: str = "feature_id") -> pa.Table:
+    """WKT rows -> one row per polygon part with a within-feature
+    ordinal (``split_multi_geometries`` + renumber,
+    solaris/utils/geo.py:480-587 / _split_multigeom_row cumcount):
+    POLYGON passes through as obj_id 0; each MULTIPOLYGON part gets
+    its part index.  Output (id, obj_id, xs, ys) list-column rows.
+    """
+    from ..geom.wkt import parse_wkt
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    out_id, out_ord, out_xs, out_ys = [], [], [], []
+    for i, w in zip(ids.tolist(), batch[wkt_col].to_pylist()):
+        gtype, rings = parse_wkt(w)
+        for j, ring in enumerate(rings):
+            r = ring
+            # drop the closing vertex if present (engine list-column
+            # convention stores open rings)
+            if len(r) > 1 and (r[0] == r[-1]).all():
+                r = r[:-1]
+            out_id.append(i)
+            out_ord.append(j)
+            out_xs.append(r[:, 0].tolist())
+            out_ys.append(r[:, 1].tolist())
+    return pa.table({
+        id_col: pa.array(out_id, pa.int64()),
+        "obj_id": pa.array(out_ord, pa.int64()),
+        "xs": pa.array(out_xs, pa.list_(pa.float64())),
+        "ys": pa.array(out_ys, pa.list_(pa.float64())),
+    })
