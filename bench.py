@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "haversine_knn",
     "overviews",
     "split_multi",
+    "eval_class",
 ]
 
 

@@ -2677,6 +2677,66 @@ def q_eval_scores(sf_dir: str):
     return evaluate.eval_scores(ray.data.from_arrow(props), ray.data.from_arrow(gt))
 
 
+def q_eval_class(sf_dir: str):
+    """CLASS-AWARE greedy IoU eval (by_class=True, eval/vector.py
+    160-180 semantics): GT classes alternate building/road by parity;
+    proposals carry the WRONG class when c%13==0 — under class-keyed
+    matching those become an FP in the proposal's class AND an FN in
+    the GT's, which the SQL twin states in closed form (the isolation
+    grid keeps every cell independent)."""
+    import ray
+
+    from ..stages import evaluate
+
+    c = _pq(sf_dir, "customer", ["c_custkey"])["c_custkey"].to_numpy().astype(np.int64)
+    c = c[c < 3100]
+    cx = ((c % 56) * 57 + 28).astype(np.float64)
+    cy = (((c // 56) % 56) * 57 + 28).astype(np.float64)
+    hw = (5 + c % 18).astype(np.float64)
+    hh = (5 + c % 11).astype(np.float64)
+
+    def rect(cx_, cy_, hw_, hh_):
+        xs = np.stack([cx_ - hw_, cx_ + hw_, cx_ + hw_, cx_ - hw_], axis=1)
+        ys = np.stack([cy_ - hh_, cy_ - hh_, cy_ + hh_, cy_ + hh_], axis=1)
+        return xs, ys
+
+    img = ["img_" + str(int(v % 40)) for v in c]
+    gcls = ["building" if int(v) % 2 == 0 else "road" for v in c]
+    gxs, gys = rect(cx, cy, hw, hh)
+    gt = pa.table({
+        "feature_id": pa.array(c),
+        "image_id": pa.array(img, pa.string()),
+        "class": pa.array(gcls, pa.string()),
+        "xs": pa.array(gxs.tolist(), pa.list_(pa.float64())),
+        "ys": pa.array(gys.tolist(), pa.list_(pa.float64())),
+    })
+    dx = (c % 7 - 3).astype(np.float64)
+    dy = (c % 5 - 2).astype(np.float64)
+    pxs, pys = rect(cx + dx, cy + dy, hw, hh)
+    rows = []
+    for i in range(len(c)):
+        if c[i] % 3 == 0:
+            continue
+        pcls = gcls[i]
+        if c[i] % 13 == 0:
+            pcls = "road" if pcls == "building" else "building"
+        rows.append({
+            "proposal_id": int(c[i]),
+            "image_id": img[i],
+            "class": pcls,
+            "xs": pxs[i].tolist(),
+            "ys": pys[i].tolist(),
+            "conf": float((c[i] * 13) % 20) / 20.0,
+        })
+    props = pa.Table.from_pylist(rows, schema=pa.schema([
+        ("proposal_id", pa.int64()), ("image_id", pa.string()),
+        ("class", pa.string()), ("xs", pa.list_(pa.float64())),
+        ("ys", pa.list_(pa.float64())), ("conf", pa.float64()),
+    ]))
+    return evaluate.eval_scores(ray.data.from_arrow(props),
+                                ray.data.from_arrow(gt), by_class=True)
+
+
 def q_eval_rollup(sf_dir: str):
     """Challenge roll-up: sum per-image counts per AOI bucket THEN
     recompute P/R/F1 (challenges.py:62-87), SQL-oracled."""
@@ -7668,6 +7728,7 @@ QUERIES = {
     "tiles_pipeline": q_tiles_pipeline,
     "masks_pipeline": q_masks_pipeline,
     "eval_scores": q_eval_scores,
+    "eval_class": q_eval_class,
     "f1_rollup": q_f1_rollup,
     "chip_stitch": q_chip_stitch,
     "graph_build": q_graph_build,
@@ -8856,6 +8917,43 @@ WITH pts AS ({_PTS})
 SELECT (CAST(16 AS BIGINT) << 58) | (CAST(floor((x + 8388608)/256) AS BIGINT) << 29) | CAST(floor((y + 8388608)/256) AS BIGINT) AS cell16,
        count(*) AS n
 FROM pts GROUP BY 1
+""",
+    "eval_class": """
+WITH b AS (SELECT c_custkey AS c,
+                  'img_' || CAST(c_custkey % 40 AS VARCHAR) AS img,
+                  CASE WHEN c_custkey % 2 = 0 THEN 'building' ELSE 'road' END AS gcls,
+                  CAST(5 + c_custkey % 18 AS DOUBLE) AS hw,
+                  CAST(5 + c_custkey % 11 AS DOUBLE) AS hh,
+                  CAST(abs(c_custkey % 7 - 3) AS DOUBLE) AS adx,
+                  CAST(abs(c_custkey % 5 - 2) AS DOUBLE) AS ady,
+                  c_custkey % 3 <> 0 AS has_prop,
+                  c_custkey % 13 = 0 AS swap
+           FROM customer WHERE c_custkey < 3100),
+b2 AS (SELECT *,
+              CASE WHEN swap THEN (CASE WHEN gcls = 'building' THEN 'road' ELSE 'building' END)
+                   ELSE gcls END AS pcls,
+              ((2*hw - adx) * (2*hh - ady))
+                / (2 * (2*hw) * (2*hh) - (2*hw - adx) * (2*hh - ady)) > 0.5 AS iou_ok
+       FROM b),
+gt_side AS (SELECT img || '|' || gcls AS key,
+                   (has_prop AND NOT swap AND iou_ok) AS matched FROM b2),
+pr_side AS (SELECT img || '|' || pcls AS key,
+                   (NOT swap AND iou_ok) AS matched FROM b2 WHERE has_prop),
+keys AS (SELECT DISTINCT key FROM (SELECT key FROM gt_side UNION ALL SELECT key FROM pr_side)),
+tpq AS (SELECT key, count(*) FILTER (matched) AS tp,
+               count(*) FILTER (NOT matched) AS fp
+        FROM pr_side GROUP BY 1),
+fnq AS (SELECT key, count(*) FILTER (NOT matched) AS fn FROM gt_side GROUP BY 1),
+cnt AS (SELECT k.key AS image_id,
+               coalesce(tp, 0) AS tp, coalesce(fp, 0) AS fp, coalesce(fn, 0) AS fn
+        FROM keys k LEFT JOIN tpq ON tpq.key = k.key LEFT JOIN fnq ON fnq.key = k.key)
+SELECT image_id, tp, fp, fn,
+       CASE WHEN tp+fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END AS "precision",
+       CASE WHEN tp+fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END AS recall,
+       CASE WHEN tp+fp = 0 OR tp+fn = 0 OR (CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn)) = 0 THEN 0.0
+            ELSE 2 * (CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn))
+                 / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn))) END AS f1
+FROM cnt
 """,
     "eval_scores": """
 WITH g AS (SELECT c_custkey AS c,
