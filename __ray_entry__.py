@@ -81,7 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reproject_3857", "model_score", "coco_shards", "tiles_tiff_tiled",
         "augment_album", "augment_pair", "paragraph_dedup", "dsir",
         "focal_gradients", "watermark_late", "geodesic_area",
-        "haversine_knn", "overviews", "split_multi", "eval_class",
+        "haversine_knn", "overviews", "split_multi", "eval_class", "chip_stitch_conf",
     )
 
     def _prio(item):

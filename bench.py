@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "overviews",
     "split_multi",
     "eval_class",
+    "chip_stitch_conf",
 ]
 
 

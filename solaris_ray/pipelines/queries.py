@@ -3215,6 +3215,23 @@ def q_chip_stitch(sf_dir: str):
     )
 
 
+def q_chip_stitch_conf(sf_dir: str):
+    """Confidence-method stitch (max |p - 0.5| writer wins, strict >
+    so ties keep the FIRST (y0, x0) writer): identical overlapping
+    chips tie everywhere, so the stitched image must equal the source
+    byte-for-byte — the same closed-form pixel-sum oracle as the
+    average path, now exercising the confidence kernel + tie rule."""
+    from ..stages import chips as chips_stage
+
+    images = _formula_gray_images(sf_dir, limit=150, fixed_size=96)
+    chipped = chips_stage.cut_chips(images, chip=64, step=32)
+    out = chips_stage.stitch(chipped, method="confidence")
+    stats = out.map_batches(_px_sum_cols(), batch_format="pyarrow", batch_size=16)
+    return stats.map_batches(
+        lambda b: b.select(["image_id", "px_sum"]), batch_format="pyarrow"
+    )
+
+
 def q_graph_build(sf_dir: str):
     """Road-network graph: distributed vertex dedup (sorted-(x,y)-rank
     node ids), hash-join edge endpoint resolution.  Roads derived from
@@ -7731,6 +7748,7 @@ QUERIES = {
     "eval_class": q_eval_class,
     "f1_rollup": q_f1_rollup,
     "chip_stitch": q_chip_stitch,
+    "chip_stitch_conf": q_chip_stitch_conf,
     "graph_build": q_graph_build,
     "fuzzy_dedup": q_fuzzy_dedup,
     "image_dedup": q_image_dedup,
@@ -8663,6 +8681,14 @@ FROM img, px rx, px ry
 GROUP BY 1
 """,
     "chip_stitch": """
+WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 150),
+px AS (SELECT i FROM range(0, 96) r(i))
+SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
+       CAST(SUM((rx.i*7 + ry.i*13 + p*31) % 251) AS BIGINT) AS px_sum
+FROM img, px rx, px ry
+GROUP BY 1
+""",
+    "chip_stitch_conf": """
 WITH img AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 150),
 px AS (SELECT i FROM range(0, 96) r(i))
 SELECT 'img_' || CAST(p AS VARCHAR) AS image_id,
